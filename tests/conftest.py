@@ -1,0 +1,74 @@
+"""
+Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh so sharding/collective paths are
+exercised without TPU hardware (mirrors the reference's strategy of testing
+distributed behavior without a cluster — SURVEY §4.8).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import random
+import struct
+
+import pytest
+
+from iscc_search_tpu import codec as ic
+
+
+@pytest.fixture
+def rng():
+    return random.Random(42)
+
+
+def make_unit(mtype, stype, bits, body=None, rng=None):
+    # type: (int, int, int, bytes | None, random.Random | None) -> str
+    """Build a canonical ISCC-UNIT string with the given body (random if None)."""
+    if body is None:
+        rnd = rng or random
+        body = bytes(rnd.getrandbits(8) for _ in range(bits // 8))
+    header = ic.encode_header(mtype, stype, ic.VS.V0, ic.encode_length(mtype, bits))
+    return "ISCC:" + ic.encode_base32(header + body[: bits // 8])
+
+
+def make_iscc_id(n, realm_id=0):
+    # type: (int, int) -> str
+    """Deterministic ISCC-ID from a small integer (timestamp=n, server=0)."""
+    return ic.gen_iscc_id_v1(timestamp_us=n + 1, server_id=n % 4096, realm_id=realm_id)["iscc"]
+
+
+@pytest.fixture
+def unit_factory(rng):
+    def factory(mtype=ic.MT.CONTENT, stype=ic.ST_CC.TEXT, bits=64, body=None):
+        return make_unit(mtype, stype, bits, body, rng)
+
+    return factory
+
+
+@pytest.fixture
+def entry_factory(rng):
+    """Produce valid IsccEntry dicts with random units."""
+    counter = [0]
+
+    def factory(bits=64, with_meta=False, with_content=True, simprints=None, metadata=None):
+        counter[0] += 1
+        units = []
+        if with_meta:
+            units.append(make_unit(ic.MT.META, ic.ST.NONE, bits, rng=rng))
+        if with_content:
+            units.append(make_unit(ic.MT.CONTENT, ic.ST_CC.TEXT, bits, rng=rng))
+        units.append(make_unit(ic.MT.DATA, ic.ST.NONE, bits, rng=rng))
+        units.append(make_unit(ic.MT.INSTANCE, ic.ST.NONE, bits, rng=rng))
+        entry = {"iscc_id": make_iscc_id(counter[0]), "units": units}
+        if simprints is not None:
+            entry["simprints"] = simprints
+        if metadata is not None:
+            entry["metadata"] = metadata
+        return entry
+
+    return factory
