@@ -1,0 +1,150 @@
+"""
+Common utilities shared by index backends.
+
+Functional parity with reference iscc_search/indexes/common.py: asset
+(de)serialization (simprints excluded from storage — common.py:28-41), ISCC-ID
+validation / realm extraction / reconstruction (common.py:111-272), index-name
+validation (common.py:202), and bidirectional query normalization
+(common.py:275-330).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from iscc_search_tpu import codec as ic
+from iscc_search_tpu.models import IsccCode, IsccUnit
+from iscc_search_tpu.schema import IsccEntry
+
+INDEX_NAME_PATTERN = re.compile(r"^[a-z][a-z0-9]*$")
+
+
+def serialize_asset(asset):
+    # type: (IsccEntry) -> bytes
+    """
+    Serialize IsccEntry to compact JSON bytes, excluding simprints.
+
+    Simprints are stored separately in the simprint engine; excluding them here
+    avoids double storage (reference common.py:28-41).
+    """
+    asset_dict = asset.model_dump(mode="json", exclude_none=True, exclude={"simprints"})
+    return json.dumps(asset_dict, separators=(",", ":")).encode("utf-8")
+
+
+def deserialize_asset(data):
+    # type: (bytes) -> IsccEntry
+    """Deserialize JSON bytes to IsccEntry."""
+    try:
+        return IsccEntry(**json.loads(data.decode("utf-8")))
+    except Exception as exc:
+        raise ValueError(f"invalid stored asset: {exc}") from None
+
+
+def extract_iscc_id_body(iscc_id):
+    # type: (str) -> bytes
+    """Extract the 8-byte body from an ISCC-ID canonical string."""
+    validate_iscc_id(iscc_id)
+    return ic.decode_base32(iscc_id.split(":")[-1])[2:]
+
+
+def extract_realm_id(iscc_id):
+    # type: (str) -> int
+    """Extract the realm id (0 or 1) from an ISCC-ID header."""
+    validate_iscc_id(iscc_id)
+    return ic.decode_header(ic.decode_base32(iscc_id.split(":")[-1])).subtype
+
+
+def reconstruct_iscc_id(body, realm_id):
+    # type: (bytes, int) -> str
+    """Rebuild an ISCC-ID canonical string from its 8-byte body and realm id."""
+    if realm_id not in (0, 1):
+        raise ValueError(f"Invalid realm_id {realm_id}, must be 0 or 1")
+    if len(body) != 8:
+        raise ValueError(f"ISCC-ID body must be 8 bytes, got {len(body)}")
+    header = ic.encode_header(ic.MT.ID, realm_id, ic.VS.V1, 0)
+    return "ISCC:" + ic.encode_base32(header + body)
+
+
+def extract_unit_body(unit):
+    # type: (str) -> bytes
+    """Body bytes of an ISCC-UNIT canonical string."""
+    return IsccUnit(unit).body
+
+
+def get_unit_type(unit):
+    # type: (str) -> str
+    """Unit-type string ("{MAINTYPE}_{SUBTYPE}_V{N}") of an ISCC-UNIT."""
+    return IsccUnit(unit).unit_type
+
+
+def validate_index_name(name):
+    # type: (str) -> None
+    """Validate index name against ^[a-z][a-z0-9]*$."""
+    if not INDEX_NAME_PATTERN.match(name):
+        raise ValueError(
+            f"Invalid index name: '{name}'. Must match pattern ^[a-z][a-z0-9]*$ "
+            f"(start with lowercase letter, followed by lowercase letters/digits only)"
+        )
+
+
+def validate_iscc_id(iscc_id, expected_realm=None):
+    # type: (str, int | None) -> None
+    """
+    Validate ISCC-ID format (and optionally realm).
+
+    Checks prefix, base32, 10-byte length, MainType ID, zero length field, and
+    an optional expected realm (reference common.py:223-272).
+    """
+    if not iscc_id or not iscc_id.startswith("ISCC:"):
+        raise ValueError(f"Invalid ISCC-ID format: '{iscc_id}' (must start with 'ISCC:')")
+    try:
+        code_bytes = ic.decode_base32(iscc_id.split(":")[-1])
+    except ValueError as e:
+        raise ValueError(f"Invalid ISCC-ID base32 encoding: {e}")
+    if len(code_bytes) != 10:
+        raise ValueError(
+            f"Invalid ISCC-ID length: {len(code_bytes)} bytes (expected 10 bytes = 2-byte header + 8-byte body)"
+        )
+    fields = ic.decode_header(code_bytes)
+    if fields.maintype != ic.MT.ID:
+        raise ValueError(f"Invalid ISCC-ID main type: {fields.maintype} (expected {int(ic.MT.ID)})")
+    if fields.length != 0:
+        raise ValueError(
+            f"Invalid ISCC-ID length field: {fields.length} (expected 0 for 64-bit ISCC-ID v1). "
+            f"ISCC-ID '{iscc_id}' appears to be malformed."
+        )
+    if expected_realm is not None and fields.subtype != expected_realm:
+        raise ValueError(
+            f"Realm mismatch: ISCC-ID '{iscc_id}' has realm={fields.subtype}, "
+            f"but expected realm={expected_realm}. Cannot query assets from different realm."
+        )
+
+
+def normalize_query(query):
+    # type: (IsccQuery) -> IsccQuery
+    """
+    Bidirectional query normalization (units <-> iscc_code).
+
+    Mirrors reference common.py:275-330: populate both representations when
+    derivable; simprint-only queries pass through; raise when the query is
+    entirely empty.
+    """
+    if query.units and query.iscc_code:
+        return query
+
+    if query.units and not query.iscc_code:
+        try:
+            iscc_code = ic.gen_iscc_code_v0(query.units, wide=True)["iscc"]
+            return query.model_copy(update={"iscc_code": iscc_code})
+        except ValueError:
+            return query
+
+    if query.iscc_code and not query.units:
+        units = [str(unit) for unit in IsccCode(query.iscc_code).units]
+        return query.model_copy(update={"units": units})
+
+    if query.simprints:
+        return query
+
+    raise ValueError("Query must have 'iscc_code', 'units', or 'simprints' for search")

@@ -8,10 +8,21 @@ distributed behavior without a cluster — SURVEY §4.8).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend for tests even when the environment pins JAX_PLATFORMS
+# to a TPU plugin (e.g. a tunneled remote TPU): unit tests must not round-trip
+# a network-attached accelerator. jax may already be imported by an interpreter
+# startup hook, so setting os.environ alone is not enough — update jax config
+# directly (backends initialize lazily, so this still takes effect here).
+# Set ISCC_TEST_PLATFORM=tpu/axon explicitly to run the suite on real hardware.
+_platform = os.environ.get("ISCC_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import random
 import struct
