@@ -1,0 +1,318 @@
+"""
+ctypes binding for the native tructstore (iscc_search_tpu/native/store.cpp).
+
+HostStore is the source-of-truth storage used by the index backends, playing
+the role LMDB plays in the reference (reference indexes/usearch/index.py:87-102
+uses LMDB for assets/metadata/INSTANCE/simprints; here a C++ append-log store
+with the same capability set: plain and dupsort sub-databases, prefix range
+scans, batched dup puts, entry counts, crash-safe persistence).
+
+The shared library is compiled on demand from the checked-in C++ source (no
+binary artifacts in the repo; the toolchain is a build requirement like any
+native package).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import threading
+from pathlib import Path
+
+_NATIVE_DIR = Path(__file__).parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libtructstore.so"
+_BUILD_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build_library():
+    # type: () -> None
+    """Compile the native store with make (idempotent, source-mtime aware)."""
+    src = _NATIVE_DIR / "store.cpp"
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return
+    subprocess.run(
+        ["make", "-s", "-C", str(_NATIVE_DIR)],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load_library():
+    # type: () -> ctypes.CDLL
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    with _BUILD_LOCK:
+        if _LIB is not None:  # pragma: no cover - race guard
+            return _LIB
+        _build_library()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ts_open.argtypes = [ctypes.c_char_p]
+        lib.ts_open.restype = ctypes.c_void_p
+        lib.ts_close.argtypes = [ctypes.c_void_p]
+        lib.ts_close.restype = None
+        for name in ("ts_put", "ts_dup_put", "ts_dup_del"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_u8p, ctypes.c_uint32, c_u8p, ctypes.c_uint32]
+            fn.restype = ctypes.c_int
+        lib.ts_del.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_u8p, ctypes.c_uint32]
+        lib.ts_del.restype = ctypes.c_int
+        lib.ts_drop_db.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.ts_drop_db.restype = ctypes.c_int
+        lib.ts_dup_putmulti.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_u8p, ctypes.c_uint64]
+        lib.ts_dup_putmulti.restype = ctypes.c_int64
+        lib.ts_get.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            c_u8p,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.ts_get.restype = ctypes.c_int
+        for name in ("ts_prefix_scan", "ts_get_dups", "ts_range_scan"):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                c_u8p,
+                ctypes.c_uint32,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            fn.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.ts_list_dbs.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.ts_list_dbs.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.ts_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.ts_free.restype = None
+        for name in ("ts_entries", "ts_key_count"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            fn.restype = ctypes.c_int64
+        lib.ts_used_bytes.argtypes = [ctypes.c_void_p]
+        lib.ts_used_bytes.restype = ctypes.c_int64
+        for name in ("ts_flush", "ts_sync", "ts_compact"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_void_p]
+            fn.restype = ctypes.c_int
+        lib.ts_log_bytes.argtypes = [ctypes.c_void_p]
+        lib.ts_log_bytes.restype = ctypes.c_uint64
+        _LIB = lib
+        return lib
+
+
+def _buf(data):
+    # type: (bytes) -> ctypes.Array
+    return (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data else (ctypes.c_uint8 * 1)()
+
+
+def _parse_pairs(ptr, length):
+    # type: (ctypes.POINTER, int) -> list[tuple[bytes, bytes]]
+    raw = ctypes.string_at(ptr, length)
+    pairs = []
+    off = 0
+    while off < length:
+        (klen,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        key = raw[off : off + klen]
+        off += klen
+        (vlen,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        val = raw[off : off + vlen]
+        off += vlen
+        pairs.append((key, val))
+    return pairs
+
+
+def _parse_values(ptr, length):
+    # type: (ctypes.POINTER, int) -> list[bytes]
+    raw = ctypes.string_at(ptr, length)
+    vals = []
+    off = 0
+    while off < length:
+        (vlen,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        vals.append(raw[off : off + vlen])
+        off += vlen
+    return vals
+
+
+class HostStore:
+    """
+    Crash-safe KV store with named plain/dupsort sub-databases.
+
+    Thin Python veneer over the C++ engine; all data structures and the
+    append-log/snapshot persistence live in native code.
+    """
+
+    # Compact when the log grows beyond this (keeps replay-on-open bounded).
+    AUTO_COMPACT_BYTES = 256 * 1024 * 1024
+
+    def __init__(self, path):
+        # type: (str | os.PathLike) -> None
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._lib = _load_library()
+        self._h = self._lib.ts_open(str(self.path).encode())
+        if not self._h:
+            raise OSError(f"failed to open store at {self.path}")
+        self._closed = False
+
+    # -- mutations ----------------------------------------------------------
+
+    def put(self, db, key, val):
+        # type: (str, bytes, bytes) -> bool
+        return bool(self._lib.ts_put(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+
+    def delete(self, db, key):
+        # type: (str, bytes) -> bool
+        return bool(self._lib.ts_del(self._h, db.encode(), _buf(key), len(key)))
+
+    def dup_put(self, db, key, val):
+        # type: (str, bytes, bytes) -> bool
+        """Insert (key, val) into a dupsort db; duplicate pairs are no-ops."""
+        return bool(self._lib.ts_dup_put(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+
+    def dup_delete(self, db, key, val):
+        # type: (str, bytes, bytes) -> bool
+        return bool(self._lib.ts_dup_del(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+
+    def dup_putmulti(self, db, pairs):
+        # type: (str, list[tuple[bytes, bytes]]) -> int
+        """Batched dupsort insert (single native call; C loop)."""
+        if not pairs:
+            return 0
+        parts = []
+        for key, val in pairs:
+            parts.append(struct.pack("<I", len(key)))
+            parts.append(key)
+            parts.append(struct.pack("<I", len(val)))
+            parts.append(val)
+        blob = b"".join(parts)
+        n = self._lib.ts_dup_putmulti(self._h, db.encode(), _buf(blob), len(blob))
+        if n < 0:  # pragma: no cover - encoding is internal
+            raise ValueError("malformed putmulti buffer")
+        return int(n)
+
+    def drop_db(self, db):
+        # type: (str) -> bool
+        return bool(self._lib.ts_drop_db(self._h, db.encode()))
+
+    # -- reads ---------------------------------------------------------------
+
+    def get(self, db, key):
+        # type: (str, bytes) -> bytes | None
+        val_p = ctypes.POINTER(ctypes.c_uint8)()
+        vlen = ctypes.c_uint32()
+        ok = self._lib.ts_get(self._h, db.encode(), _buf(key), len(key), ctypes.byref(val_p), ctypes.byref(vlen))
+        if not ok:
+            return None
+        return ctypes.string_at(val_p, vlen.value)
+
+    def _scan(self, fn, db, arg, limit):
+        out_len = ctypes.c_uint64()
+        out_count = ctypes.c_uint64()
+        ptr = fn(self._h, db.encode(), _buf(arg), len(arg), limit, ctypes.byref(out_len), ctypes.byref(out_count))
+        if not ptr or out_len.value == 0:
+            return []
+        try:
+            return _parse_pairs(ptr, out_len.value)
+        finally:
+            self._lib.ts_free(ptr)
+
+    def prefix_scan(self, db, prefix, limit=0):
+        # type: (str, bytes, int) -> list[tuple[bytes, bytes]]
+        """All (key, value) pairs with key starting with prefix, key-ordered."""
+        return self._scan(self._lib.ts_prefix_scan, db, prefix, limit)
+
+    def range_scan(self, db, start=b"", limit=0):
+        # type: (str, bytes, int) -> list[tuple[bytes, bytes]]
+        """All (key, value) pairs from start key onward."""
+        return self._scan(self._lib.ts_range_scan, db, start, limit)
+
+    def get_dups(self, db, key, limit=0):
+        # type: (str, bytes, int) -> list[bytes]
+        """All dupsort values for an exact key (sorted)."""
+        out_len = ctypes.c_uint64()
+        out_count = ctypes.c_uint64()
+        ptr = self._lib.ts_get_dups(
+            self._h, db.encode(), _buf(key), len(key), limit, ctypes.byref(out_len), ctypes.byref(out_count)
+        )
+        if not ptr or out_len.value == 0:
+            return []
+        try:
+            return _parse_values(ptr, out_len.value)
+        finally:
+            self._lib.ts_free(ptr)
+
+    def entries(self, db):
+        # type: (str) -> int
+        """Entry count (dup pairs counted individually, like LMDB stat)."""
+        return int(self._lib.ts_entries(self._h, db.encode()))
+
+    def key_count(self, db):
+        # type: (str) -> int
+        return int(self._lib.ts_key_count(self._h, db.encode()))
+
+    def list_dbs(self):
+        # type: () -> list[str]
+        out_len = ctypes.c_uint64()
+        out_count = ctypes.c_uint64()
+        ptr = self._lib.ts_list_dbs(self._h, ctypes.byref(out_len), ctypes.byref(out_count))
+        if not ptr or out_len.value == 0:
+            return []
+        try:
+            return [v.decode() for v in _parse_values(ptr, out_len.value)]
+        finally:
+            self._lib.ts_free(ptr)
+
+    def used_bytes(self):
+        # type: () -> int
+        """Approximate live payload bytes (disk-usage reporting parity)."""
+        return int(self._lib.ts_used_bytes(self._h))
+
+    # -- durability ----------------------------------------------------------
+
+    def flush(self):
+        # type: () -> None
+        """Push buffered appends to the OS; auto-compact oversized logs."""
+        if not self._lib.ts_flush(self._h):  # pragma: no cover
+            raise OSError("store flush failed")
+        if self._lib.ts_log_bytes(self._h) > self.AUTO_COMPACT_BYTES:  # pragma: no cover
+            self.compact()
+
+    def sync(self):
+        # type: () -> None
+        """Flush + fdatasync (durability point)."""
+        if not self._lib.ts_sync(self._h):  # pragma: no cover
+            raise OSError("store sync failed")
+
+    def compact(self):
+        # type: () -> None
+        """Rewrite the snapshot and truncate the log (atomic via rename)."""
+        if not self._lib.ts_compact(self._h):  # pragma: no cover
+            raise OSError("store compact failed")
+
+    def close(self):
+        # type: () -> None
+        if self._closed:
+            return
+        self._lib.ts_close(self._h)
+        self._closed = True
+        self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

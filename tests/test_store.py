@@ -1,0 +1,167 @@
+"""Native host store (tructstore) tests: KV semantics, dupsort, prefix scans,
+crash recovery (torn-tail truncation), compaction."""
+
+import os
+import struct
+
+import pytest
+
+from iscc_search_tpu.store import HostStore
+
+
+@pytest.fixture
+def store(tmp_path):
+    s = HostStore(tmp_path / "db")
+    yield s
+    s.close()
+
+
+def test_put_get_roundtrip(store):
+    assert store.get("assets", b"k1") is None
+    store.put("assets", b"k1", b"v1")
+    assert store.get("assets", b"k1") == b"v1"
+    store.put("assets", b"k1", b"v2")  # replace
+    assert store.get("assets", b"k1") == b"v2"
+    assert store.entries("assets") == 1
+
+
+def test_delete(store):
+    store.put("a", b"k", b"v")
+    assert store.delete("a", b"k") is True
+    assert store.get("a", b"k") is None
+    assert store.delete("a", b"k") is False
+    assert store.entries("a") == 0
+
+
+def test_dupsort_semantics(store):
+    assert store.dup_put("inst", b"code", b"id1") is True
+    assert store.dup_put("inst", b"code", b"id2") is True
+    assert store.dup_put("inst", b"code", b"id1") is False  # dupdata=False
+    assert store.get_dups("inst", b"code") == [b"id1", b"id2"]  # sorted
+    assert store.entries("inst") == 2
+    assert store.dup_delete("inst", b"code", b"id1") is True
+    assert store.get_dups("inst", b"code") == [b"id2"]
+    store.dup_delete("inst", b"code", b"id2")
+    assert store.get_dups("inst", b"code") == []
+    assert store.key_count("inst") == 0
+
+
+def test_dup_putmulti(store):
+    pairs = [(bytes([i]), struct.pack(">I", j)) for i in range(5) for j in range(3)]
+    n = store.dup_putmulti("sp", pairs)
+    assert n == 15
+    assert store.dup_putmulti("sp", pairs) == 0  # all duplicates
+    assert store.entries("sp") == 15
+    assert len(store.get_dups("sp", b"\x02")) == 3
+
+
+def test_prefix_scan(store):
+    store.dup_put("units", b"\x01\x02\x03\x04", b"a")
+    store.dup_put("units", b"\x01\x02\x03\x04\x05\x06", b"b")
+    store.dup_put("units", b"\x01\x02\xff\xff", b"c")
+    store.dup_put("units", b"\x02\x00\x00\x00", b"d")
+    hits = store.prefix_scan("units", b"\x01\x02")
+    assert [v for _, v in hits] == [b"a", b"b", b"c"]
+    hits = store.prefix_scan("units", b"\x01\x02\x03\x04")
+    assert [v for _, v in hits] == [b"a", b"b"]
+    assert store.prefix_scan("units", b"\x03") == []
+    # limit
+    hits = store.prefix_scan("units", b"\x01", limit=2)
+    assert len(hits) == 2
+
+
+def test_range_scan(store):
+    for i in range(10):
+        store.put("m", bytes([i]), bytes([i * 2]))
+    hits = store.range_scan("m", bytes([5]))
+    assert [k for k, _ in hits] == [bytes([i]) for i in range(5, 10)]
+    assert len(store.range_scan("m")) == 10
+    assert len(store.range_scan("m", limit=3)) == 3
+
+
+def test_list_and_drop_dbs(store):
+    store.put("one", b"k", b"v")
+    store.dup_put("two", b"k", b"v")
+    assert set(store.list_dbs()) == {"one", "two"}
+    assert store.drop_db("one") is True
+    assert store.list_dbs() == ["two"]
+    assert store.get("one", b"k") is None
+
+
+def test_persistence_across_reopen(tmp_path):
+    path = tmp_path / "db"
+    s = HostStore(path)
+    s.put("assets", b"key", b"value")
+    s.dup_put("inst", b"c", b"x")
+    s.dup_put("inst", b"c", b"y")
+    s.close()
+
+    s2 = HostStore(path)
+    assert s2.get("assets", b"key") == b"value"
+    assert s2.get_dups("inst", b"c") == [b"x", b"y"]
+    s2.close()
+
+
+def test_torn_tail_recovery(tmp_path):
+    path = tmp_path / "db"
+    s = HostStore(path)
+    s.put("a", b"k1", b"v1")
+    s.put("a", b"k2", b"v2")
+    s.close()
+
+    # Corrupt the log tail (simulates crash mid-append)
+    log = path / "store.log"
+    data = log.read_bytes()
+    log.write_bytes(data + b"\x50\x00\x00\x00garbage")
+
+    s2 = HostStore(path)
+    assert s2.get("a", b"k1") == b"v1"
+    assert s2.get("a", b"k2") == b"v2"
+    # Store remains writable after tail truncation
+    s2.put("a", b"k3", b"v3")
+    s2.close()
+    s3 = HostStore(path)
+    assert s3.get("a", b"k3") == b"v3"
+    s3.close()
+
+
+def test_compaction(tmp_path):
+    path = tmp_path / "db"
+    s = HostStore(path)
+    for i in range(100):
+        s.put("a", b"samekey", str(i).encode())
+    s.compact()
+    assert (path / "store.snap").exists()
+    s.put("a", b"after", b"compact")
+    s.close()
+
+    s2 = HostStore(path)
+    assert s2.get("a", b"samekey") == b"99"
+    assert s2.get("a", b"after") == b"compact"
+    s2.close()
+
+
+def test_used_bytes(store):
+    before = store.used_bytes()
+    store.put("a", b"key12345", b"x" * 1000)
+    assert store.used_bytes() >= before + 1000
+
+
+def test_sync_and_flush(store):
+    store.put("a", b"k", b"v")
+    store.flush()
+    store.sync()
+    assert store.get("a", b"k") == b"v"
+
+
+def test_close_idempotent(tmp_path):
+    s = HostStore(tmp_path / "db")
+    s.close()
+    s.close()
+
+
+def test_binary_keys_values(store):
+    key = bytes(range(256))
+    val = os.urandom(1024)
+    store.put("bin", key, val)
+    assert store.get("bin", key) == val
