@@ -1,0 +1,513 @@
+"""
+Device-resident packed-code indexes — the TPU-native replacement for the
+reference's HNSW engine (iscc-usearch ShardedNphdIndex / ShardedIndex128,
+SURVEY §2.2).
+
+Design (TPU-first, not a graph translation):
+
+- Codes live as a bit-packed ``(N, 8) uint32`` lane matrix. Index *build* is
+  streaming pack-and-append (no graph construction), so ingest throughput is
+  memcpy-bound instead of HNSW-insert-bound.
+- *Search* is an exhaustive XOR+popcount scan with fused top-k
+  (:func:`iscc_search_tpu.ops.topk.topk_scan`), giving exact results
+  (recall 1.0) at HBM bandwidth — the reference's expansion/connectivity
+  quality knobs become unnecessary.
+- *Mutability*: updates tombstone the old row and append a new one (mirrors
+  the remove-before-add semantics at reference usearch/index.py:417-445);
+  a validity bitmap masks tombstones inside the kernel. Compaction reclaims
+  space once tombstones dominate.
+- *Persistence*: sealed immutable segments at ``shard_size`` bytes plus a
+  rewritable active segment and a global validity bitmap, each written
+  atomically (tmp + fsync + rename), mirroring the reference's bounded
+  crash-loss model (flush_interval + shard rotation, SURVEY §5). ``dirty``
+  counts unsaved key mutations like the upstream engine.
+
+Keys are fixed-width byte strings: 8 bytes (uint64 ISCC-ID body) for the NPHD
+index, 16 bytes (iscc_id_body + offset + size) for the simprint index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
+from iscc_search_tpu.ops.topk import topk_scan
+
+_MIN_DEVICE_ROWS = 8192  # device capacity floor == top-k scan chunk size
+
+
+def _pow2ceil(n):
+    # type: (int) -> int
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _atomic_write(path, data):
+    # type: (Path, bytes) -> None
+    """Write bytes durably: temp file + fsync + rename (single visible commit)."""
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent), prefix=path.name, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _npz_bytes(**arrays):
+    # type: (...) -> bytes
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class PackedCodeIndex:
+    """
+    Shared core: packed host arrays + device mirror + segment persistence.
+
+    Subclasses fix the metric ("nphd" or "hamming") and key width.
+    """
+
+    metric = "nphd"
+    key_bytes = 8
+
+    # Per-row storage estimate for shard sizing: key + 8 lanes + nlanes + valid
+    ROW_BYTES = 8 + MAX_LANES * 4 + 4 + 1
+
+    def __init__(self, path, max_dim=256, shard_size=512 * 1024 * 1024, ndim=None):
+        # type: (str | Path, int, int, int | None) -> None
+        """
+        Create or open a packed-code index directory.
+
+        :param path: Segment directory (created on demand)
+        :param max_dim: Maximum code width in bits (NPHD variable-length cap)
+        :param shard_size: Seal an immutable segment after this many bytes
+        :param ndim: Fixed code width in bits for the hamming metric
+        """
+        self.path = Path(path)
+        self.max_dim = max_dim
+        self.ndim = ndim
+        self.max_lanes = MAX_LANES
+        self.shard_rows = max(1024, shard_size // self.ROW_BYTES)
+        self._lock = threading.RLock()
+
+        cap = _MIN_DEVICE_ROWS
+        self._keys = np.zeros((cap, self.key_bytes), dtype=np.uint8)
+        self._codes = np.zeros((cap, self.max_lanes), dtype=np.uint32)
+        self._nlanes = np.zeros((cap,), dtype=np.int32)
+        self._valid = np.zeros((cap,), dtype=bool)
+        self._rows = 0  # appended rows (including tombstoned)
+        self._key_to_row = {}  # type: dict[bytes, int]
+        self.dirty = 0  # unsaved key mutations since last save
+        self._segments = []  # type: list[dict]  # {"file", "start", "rows"} sealed on disk
+        self._device = None  # type: tuple | None  # (codes, nlanes, valid) jnp arrays
+        self._device_rows = -1
+        self._device_stale = True
+        self._closed = False
+
+        if (self.path / "state.json").exists():
+            self._load()
+
+    # -- public API (parity surface with ShardedNphdIndex/ShardedIndex128) ---
+
+    def __len__(self):
+        # type: () -> int
+        return len(self._key_to_row)
+
+    @property
+    def size(self):
+        # type: () -> int
+        """Number of live (non-tombstoned) keys."""
+        return len(self._key_to_row)
+
+    def __contains__(self, key):
+        # type: (bytes | int) -> bool
+        return self._key(key) in self._key_to_row
+
+    @property
+    def shard_count(self):
+        # type: () -> int
+        active_rows = self._rows - (self._segments[-1]["start"] + self._segments[-1]["rows"] if self._segments else 0)
+        return len(self._segments) + (1 if active_rows > 0 or not self._segments else 0)
+
+    @property
+    def serialized_length(self):
+        # type: () -> int
+        """Estimated serialized bytes of live state (monitoring)."""
+        return self._rows * self.ROW_BYTES
+
+    @property
+    def tombstone_fraction(self):
+        # type: () -> float
+        if self._rows == 0:
+            return 0.0
+        return 1.0 - len(self._key_to_row) / self._rows
+
+    def add(self, keys, vectors):
+        # type: (list, list[bytes]) -> None
+        """
+        Append codes; an existing key is updated (old row tombstoned).
+
+        :param keys: row keys (int for 8-byte indexes, bytes otherwise)
+        :param vectors: code bodies (bytes, multiples of 4 bytes)
+        """
+        if not keys:
+            return
+        with self._lock:
+            kbs = [self._key(k) for k in keys]
+            packed, nlanes = pack_codes([self._vector_bytes(v) for v in vectors], self.max_lanes)
+            n = len(kbs)
+            self._ensure_capacity(self._rows + n)
+            start = self._rows
+            for i, kb in enumerate(kbs):
+                old = self._key_to_row.get(kb)
+                if old is not None:
+                    self._valid[old] = False
+                row = start + i
+                self._keys[row] = np.frombuffer(kb, dtype=np.uint8)
+                self._key_to_row[kb] = row
+            self._codes[start : start + n] = packed
+            self._nlanes[start : start + n] = nlanes
+            self._valid[start : start + n] = True
+            self._rows += n
+            self.dirty += n
+            self._device_stale = True
+
+    def remove(self, keys):
+        # type: (list) -> int
+        """Tombstone keys; returns the number of keys actually removed."""
+        removed = 0
+        with self._lock:
+            for k in keys:
+                kb = self._key(k)
+                row = self._key_to_row.pop(kb, None)
+                if row is not None:
+                    self._valid[row] = False
+                    removed += 1
+                    self.dirty += 1
+            if removed:
+                self._device_stale = True
+        return removed
+
+    def get(self, key):
+        # type: (bytes | int) -> bytes | None
+        """Stored code body for a key, or None."""
+        with self._lock:
+            row = self._key_to_row.get(self._key(key))
+            if row is None:
+                return None
+            return unpack_code(self._codes[row], int(self._nlanes[row]))
+
+    def search(self, query_bodies, count):
+        # type: (list[bytes], int) -> list[tuple[np.ndarray, np.ndarray]]
+        """
+        Exact top-``count`` scan for a batch of queries.
+
+        :param query_bodies: query code bodies
+        :param count: results per query
+        :return: per query a (keys (m, key_bytes) uint8 array, scores (m,)
+            float32 array) pair, sorted by score descending; m <= count
+        """
+        if not query_bodies or self._rows == 0 or not self._key_to_row:
+            return [(np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32)) for _ in query_bodies]
+        import jax.numpy as jnp
+
+        with self._lock:
+            codes_d, nlanes_d, valid_d, cap = self._sync_device()
+            keys_snapshot = self._keys[: self._rows].copy()
+
+        q_codes, q_lanes = pack_codes([self._vector_bytes(b) for b in query_bodies], self.max_lanes)
+        nq = len(query_bodies)
+        q_pad = max(8, _pow2ceil(nq))
+        if q_pad > nq:
+            q_codes = np.pad(q_codes, ((0, q_pad - nq), (0, 0)))
+            q_lanes = np.pad(q_lanes, (0, q_pad - nq), constant_values=1)
+
+        chunk = min(cap, _MIN_DEVICE_ROWS)
+        k = min(max(1, count), chunk)
+        scores, idx = topk_scan(
+            jnp.asarray(q_codes),
+            jnp.asarray(q_lanes),
+            codes_d,
+            nlanes_d,
+            valid_d,
+            k,
+            chunk_size=chunk,
+            metric=self.metric,
+            ndim_bits=self.ndim,
+        )
+        scores = np.asarray(scores)[:nq]
+        idx = np.asarray(idx)[:nq]
+
+        results = []
+        for qi in range(nq):
+            sel = idx[qi] >= 0
+            rows = idx[qi][sel]
+            results.append((keys_snapshot[rows], scores[qi][sel]))
+        return results
+
+    def save(self):
+        # type: () -> None
+        """
+        Persist sealed segments (write-once), the active segment, the validity
+        bitmap, and the state manifest. Atomic per file; the manifest rename is
+        the commit point. Compacts first when tombstones dominate.
+        """
+        with self._lock:
+            if self.tombstone_fraction > 0.5 and self._rows > _MIN_DEVICE_ROWS:
+                self._compact_locked()
+            self.path.mkdir(parents=True, exist_ok=True)
+
+            # Seal full segments
+            sealed_rows = self._segments[-1]["start"] + self._segments[-1]["rows"] if self._segments else 0
+            while self._rows - sealed_rows >= self.shard_rows:
+                seg = {
+                    "file": f"seg-{len(self._segments):05d}.npz",
+                    "start": sealed_rows,
+                    "rows": self.shard_rows,
+                }
+                self._write_segment(seg)
+                self._segments.append(seg)
+                sealed_rows += self.shard_rows
+
+            # Active segment (rewritten each save)
+            active_rows = self._rows - sealed_rows
+            active = {"file": "active.npz", "start": sealed_rows, "rows": active_rows}
+            self._write_segment(active)
+
+            _atomic_write(self.path / "valid.npy", _npz_bytes(valid=self._valid[: self._rows]))
+
+            state = {
+                "rows": self._rows,
+                "max_dim": self.max_dim,
+                "ndim": self.ndim,
+                "key_bytes": self.key_bytes,
+                "segments": self._segments,
+                "active": active,
+            }
+            _atomic_write(self.path / "state.json", json.dumps(state).encode())
+            self.dirty = 0
+
+    def compact(self):
+        # type: () -> None
+        """Drop tombstoned rows and rewrite all segments on next save."""
+        with self._lock:
+            self._compact_locked()
+
+    def reset(self):
+        # type: () -> None
+        """Release in-memory and device resources (files untouched)."""
+        with self._lock:
+            cap = _MIN_DEVICE_ROWS
+            self._keys = np.zeros((cap, self.key_bytes), dtype=np.uint8)
+            self._codes = np.zeros((cap, self.max_lanes), dtype=np.uint32)
+            self._nlanes = np.zeros((cap,), dtype=np.int32)
+            self._valid = np.zeros((cap,), dtype=bool)
+            self._rows = 0
+            self._key_to_row = {}
+            self._segments = []
+            self._device = None
+            self._device_stale = True
+            self.dirty = 0
+
+    def drain_rotations(self):
+        # type: () -> None
+        """Interface parity no-op: saves are cheap, nothing rotates in background."""
+
+    def close(self):
+        # type: () -> None
+        """Save if dirty and release device memory. Idempotent."""
+        with self._lock:
+            if self._closed:
+                return
+            if self.dirty:
+                self.save()
+            self._device = None
+            self._closed = True
+
+    # -- internals ------------------------------------------------------------
+
+    def _key(self, key):
+        # type: (bytes | int) -> bytes
+        if isinstance(key, (int, np.integer)):
+            return int(key).to_bytes(self.key_bytes, "big")
+        key = bytes(key)
+        if len(key) != self.key_bytes:
+            raise ValueError(f"key must be {self.key_bytes} bytes, got {len(key)}")
+        return key
+
+    def _vector_bytes(self, vec):
+        # type: (bytes | np.ndarray) -> bytes
+        if isinstance(vec, np.ndarray):
+            vec = vec.tobytes()
+        return bytes(vec)
+
+    def _ensure_capacity(self, needed):
+        # type: (int) -> None
+        cap = self._keys.shape[0]
+        if needed <= cap:
+            return
+        new_cap = _pow2ceil(needed)
+        self._keys = np.resize(self._keys, (new_cap, self.key_bytes))
+        self._codes = np.resize(self._codes, (new_cap, self.max_lanes))
+        self._nlanes = np.resize(self._nlanes, (new_cap,))
+        valid = np.zeros((new_cap,), dtype=bool)
+        valid[:cap] = self._valid[:cap]
+        self._valid = valid
+        # np.resize repeats data; zero the tail explicitly for codes/lanes
+        self._codes[self._rows :] = 0
+        self._nlanes[self._rows :] = 0
+        self._keys[self._rows :] = 0
+
+    def _sync_device(self):
+        # type: () -> tuple
+        """Upload host arrays to the device, padded to a pow2 capacity."""
+        import jax
+        import jax.numpy as jnp
+
+        cap = max(_MIN_DEVICE_ROWS, _pow2ceil(self._rows))
+        if not self._device_stale and self._device is not None and self._device_rows == cap:
+            return (*self._device, cap)
+        codes = self._codes[:cap] if self._codes.shape[0] >= cap else np.zeros((cap, self.max_lanes), np.uint32)
+        nlanes = self._nlanes[:cap] if self._nlanes.shape[0] >= cap else np.zeros((cap,), np.int32)
+        valid = np.zeros((cap,), bool)
+        valid[: self._rows] = self._valid[: self._rows]
+        self._device = (
+            jax.device_put(jnp.asarray(codes)),
+            jax.device_put(jnp.asarray(nlanes)),
+            jax.device_put(jnp.asarray(valid)),
+        )
+        self._device_rows = cap
+        self._device_stale = False
+        return (*self._device, cap)
+
+    def _write_segment(self, seg):
+        # type: (dict) -> None
+        s, n = seg["start"], seg["rows"]
+        payload = _npz_bytes(
+            keys=self._keys[s : s + n],
+            codes=self._codes[s : s + n],
+            nlanes=self._nlanes[s : s + n],
+        )
+        _atomic_write(self.path / seg["file"], payload)
+
+    def _compact_locked(self):
+        # type: () -> None
+        live = np.flatnonzero(self._valid[: self._rows])
+        n = len(live)
+        cap = max(_MIN_DEVICE_ROWS, _pow2ceil(max(1, n)))
+        keys = np.zeros((cap, self.key_bytes), dtype=np.uint8)
+        codes = np.zeros((cap, self.max_lanes), dtype=np.uint32)
+        nlanes = np.zeros((cap,), dtype=np.int32)
+        valid = np.zeros((cap,), dtype=bool)
+        keys[:n] = self._keys[live]
+        codes[:n] = self._codes[live]
+        nlanes[:n] = self._nlanes[live]
+        valid[:n] = True
+        self._keys, self._codes, self._nlanes, self._valid = keys, codes, nlanes, valid
+        self._rows = n
+        self._key_to_row = {self._keys[i].tobytes(): i for i in range(n)}
+        # All previously sealed segments are invalidated by the rewrite
+        for seg in self._segments:
+            try:
+                (self.path / seg["file"]).unlink()
+            except OSError:
+                pass
+        self._segments = []
+        self._device_stale = True
+        self.dirty += 1  # force persistence of the rewritten layout
+
+    def _load(self):
+        # type: () -> None
+        state = json.loads((self.path / "state.json").read_text())
+        if state.get("key_bytes") != self.key_bytes:
+            raise ValueError(
+                f"index at {self.path} has key_bytes={state.get('key_bytes')}, expected {self.key_bytes}"
+            )
+        self.max_dim = state["max_dim"]
+        self.ndim = state.get("ndim")
+        rows = state["rows"]
+        self._ensure_capacity(max(rows, 1))
+        pos = 0
+        self._segments = []
+        for seg in state["segments"] + [state["active"]]:
+            f = self.path / seg["file"]
+            if not f.exists():
+                # Crash between segment write and manifest commit can't happen
+                # (manifest is written last), but a deleted file is tolerated
+                # by truncating the load at the gap.
+                break
+            with np.load(f) as z:
+                n = z["keys"].shape[0]
+                self._keys[pos : pos + n] = z["keys"]
+                self._codes[pos : pos + n] = z["codes"]
+                self._nlanes[pos : pos + n] = z["nlanes"]
+            if seg["file"] != "active.npz":
+                self._segments.append(seg)
+            pos += n
+        self._rows = pos
+        valid_f = self.path / "valid.npy"
+        if valid_f.exists():
+            with np.load(valid_f) as z:
+                v = z["valid"]
+                self._valid[: min(len(v), pos)] = v[: min(len(v), pos)]
+        else:  # pragma: no cover - valid.npy always written with state.json
+            self._valid[:pos] = True
+        # Rebuild key map: later rows supersede earlier ones
+        self._key_to_row = {}
+        for i in range(pos):
+            if self._valid[i]:
+                self._key_to_row[self._keys[i].tobytes()] = i
+        self._device_stale = True
+
+
+class DeviceNphdIndex(PackedCodeIndex):
+    """
+    Variable-length NPHD index over uint64 keys.
+
+    Replaces iscc-usearch ShardedNphdIndex (constructor parity with reference
+    usearch/index.py:1617-1625; add/remove/search/contains parity with
+    usearch/index.py:417-445, 2024-2045). Search is exact.
+    """
+
+    metric = "nphd"
+    key_bytes = 8
+
+    def search_one(self, query_body, count):
+        # type: (bytes, int) -> dict[int, float]
+        """Top-``count`` matches for one query as {uint64 key: score}."""
+        (keys, scores), = self.search([query_body], count)
+        return {int.from_bytes(keys[i].tobytes(), "big"): float(scores[i]) for i in range(len(scores))}
+
+
+class DeviceHammingIndex(PackedCodeIndex):
+    """
+    Fixed-width Hamming index over 16-byte composite keys
+    (iscc_id_body(8) + offset(4) + size(4)).
+
+    Replaces iscc-usearch ShardedIndex128 as used by the simprint engine
+    (reference indexes/simprint/usearch_core.py:73-83).
+    """
+
+    metric = "hamming"
+    key_bytes = 16
+
+    def __init__(self, path, ndim=128, shard_size=512 * 1024 * 1024):
+        # type: (str | Path, int, int) -> None
+        super().__init__(path, max_dim=ndim, shard_size=shard_size, ndim=ndim)

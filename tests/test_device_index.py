@@ -1,0 +1,218 @@
+"""Device index engine tests: add/remove/update/search/persistence.
+
+These are the contract tests of the scan engine, mirroring the role of the
+reference's usearch characterization tests (tests/test_usearch_*.py)."""
+
+import numpy as np
+import pytest
+
+from iscc_search_tpu.engine import DeviceHammingIndex, DeviceNphdIndex
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def rand_body(rng, nbytes=32):
+    return rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+
+
+def test_add_search_exact_match(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    bodies = [rand_body(rng) for _ in range(100)]
+    idx.add(list(range(100)), bodies)
+    assert idx.size == 100
+    assert len(idx) == 100
+    res = idx.search_one(bodies[42], count=5)
+    assert res[42] == pytest.approx(1.0)
+    assert max(res.values()) == res[42]
+
+
+def test_contains_and_get(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    body = rand_body(rng, 16)
+    idx.add([7], [body])
+    assert 7 in idx
+    assert 8 not in idx
+    assert idx.get(7) == body
+    assert idx.get(8) is None
+
+
+def test_update_replaces_vector(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    b1, b2 = rand_body(rng), rand_body(rng)
+    idx.add([1], [b1])
+    idx.add([1], [b2])  # same key -> update
+    assert idx.size == 1
+    assert idx.get(1) == b2
+    res = idx.search_one(b2, count=3)
+    assert res[1] == pytest.approx(1.0)
+    # Old vector no longer matches at 1.0
+    res_old = idx.search_one(b1, count=3)
+    assert res_old.get(1, 0.0) < 1.0
+
+
+def test_remove(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    bodies = [rand_body(rng) for _ in range(10)]
+    idx.add(list(range(10)), bodies)
+    assert idx.remove([3, 4, 99]) == 2
+    assert idx.size == 8
+    assert 3 not in idx
+    res = idx.search_one(bodies[3], count=10)
+    assert 3 not in res
+
+
+def test_variable_lengths_nphd(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    long_body = rand_body(rng, 32)
+    idx.add([1], [long_body])
+    idx.add([2], [rand_body(rng, 8)])
+    # 64-bit prefix query matches the stored 256-bit code at 1.0
+    res = idx.search_one(long_body[:8], count=2)
+    assert res[1] == pytest.approx(1.0)
+
+
+def test_search_batch(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    bodies = [rand_body(rng) for _ in range(50)]
+    idx.add(list(range(50)), bodies)
+    results = idx.search([bodies[0], bodies[1], bodies[2]], count=4)
+    assert len(results) == 3
+    for qi, (keys, scores) in enumerate(results):
+        top_key = int.from_bytes(keys[0].tobytes(), "big")
+        assert top_key == qi
+        assert scores[0] == pytest.approx(1.0)
+
+
+def test_empty_index_search(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    res = idx.search_one(rand_body(rng), count=5)
+    assert res == {}
+
+
+def test_persistence_roundtrip(tmp_path, rng):
+    path = tmp_path / "i"
+    idx = DeviceNphdIndex(path)
+    bodies = [rand_body(rng) for _ in range(30)]
+    idx.add(list(range(30)), bodies)
+    idx.remove([5])
+    assert idx.dirty == 31
+    idx.save()
+    assert idx.dirty == 0
+    idx.close()
+
+    idx2 = DeviceNphdIndex(path)
+    assert idx2.size == 29
+    assert 5 not in idx2
+    assert idx2.get(7) == bodies[7]
+    res = idx2.search_one(bodies[10], count=3)
+    assert res[10] == pytest.approx(1.0)
+    idx2.close()
+
+
+def test_close_saves_dirty(tmp_path, rng):
+    path = tmp_path / "i"
+    idx = DeviceNphdIndex(path)
+    idx.add([1], [rand_body(rng)])
+    idx.close()  # implicit save
+    idx2 = DeviceNphdIndex(path)
+    assert idx2.size == 1
+    idx2.close()
+
+
+def test_update_persists_after_reload(tmp_path, rng):
+    path = tmp_path / "i"
+    idx = DeviceNphdIndex(path)
+    b1, b2 = rand_body(rng), rand_body(rng)
+    idx.add([1], [b1])
+    idx.save()
+    idx.add([1], [b2])
+    idx.save()
+    idx.close()
+    idx2 = DeviceNphdIndex(path)
+    assert idx2.size == 1
+    assert idx2.get(1) == b2
+    idx2.close()
+
+
+def test_segment_sealing(tmp_path, rng):
+    # Tiny shard size forces sealing
+    idx = DeviceNphdIndex(tmp_path / "i", shard_size=1)  # floor = 1024 rows
+    n = 3000
+    keys = list(range(n))
+    bodies = [rand_body(rng, 8) for _ in range(n)]
+    idx.add(keys, bodies)
+    idx.save()
+    assert idx.shard_count >= 2
+    files = list((tmp_path / "i").glob("seg-*.npz"))
+    assert len(files) >= 2
+    idx.close()
+    idx2 = DeviceNphdIndex(tmp_path / "i", shard_size=1)
+    assert idx2.size == n
+    assert idx2.get(2500) == bodies[2500]
+    idx2.close()
+
+
+def test_compaction(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    bodies = [rand_body(rng, 8) for _ in range(100)]
+    idx.add(list(range(100)), bodies)
+    idx.remove(list(range(90)))
+    assert idx.tombstone_fraction > 0.5
+    idx.compact()
+    assert idx.tombstone_fraction == 0.0
+    assert idx.size == 10
+    assert idx.get(95) == bodies[95]
+    res = idx.search_one(bodies[95], count=3)
+    assert res[95] == pytest.approx(1.0)
+
+
+def test_reset(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    idx.add([1], [rand_body(rng)])
+    idx.reset()
+    assert idx.size == 0
+    assert 1 not in idx
+
+
+def test_hamming_index_composite_keys(tmp_path, rng):
+    idx = DeviceHammingIndex(tmp_path / "sp", ndim=128)
+    keys = [bytes([i]) * 8 + (i).to_bytes(4, "big") + (100 + i).to_bytes(4, "big") for i in range(20)]
+    vecs = [rand_body(rng, 16) for _ in range(20)]
+    idx.add(keys, vecs)
+    assert idx.size == 20
+    assert keys[3] in idx
+    assert idx.get(keys[3]) == vecs[3]
+    results = idx.search([vecs[5]], count=3)
+    top_keys, top_scores = results[0]
+    assert top_keys[0].tobytes() == keys[5]
+    assert top_scores[0] == pytest.approx(1.0)
+
+
+def test_hamming_persistence(tmp_path, rng):
+    path = tmp_path / "sp"
+    idx = DeviceHammingIndex(path, ndim=64)
+    key = bytes(range(16))
+    idx.add([key], [rand_body(rng, 8)])
+    idx.close()
+    idx2 = DeviceHammingIndex(path, ndim=64)
+    assert idx2.ndim == 64
+    assert key in idx2
+    idx2.close()
+
+
+def test_key_width_validation(tmp_path, rng):
+    idx = DeviceNphdIndex(tmp_path / "i")
+    with pytest.raises(ValueError):
+        idx.add([b"short"], [rand_body(rng, 8)])
+
+
+def test_mismatched_key_bytes_on_load(tmp_path, rng):
+    path = tmp_path / "i"
+    idx = DeviceNphdIndex(path)
+    idx.add([1], [rand_body(rng, 8)])
+    idx.close()
+    with pytest.raises(ValueError):
+        DeviceHammingIndex(path)
