@@ -1,0 +1,179 @@
+"""
+Configuration options for iscc-search-tpu.
+
+Mirrors the reference's dual-config split (reference options.py:9-27):
+
+1. This module — server deployment configuration from ``ISCC_SEARCH_*``
+   environment variables (12-factor style), consumed by the API server.
+2. :mod:`iscc_search_tpu.config` — persistent CLI multi-index management.
+
+pydantic-settings is not available in this environment, so env loading is a
+small explicit shim over a plain pydantic model (same env variable names and
+defaults as the reference where the knob carries over; HNSW-specific knobs
+like connectivity/expansion have no meaning for an exact scan engine and are
+replaced by scan/batching knobs).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from urllib.parse import urlparse
+
+from pydantic import BaseModel, Field, field_validator
+
+import iscc_search_tpu
+from iscc_search_tpu.aggregator import NETWORKS
+
+__all__ = ["SearchOptions", "search_opts", "get_index"]
+
+ENV_PREFIX = "ISCC_SEARCH_"
+
+
+class SearchOptions(BaseModel):
+    """Runtime options, overridable via ISCC_SEARCH_* environment variables."""
+
+    model_config = {"validate_assignment": True}
+
+    index_uri: str = Field(
+        default_factory=lambda: f"tpu:///{Path(iscc_search_tpu.dirs.user_data_dir).as_posix()}",
+        description="ISCC_SEARCH_INDEX_URI - index backend URI (memory://, kv:///path, tpu:///path; "
+        "lmdb:// and usearch:// are accepted as compatibility aliases)",
+    )
+    api_secret: str | None = Field(None, description="ISCC_SEARCH_API_SECRET - API key (unset = public)")
+    cors_origins: str = Field("*", description="ISCC_SEARCH_CORS_ORIGINS - comma-separated origins")
+    host: str = Field("0.0.0.0", description="ISCC_SEARCH_HOST")
+    port: int = Field(8000, description="ISCC_SEARCH_PORT")
+    workers: int | None = Field(None, description="ISCC_SEARCH_WORKERS - worker processes")
+
+    # Segment sizes (MB) — bounded crash-loss windows, parity with shard_size_*
+    shard_size_units: int = Field(512, ge=1, description="ISCC_SEARCH_SHARD_SIZE_UNITS - segment seal size MB")
+    shard_size_simprints: int = Field(512, ge=1, description="ISCC_SEARCH_SHARD_SIZE_SIMPRINTS - segment seal size MB")
+
+    # Match thresholds / scoring (same semantics as the reference)
+    match_threshold_units: float = Field(0.75, ge=0.0, le=1.0, description="ISCC_SEARCH_MATCH_THRESHOLD_UNITS")
+    match_threshold_simprints: float = Field(0.75, ge=0.0, le=1.0, description="ISCC_SEARCH_MATCH_THRESHOLD_SIMPRINTS")
+    confidence_exponent: int = Field(4, ge=1, description="ISCC_SEARCH_CONFIDENCE_EXPONENT")
+    oversampling_factor: int = Field(20, ge=1, description="ISCC_SEARCH_OVERSAMPLING_FACTOR")
+
+    # Flush control (auto-save derived indexes after N dirty mutations)
+    flush_interval: int = Field(100000, ge=0, description="ISCC_SEARCH_FLUSH_INTERVAL - 0 disables")
+
+    # Device/scan knobs (TPU engine replacements for the HNSW quality knobs)
+    scan_chunk_rows: int = Field(8192, ge=128, description="ISCC_SEARCH_SCAN_CHUNK_ROWS - top-k scan chunk size")
+    query_batch_max: int = Field(256, ge=1, description="ISCC_SEARCH_QUERY_BATCH_MAX - max fused query batch")
+
+    # Aggregator mode
+    aggregator_network: str | None = Field(None, description="ISCC_SEARCH_AGGREGATOR_NETWORK - testnet or mainnet")
+    aggregator_hub_list_url: str | None = Field(None, description="ISCC_SEARCH_AGGREGATOR_HUB_LIST_URL")
+    aggregator_poll_interval: int = Field(60, ge=1, description="ISCC_SEARCH_AGGREGATOR_POLL_INTERVAL - seconds")
+    aggregator_hub_refresh_interval: int = Field(3600, ge=1, description="ISCC_SEARCH_AGGREGATOR_HUB_REFRESH_INTERVAL")
+
+    # Logging
+    log_level: str = Field("info", description="ISCC_SEARCH_LOG_LEVEL")
+
+    @field_validator("aggregator_network")
+    @classmethod
+    def validate_aggregator_network(cls, value):
+        # type: (str | None) -> str | None
+        if not value:
+            return None
+        if value not in NETWORKS:
+            raise ValueError(f"aggregator_network must be one of {sorted(NETWORKS)}, got: '{value}'")
+        return value
+
+    @classmethod
+    def from_env(cls, env=None):
+        # type: (dict | None) -> SearchOptions
+        """Build options from ISCC_SEARCH_* env vars (unset fields use defaults)."""
+        env = os.environ if env is None else env
+        kwargs = {}
+        for name in cls.model_fields:
+            raw = env.get(ENV_PREFIX + name.upper())
+            if raw is not None and raw != "":
+                kwargs[name] = raw
+        return cls(**kwargs)
+
+    @property
+    def cors_origins_list(self):
+        # type: () -> list[str]
+        return [origin.strip() for origin in self.cors_origins.split(",")]
+
+    @property
+    def aggregator_mode(self):
+        # type: () -> bool
+        return self.aggregator_network is not None
+
+    @property
+    def aggregator_index_name(self):
+        # type: () -> str
+        return NETWORKS[self.aggregator_network]["index"]
+
+    @property
+    def aggregator_hub_list_source(self):
+        # type: () -> str
+        if self.aggregator_hub_list_url:
+            return self.aggregator_hub_list_url
+        return f"https://raw.githubusercontent.com/iscc/iscc-hub/main/hubs/{self.aggregator_network}.yaml"
+
+    def override(self, update=None):
+        # type: (dict | None) -> SearchOptions
+        """Validated deep copy with per-field updates (parity with reference override())."""
+        update = update or {}
+        options = self.model_copy(deep=True)
+        for field, value in update.items():
+            setattr(options, field, value)
+        return options
+
+
+search_opts = SearchOptions.from_env()
+
+
+def _normalize_uri_path(path):
+    # type: (str) -> str
+    import sys
+
+    if sys.platform == "win32" and path.startswith("/") and len(path) > 2 and path[2] == ":":  # pragma: no cover
+        return path[1:]
+    if path.startswith("//"):  # pragma: no cover - URI with extra slashes
+        return path[1:]
+    return path
+
+
+def get_index(uri=None):
+    # type: (str | None) -> ...
+    """
+    Backend factory by URI scheme.
+
+    - memory:// -> MemoryIndex (no persistence)
+    - kv:///path (alias lmdb://) -> KvIndexManager (host-store exact/prefix search)
+    - tpu:///path (alias usearch://) -> TpuIndexManager (device scan engine)
+    """
+    uri = uri if uri is not None else search_opts.index_uri
+
+    if uri == "memory://" or uri.startswith("memory://"):
+        from iscc_search_tpu.indexes.memory import MemoryIndex
+
+        return MemoryIndex()
+
+    if "://" not in uri:
+        supported = ["memory://", "kv:///path", "tpu:///path"]
+        raise ValueError(
+            f"ISCC_SEARCH_INDEX_URI requires explicit scheme, got: '{uri}'. Supported schemes: {', '.join(supported)}"
+        )
+
+    parsed = urlparse(uri)
+    path = _normalize_uri_path(parsed.path)
+
+    if parsed.scheme in ("kv", "lmdb"):
+        from iscc_search_tpu.indexes.kv import KvIndexManager
+
+        return KvIndexManager(path)
+
+    if parsed.scheme in ("tpu", "usearch"):
+        from iscc_search_tpu.indexes.tpu import TpuIndexManager
+
+        return TpuIndexManager(path)
+
+    supported = ["memory://", "kv://", "tpu://"]
+    raise ValueError(f"Unsupported ISCC_SEARCH_INDEX_URI scheme: '{uri}'. Supported schemes: {', '.join(supported)}.")

@@ -1,0 +1,46 @@
+"""Logging and timing utilities (loguru is unavailable; stdlib logging)."""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from contextlib import contextmanager
+
+_configured = False
+
+
+def configure_logging(level="INFO", stream=None):
+    # type: (str, ...) -> None
+    """Configure root logging once, in a production-friendly single-line format."""
+    global _configured
+    handler = logging.StreamHandler(stream or sys.stdout)
+    handler.setFormatter(
+        logging.Formatter(
+            fmt="%(asctime)s.%(msecs)03d | %(levelname)-7s | %(name)s:%(funcName)s:%(lineno)d - %(message)s",
+            datefmt="%Y-%m-%d %H:%M:%S",
+        )
+    )
+    root = logging.getLogger("iscc_search_tpu")
+    root.handlers = [handler]
+    root.setLevel(level.upper())
+    _configured = True
+
+
+def get_logger(name):
+    # type: (str) -> logging.Logger
+    if not _configured:
+        configure_logging()
+    return logging.getLogger(name)
+
+
+@contextmanager
+def timer(message="elapsed"):
+    # type: (str) -> ...
+    """Context manager printing wall-clock duration (parity with utils.timer)."""
+    log = get_logger("iscc_search_tpu.timer")
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        log.info(f"{message}: {time.perf_counter() - t0:.3f}s")

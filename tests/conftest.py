@@ -75,7 +75,11 @@ def entry_factory(rng):
             units.append(make_unit(ic.MT.CONTENT, ic.ST_CC.TEXT, bits, rng=rng))
         units.append(make_unit(ic.MT.DATA, ic.ST.NONE, bits, rng=rng))
         units.append(make_unit(ic.MT.INSTANCE, ic.ST.NONE, bits, rng=rng))
-        entry = {"iscc_id": make_iscc_id(counter[0]), "units": units}
+        entry = {
+            "iscc_id": make_iscc_id(counter[0]),
+            "iscc_code": ic.gen_iscc_code_v0(units, wide=True)["iscc"],
+            "units": units,
+        }
         if simprints is not None:
             entry["simprints"] = simprints
         if metadata is not None:
