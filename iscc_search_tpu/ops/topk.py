@@ -11,16 +11,13 @@ construction — contract mirrored from tests/test_usearch_search.py semantics).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from iscc_search_tpu.ops.nphd import NEG_SCORE, hamming_scores, nphd_scores
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size", "metric", "ndim_bits"))
-def topk_scan(
+def topk_scan_impl(
     q_codes,
     q_lanes,
     db_codes,
@@ -30,6 +27,7 @@ def topk_scan(
     chunk_size=8192,
     metric="nphd",
     ndim_bits=None,
+    pvary_axes=(),
 ):
     # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
     """
@@ -81,7 +79,15 @@ def topk_scan(
         jnp.full((q, k), NEG_SCORE, dtype=jnp.float32),
         jnp.full((q, k), -1, dtype=jnp.int32),
     )
+    if pvary_axes:
+        # Inside shard_map the scanned db arrays are device-varying while this
+        # constant carry is replicated; mark it varying so the scan types agree
+        # under jax's varying-mesh-axes checking.
+        init = tuple(jax.lax.pvary(x, tuple(pvary_axes)) for x in init)
     (scores, indices), _ = jax.lax.scan(body, init, (db_codes_c, db_lanes_c, db_valid_c, bases))
     # Mark padding (score == NEG_SCORE) indices as -1
     indices = jnp.where(scores > NEG_SCORE, indices, -1)
     return scores, indices
+
+
+topk_scan = jax.jit(topk_scan_impl, static_argnames=("k", "chunk_size", "metric", "ndim_bits", "pvary_axes"))

@@ -1,0 +1,109 @@
+"""
+Sharded exact top-k search over a device mesh.
+
+The packed code matrix shards row-wise across the mesh axis; each device runs
+the local exact scan (:func:`topk_scan_impl`) over its shard, then the
+per-shard (scores, global-indices) candidate sets are merged with an
+``all_gather`` over ICI plus a local ``top_k`` — the collective-merge design
+replacing the reference's single-host shard fan-out loop (SURVEY §2.3: shard
+of the packed code matrix across chips, all-gather top-k merge over ICI).
+
+The gather moves only ``n_shards x k`` candidates per query (k << shard
+rows), so the collective is latency- not bandwidth-bound.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from iscc_search_tpu.ops.nphd import NEG_SCORE
+from iscc_search_tpu.ops.topk import topk_scan_impl
+from iscc_search_tpu.parallel.mesh import SHARD_AXIS
+
+
+def shard_database(mesh, db_codes, db_lanes, db_valid, axis_name=SHARD_AXIS):
+    # type: (...) -> tuple
+    """
+    Place database arrays row-sharded over the mesh axis.
+
+    Row count must divide evenly by the mesh size (the engine pads capacity
+    with invalid rows, so callers pad to a multiple of n_devices*chunk).
+    """
+    n = mesh.shape[axis_name]
+    if db_codes.shape[0] % n:
+        raise ValueError(f"db rows {db_codes.shape[0]} not divisible by {n} shards")
+    row_sharding = NamedSharding(mesh, P(axis_name))
+    return (
+        jax.device_put(db_codes, NamedSharding(mesh, P(axis_name, None))),
+        jax.device_put(db_lanes, row_sharding),
+        jax.device_put(db_valid, row_sharding),
+    )
+
+
+def _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name):
+    # type: (...) -> ...
+    def local_step(q_codes, q_lanes, db_codes, db_lanes, db_valid):
+        # Per-shard exact scan
+        scores, idx = topk_scan_impl(
+            q_codes, q_lanes, db_codes, db_lanes, db_valid, k, chunk_size, metric, ndim_bits,
+            pvary_axes=(axis_name,),
+        )
+        # Local row index -> global row index
+        shard = jax.lax.axis_index(axis_name)
+        local_rows = db_codes.shape[0]
+        idx = jnp.where(idx >= 0, idx + shard * local_rows, -1)
+        # Collective merge: gather all shards' candidates, take global top-k.
+        all_scores = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)  # (Q, n*k)
+        all_idx = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        top_idx = jnp.where(top_scores > NEG_SCORE, top_idx, -1)
+        return top_scores, top_idx
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+    )
+    try:
+        # The merged output is replicated by construction (every device ran the
+        # same top_k over the same gathered candidates), but the VMA type
+        # system cannot prove it — disable the check.
+        mapped = shard_map(local_step, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        mapped = shard_map(local_step, check_rep=False, **kwargs)
+    return jax.jit(mapped)
+
+
+def sharded_topk(
+    mesh,
+    q_codes,
+    q_lanes,
+    db_codes,
+    db_lanes,
+    db_valid,
+    k,
+    chunk_size=8192,
+    metric="nphd",
+    ndim_bits=None,
+    axis_name=SHARD_AXIS,
+):
+    # type: (...) -> tuple
+    """
+    Exact global top-k over a row-sharded database.
+
+    :param mesh: 1-D jax.sharding.Mesh
+    :param q_codes: (Q, L) uint32 queries (replicated)
+    :param db_codes/db_lanes/db_valid: row-sharded database (see shard_database)
+    :param k: results per query
+    :return: replicated (scores (Q, k), global indices (Q, k))
+    """
+    fn = _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name)
+    return fn(q_codes, q_lanes, db_codes, db_lanes, db_valid)

@@ -1,0 +1,115 @@
+"""
+Threaded WSGI HTTP server with lifespan management.
+
+Serves the WSGI app with a thread-per-request model (stdlib
+wsgiref + ThreadingMixIn). Protocol methods are synchronous, so this matches
+the reference's FastAPI-threadpool concurrency model. In aggregator mode the
+transparency-log poller runs on a dedicated asyncio thread, with a clean
+stop/flush sequence on shutdown (lifespan parity with reference
+server/__init__.py:75-135).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from socketserver import ThreadingMixIn
+from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+from iscc_search_tpu.schema import IsccIndex
+from iscc_search_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    """Thread-per-request WSGI server."""
+
+    daemon_threads = True
+
+
+class QuietHandler(WSGIRequestHandler):
+    """Route request logs through the application logger."""
+
+    def log_message(self, format, *args):  # noqa: A002
+        logger.info("%s - %s" % (self.address_string(), format % args))
+
+
+class AggregatorRunner:
+    """Owns the poller's asyncio loop on a dedicated thread."""
+
+    def __init__(self, index, opts, status):
+        # type: (..., ..., dict) -> None
+        self.index = index
+        self.opts = opts
+        self.status = status
+        self._thread = None  # type: threading.Thread | None
+        self._loop = None  # type: asyncio.AbstractEventLoop | None
+        self._stop_event = None  # type: asyncio.Event | None
+
+    def start(self):
+        # type: () -> None
+        from iscc_search_tpu.aggregator import poller
+
+        # Ensure the aggregator index exists so reads don't 404 on a fresh deploy
+        try:
+            self.index.create_index(IsccIndex(name=self.opts.aggregator_index_name))
+            logger.info(f"Created aggregator index '{self.opts.aggregator_index_name}'")
+        except FileExistsError:
+            pass
+
+        ready = threading.Event()
+
+        def run_loop():
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+            self._stop_event = asyncio.Event()
+            ready.set()
+            try:
+                self._loop.run_until_complete(poller.run(self.index, self.opts, self._stop_event, self.status))
+            except Exception:  # pragma: no cover
+                logger.exception("Aggregator poller crashed")
+            finally:
+                self._loop.close()
+
+        self._thread = threading.Thread(target=run_loop, name="aggregator-poller", daemon=True)
+        self._thread.start()
+        ready.wait()
+        logger.info(f"Aggregator mode active: network={self.opts.aggregator_network}")
+
+    def stop(self, timeout=30.0):
+        # type: (float) -> None
+        if self._loop is None or self._stop_event is None:
+            return
+        self._loop.call_soon_threadsafe(self._stop_event.set)
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+
+def serve(opts=None):
+    # type: (...) -> None
+    """Run the API server until interrupted (index lifecycle managed here)."""
+    from iscc_search_tpu.options import get_index, search_opts
+    from iscc_search_tpu.server.app import create_app
+
+    opts = opts or search_opts
+    index = get_index(opts.index_uri)
+    app = create_app(index=index, opts=opts)
+
+    runner = None
+    if opts.aggregator_mode:
+        runner = AggregatorRunner(index, opts, app.state.aggregator_status)
+        runner.start()
+
+    httpd = make_server(opts.host, opts.port, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
+    logger.info(f"Serving on http://{opts.host}:{opts.port} (backend: {opts.index_uri})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+    finally:
+        logger.info("Shutting down: stopping poller and closing index...")
+        if runner is not None:
+            runner.stop()
+        index.close()
+        httpd.server_close()

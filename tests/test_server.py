@@ -1,0 +1,214 @@
+"""HTTP layer tests via httpx.WSGITransport (no sockets) — mirrors the
+reference's TestClient strategy (SURVEY §4.6)."""
+
+import httpx
+import pytest
+
+from iscc_search_tpu.indexes.memory import MemoryIndex
+from iscc_search_tpu.options import SearchOptions
+from iscc_search_tpu.server.app import create_app
+
+
+@pytest.fixture
+def opts():
+    return SearchOptions(index_uri="memory://")
+
+
+@pytest.fixture
+def client(opts):
+    app = create_app(index=MemoryIndex(), opts=opts)
+    transport = httpx.WSGITransport(app=app)
+    with httpx.Client(transport=transport, base_url="http://testserver") as c:
+        yield c
+
+
+def test_healthz(client):
+    r = client.get("/healthz")
+    assert r.status_code == 200
+    assert r.json() == {"status": "ok"}
+
+
+def test_readyz(client):
+    r = client.get("/readyz")
+    assert r.status_code == 200
+    assert r.json() == {"status": "ready"}
+
+
+def test_status_public(client):
+    r = client.get("/status")
+    assert r.status_code == 200
+    body = r.json()
+    assert body["mode"] == "standard"
+    assert "version" in body
+
+
+def test_index_crud(client):
+    r = client.post("/indexes", json={"name": "myidx"})
+    assert r.status_code == 201
+    assert r.json()["name"] == "myidx"
+
+    r = client.post("/indexes", json={"name": "myidx"})
+    assert r.status_code == 409
+
+    r = client.get("/indexes")
+    assert r.status_code == 200
+    assert [i["name"] for i in r.json()] == ["myidx"]
+
+    r = client.get("/indexes/myidx")
+    assert r.status_code == 200
+    assert r.json()["assets"] == 0
+
+    r = client.get("/indexes/missing")
+    assert r.status_code == 404
+
+    r = client.delete("/indexes/myidx")
+    assert r.status_code == 204
+    r = client.delete("/indexes/myidx")
+    assert r.status_code == 404
+
+
+def test_create_index_invalid_name(client):
+    r = client.post("/indexes", json={"name": "Bad-Name"})
+    assert r.status_code == 422
+
+
+def test_add_and_get_assets(client, entry_factory):
+    client.post("/indexes", json={"name": "idx"})
+    entry = entry_factory(metadata={"name": "X"})
+    r = client.post("/indexes/idx/assets", json=[entry])
+    assert r.status_code == 201
+    assert r.json()[0]["status"] == "created"
+
+    r = client.get(f"/indexes/idx/assets/{entry['iscc_id']}")
+    assert r.status_code == 200
+    assert r.json()["units"] == entry["units"]
+
+    r = client.get("/indexes/idx/assets/ISCC:MAIGIIFJRDGEQQAA")
+    assert r.status_code == 404
+
+
+def test_add_assets_validation_error(client):
+    client.post("/indexes", json={"name": "idx"})
+    r = client.post("/indexes/idx/assets", json=[{"units": "notalist"}])
+    assert r.status_code == 422
+    r = client.post("/indexes/idx/assets", json={"not": "a list"})
+    assert r.status_code == 422
+
+
+def test_search_post_and_get(client, entry_factory):
+    client.post("/indexes", json={"name": "idx"})
+    entry = entry_factory()
+    client.post("/indexes/idx/assets", json=[entry])
+
+    r = client.post("/indexes/idx/search", json={"units": entry["units"]})
+    assert r.status_code == 200
+    body = r.json()
+    assert body["global_matches"][0]["iscc_id"] == entry["iscc_id"]
+    assert "chunk_matches" in body
+
+    r = client.get("/indexes/idx/search", params={"iscc_code": entry["iscc_code"]})
+    assert r.status_code == 200
+    assert r.json()["global_matches"][0]["iscc_id"] == entry["iscc_id"]
+
+    r = client.get("/indexes/idx/search")
+    assert r.status_code == 422
+
+    r = client.post("/indexes/idx/search", json={})
+    assert r.status_code == 400  # empty query -> ValueError
+
+
+def test_search_missing_index(client):
+    r = client.post("/indexes/nope/search", json={"iscc_code": "ISCC:KACYPXW445FTYNJ3"})
+    assert r.status_code == 404
+
+
+def test_openapi_and_docs(client):
+    r = client.get("/openapi.json")
+    assert r.status_code == 200
+    spec = r.json()
+    assert spec["openapi"].startswith("3.1")
+    assert "/indexes/{name}/search" in spec["paths"]
+    assert "IsccEntry" in spec["components"]["schemas"]
+
+    r = client.get("/docs")
+    assert r.status_code == 200
+    assert "elements-api" in r.text
+
+
+def test_landing_and_static(client):
+    r = client.get("/")
+    assert r.status_code == 200
+    assert "ISCC-Search" in r.text
+    r = client.get("/static/app.js")
+    assert r.status_code == 200
+    r = client.get("/static/../app.py")
+    assert r.status_code in (404, 500)
+
+
+def test_unknown_route_404(client):
+    assert client.get("/nope").status_code == 404
+
+
+def test_method_not_allowed(client):
+    assert client.put("/indexes").status_code == 405
+
+
+def test_cors_preflight(client):
+    r = client.options("/indexes", headers={"Origin": "https://example.com"})
+    assert r.status_code == 204
+    assert r.headers.get("Access-Control-Allow-Origin") == "*"
+    r = client.get("/healthz", headers={"Origin": "https://example.com"})
+    assert r.headers.get("Access-Control-Allow-Origin") == "*"
+
+
+class TestAuth:
+    @pytest.fixture
+    def secure_client(self):
+        opts = SearchOptions(index_uri="memory://", api_secret="topsecret")
+        app = create_app(index=MemoryIndex(), opts=opts)
+        with httpx.Client(transport=httpx.WSGITransport(app=app), base_url="http://t") as c:
+            yield c
+
+    def test_requires_key(self, secure_client):
+        assert secure_client.get("/indexes").status_code == 401
+        assert secure_client.get("/indexes", headers={"X-API-Key": "wrong"}).status_code == 401
+        assert secure_client.get("/indexes", headers={"X-API-Key": "topsecret"}).status_code == 200
+
+    def test_probes_public(self, secure_client):
+        assert secure_client.get("/healthz").status_code == 200
+        assert secure_client.get("/status").status_code == 200
+
+
+class TestAggregatorMode:
+    @pytest.fixture
+    def agg_client(self):
+        opts = SearchOptions(index_uri="memory://", aggregator_network="testnet")
+        index = MemoryIndex()
+        from iscc_search_tpu.schema import IsccIndex
+
+        index.create_index(IsccIndex(name="idptest"))
+        app = create_app(index=index, opts=opts)
+        with httpx.Client(transport=httpx.WSGITransport(app=app), base_url="http://t") as c:
+            yield c
+
+    def test_management_routes_hidden(self, agg_client):
+        assert agg_client.get("/indexes").status_code == 404
+        assert agg_client.post("/indexes", json={"name": "x"}).status_code == 404
+        assert agg_client.post("/indexes/idptest/assets", json=[]).status_code == 404
+        assert agg_client.delete("/indexes/idptest").status_code == 404
+
+    def test_foreign_index_reads_blocked(self, agg_client):
+        assert agg_client.post("/indexes/other/search", json={"iscc_code": "ISCC:AAAA"}).status_code == 404
+        # Aggregator index itself is searchable
+        r = agg_client.post("/indexes/idptest/search", json={"iscc_code": "ISCC:KACYPXW445FTYNJ3CYSXHAFJMA2HUWULUNRFE3BLHRSCXYH2M5AEGQY"})
+        assert r.status_code == 200
+
+    def test_status_shows_aggregator(self, agg_client):
+        body = agg_client.get("/status").json()
+        assert body["mode"] == "aggregator"
+        assert body["network"] == "testnet"
+        assert "hubs" in body
+
+    def test_aggregator_landing_page(self, agg_client):
+        r = agg_client.get("/")
+        assert "Aggregator" in r.text
