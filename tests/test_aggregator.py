@@ -1,0 +1,298 @@
+"""Aggregator tests: tlog wire format, hub list, entry conversion, and the
+poller against an in-memory fake tlog server (httpx.MockTransport) — the
+distributed path tested without a cluster (SURVEY §4.8)."""
+
+import asyncio
+import hashlib
+import json
+import struct
+
+import httpx
+import pytest
+
+from iscc_search_tpu import codec as ic
+from iscc_search_tpu.aggregator import entry as entry_mod
+from iscc_search_tpu.aggregator import hublist, poller, tlog
+from iscc_search_tpu.indexes.memory import MemoryIndex
+from iscc_search_tpu.options import SearchOptions
+from iscc_search_tpu.schema import IsccIndex
+
+from tests.conftest import make_iscc_id, make_unit
+
+
+# ---------------------------------------------------------------- tlog core
+
+
+def test_parse_checkpoint():
+    assert tlog.parse_checkpoint("origin\n42\nroothash\n\nsig") == 42
+    assert tlog.parse_checkpoint("origin\n0\nhash") == 0
+
+
+def test_parse_checkpoint_invalid():
+    with pytest.raises(ValueError):
+        tlog.parse_checkpoint("one line")
+    with pytest.raises(ValueError):
+        tlog.parse_checkpoint("o\nnotanumber\nh")
+    with pytest.raises(ValueError):
+        tlog.parse_checkpoint("o\n007\nh")
+    with pytest.raises(ValueError):
+        tlog.parse_checkpoint("o\n-3\nh")
+
+
+def test_entry_bundle_roundtrip():
+    records = [b"alpha", b"", b"x" * 300]
+    framed = b"".join(struct.pack(">H", len(r)) + r for r in records)
+    assert tlog.parse_entry_bundle(framed) == records
+
+
+def test_entry_bundle_truncated():
+    with pytest.raises(ValueError):
+        tlog.parse_entry_bundle(b"\x00")
+    with pytest.raises(ValueError):
+        tlog.parse_entry_bundle(struct.pack(">H", 10) + b"short")
+
+
+def test_format_index():
+    assert tlog.format_index(0) == "000"
+    assert tlog.format_index(67) == "067"
+    assert tlog.format_index(1234) == "x001/234"
+    assert tlog.format_index(1234067) == "x001/x234/067"
+
+
+def test_entries_path():
+    assert tlog.entries_path(5) == "tile/entries/005"
+    assert tlog.entries_path(5, width=17) == "tile/entries/005.p/17"
+
+
+# ---------------------------------------------------------------- plan
+
+
+def test_plan_bundles_empty_and_regression():
+    assert poller.plan_bundles(100, 100) == []
+    assert poller.plan_bundles(100, 50) == []
+
+
+def test_plan_bundles_partial_and_full():
+    assert poller.plan_bundles(0, 10) == [(0, 10)]
+    assert poller.plan_bundles(0, 256) == [(0, 0)]
+    assert poller.plan_bundles(0, 300) == [(0, 0), (1, 44)]
+    assert poller.plan_bundles(256, 300) == [(1, 44)]
+    assert poller.plan_bundles(200, 256) == [(0, 0)]
+    assert poller.plan_bundles(512, 1000) == [(2, 0), (3, 232)]
+
+
+# ---------------------------------------------------------------- hub list
+
+
+HUBS_YAML = """
+version: 1
+network: testnet
+hubs:
+  - hub_id: 0
+    url: https://hub0.example
+    active: true
+  - hub_id: 1
+    url: https://hub1.example
+    active: false
+"""
+
+
+def test_parse_hub_list():
+    hubs = hublist.parse_hub_list(HUBS_YAML, "testnet")
+    assert hubs == [hublist.Hub(hub_id=0, url="https://hub0.example")]
+
+
+def test_parse_hub_list_errors():
+    with pytest.raises(ValueError):
+        hublist.parse_hub_list("[]", "testnet")
+    with pytest.raises(ValueError):
+        hublist.parse_hub_list(HUBS_YAML, "mainnet")
+
+
+# ---------------------------------------------------------------- entries
+
+
+def make_record(n=1, realm=0, schema=entry_mod.DECLARATION_SCHEMA, gateway=None, units=None):
+    iscc_id = make_iscc_id(n, realm_id=realm)
+    data_unit = make_unit(ic.MT.DATA, 0, 64)
+    datahash = "1e20" + hashlib.sha256(str(n).encode()).hexdigest()
+    inst_unit = "ISCC:" + ic.encode_component(ic.MT.INSTANCE, 0, 0, 64, bytes.fromhex(datahash[4:]))
+    code = ic.gen_iscc_code_v0([data_unit, inst_unit], wide=False)["iscc"]
+    note = {"$schema": schema, "iscc_code": code, "datahash": datahash}
+    if gateway:
+        note["gateway"] = gateway
+    if units:
+        note["units"] = units
+    return json.dumps({"iscc_id": iscc_id, "note": note}).encode()
+
+
+def test_record_to_entry_ok():
+    record = make_record(1)
+    entry, reason = entry_mod.record_to_entry(record, "testnet")
+    assert reason == "ok"
+    assert entry.iscc_id == make_iscc_id(1)
+    types = {ic.decode_header(ic.decode_base32(u.removeprefix("ISCC:"))).maintype for u in entry.units}
+    assert ic.MT.DATA in types and ic.MT.INSTANCE in types
+    # INSTANCE expands to the full 256-bit datahash form
+    inst = [u for u in entry.units if "INSTANCE" in __import__("iscc_search_tpu.models", fromlist=["IsccUnit"]).IsccUnit(u).unit_type]
+    assert len(__import__("iscc_search_tpu.models", fromlist=["IsccUnit"]).IsccUnit(inst[0])) == 256
+
+
+def test_record_to_entry_skips():
+    assert entry_mod.record_to_entry(b"notjson", "testnet") == (None, "malformed")
+    assert entry_mod.record_to_entry(b"{}", "testnet") == (None, "malformed")
+    assert entry_mod.record_to_entry(make_record(schema=entry_mod.DELETION_SCHEMA), "testnet")[1] == "deletion"
+    assert entry_mod.record_to_entry(make_record(schema="http://other"), "testnet")[1] == "unknown_schema"
+    assert entry_mod.record_to_entry(make_record(realm=1), "testnet")[1] == "realm_mismatch"
+
+
+def test_expand_gateway():
+    url = entry_mod.expand_gateway(
+        "https://gw.example/{iscc_id}", "ISCC:MAIGIIFJRDGEQQAA", "ISCC:KACYPXW445FTYNJ3", "1e20ab"
+    )
+    assert url == "https://gw.example/maigiifjrdgeqqaa"
+    assert entry_mod.expand_gateway("https://x/{/datahash}", "ISCC:A", "ISCC:B", "1e20ab") == "https://x//1e20ab"
+    assert entry_mod.expand_gateway("https://plain", "ISCC:A", "ISCC:B", "x") == "https://plain"
+
+
+# ---------------------------------------------------------------- poller e2e
+
+
+class FakeLog:
+    """In-memory tlog-tiles hub server."""
+
+    def __init__(self, records):
+        self.records = records
+        self.fail_bundles = set()
+
+    def handler(self, request):
+        path = request.url.path
+        if path == "/hubs.yaml":
+            return httpx.Response(200, text=HUBS_YAML)
+        if path == "/log/checkpoint":
+            return httpx.Response(200, text=f"origin\n{len(self.records)}\nhash\n")
+        if path.startswith("/log/tile/entries/"):
+            seg = path[len("/log/tile/entries/"):]
+            if ".p/" in seg:
+                idx_s, width_s = seg.split(".p/")
+                width = int(width_s)
+            else:
+                idx_s, width = seg, 0
+            index = int(idx_s.replace("x", "").replace("/", ""))
+            if index in self.fail_bundles:
+                return httpx.Response(500, text="boom")
+            start = index * tlog.TILE_WIDTH
+            count = width or tlog.TILE_WIDTH
+            chunk = self.records[start : start + count]
+            body = b"".join(struct.pack(">H", len(r)) + r for r in chunk)
+            return httpx.Response(200, content=body)
+        return httpx.Response(404)
+
+
+@pytest.fixture
+def agg_setup():
+    index = MemoryIndex()
+    index.create_index(IsccIndex(name="idptest"))
+    opts = SearchOptions(
+        index_uri="memory://",
+        aggregator_network="testnet",
+        aggregator_hub_list_url="https://hub0.example/hubs.yaml",
+    )
+    return index, opts
+
+
+def run_async(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_poll_hub_once_ingests(agg_setup):
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 301)]  # one full + one partial bundle
+    fake = FakeLog(records)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        stop = asyncio.Event()
+        return await poller.poll_hub_once(client, hub, 0, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.error is None
+    assert result.last_size == 300
+    assert result.counts["ok"] == 300
+    assert index.get_index("idptest").assets == 300
+    # Asset is retrievable
+    index.get_asset("idptest", make_iscc_id(7))
+
+
+def test_poll_hub_once_resumes_from_cursor(agg_setup):
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 301)]
+    fake = FakeLog(records)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        stop = asyncio.Event()
+        return await poller.poll_hub_once(client, hub, 290, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.counts["ok"] == 10
+    assert result.last_size == 300
+
+
+def test_poll_hub_once_bundle_failure_keeps_progress(agg_setup):
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 600)]
+    fake = FakeLog(records)
+    fake.fail_bundles = {1}
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        stop = asyncio.Event()
+        return await poller.poll_hub_once(client, hub, 0, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.error is not None
+    assert result.last_size == 256  # bundle 0 landed, bundle 1 failed
+
+
+def test_poll_hub_once_regression_resets(agg_setup):
+    index, opts = agg_setup
+    fake = FakeLog([make_record(i) for i in range(1, 10)])
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        stop = asyncio.Event()
+        return await poller.poll_hub_once(client, hub, 500, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.last_size == 0
+
+
+def test_poll_loop_full_cycle(agg_setup):
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 50)]
+    fake = FakeLog(records)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    status = {}
+
+    async def go():
+        stop = asyncio.Event()
+
+        async def stopper():
+            for _ in range(100):
+                await asyncio.sleep(0.01)
+                if status.get(0) and status[0].counts.get("ok"):
+                    break
+            stop.set()
+
+        await asyncio.gather(poller.poll_loop(index, opts, stop, client, status), stopper())
+
+    run_async(go())
+    assert status[0].cursor == 49
+    assert status[0].ok is True
+    assert status[0].counts["ok"] == 49
+    assert index.get_index("idptest").assets == 49

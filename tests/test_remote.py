@@ -1,0 +1,96 @@
+"""Remote client tested against the in-process WSGI server (no sockets) —
+protocol-over-HTTP parity testing (reference strategy, SURVEY §4.7)."""
+
+import httpx
+import pytest
+
+from iscc_search_tpu.indexes.memory import MemoryIndex
+from iscc_search_tpu.options import SearchOptions
+from iscc_search_tpu.protocols.index import IsccIndexProtocol
+from iscc_search_tpu.remote import RemoteIndex
+from iscc_search_tpu.schema import IsccEntry, IsccIndex, IsccQuery
+from iscc_search_tpu.server.app import create_app
+
+
+@pytest.fixture
+def remote(entry_factory):
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    client = RemoteIndex("http://testserver", "idx", chunk_size=3)
+    client._client = httpx.Client(transport=httpx.WSGITransport(app=app), base_url="http://testserver")
+    yield client
+    client.close()
+
+
+def test_protocol_conformance(remote):
+    assert isinstance(remote, IsccIndexProtocol)
+
+
+def test_index_lifecycle(remote):
+    created = remote.create_index(IsccIndex(name="idx"))
+    assert created.name == "idx"
+    with pytest.raises(FileExistsError):
+        remote.create_index(IsccIndex(name="idx"))
+    assert [i.name for i in remote.list_indexes()] == ["idx"]
+    assert remote.get_index("idx").assets == 0
+    with pytest.raises(FileNotFoundError):
+        remote.get_index("missing")
+    remote.delete_index("idx")
+    with pytest.raises(FileNotFoundError):
+        remote.delete_index("idx")
+
+
+def test_add_get_search_roundtrip(remote, entry_factory):
+    remote.create_index(IsccIndex(name="idx"))
+    entries = [IsccEntry(**entry_factory()) for _ in range(7)]  # > chunk_size -> chunked
+    results = remote.add_assets("idx", entries)
+    assert len(results) == 7
+    assert all(r.status == "created" for r in results)
+
+    fetched = remote.get_asset("idx", entries[0].iscc_id)
+    assert fetched.units == entries[0].units
+    with pytest.raises(FileNotFoundError):
+        remote.get_asset("idx", "ISCC:MAIGIIFJRDGEQQAA")
+
+    result = remote.search_assets("idx", IsccQuery(units=entries[3].units), limit=5)
+    assert result.global_matches[0].iscc_id == entries[3].iscc_id
+
+
+def test_empty_add(remote):
+    assert remote.add_assets("idx", []) == []
+
+
+def test_error_mapping_400(remote, entry_factory):
+    remote.create_index(IsccIndex(name="idx"))
+    e = entry_factory()
+    del e["iscc_id"]
+    with pytest.raises(ValueError):
+        remote.add_assets("idx", [IsccEntry(**e)])
+
+
+def test_retry_on_transport_error(entry_factory, monkeypatch):
+    """Transient transport errors are retried with backoff."""
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    inner = httpx.WSGITransport(app=app)
+    calls = {"n": 0}
+
+    class FlakyTransport(httpx.BaseTransport):
+        def handle_request(self, request):
+            # Only the batch-add endpoint is flaky (retry lives in add_assets)
+            if request.url.path.endswith("/assets"):
+                calls["n"] += 1
+                if calls["n"] <= 1:
+                    raise httpx.ConnectError("flaky")
+            return inner.handle_request(request)
+
+    client = RemoteIndex("http://t", "idx")
+    client._client = httpx.Client(transport=FlakyTransport(), base_url="http://t")
+
+    import iscc_search_tpu.remote.client as rc
+
+    monkeypatch.setattr(rc, "RETRY_BASE_DELAY", 0.0)
+    client.create_index(IsccIndex(name="idx"))
+    results = client.add_assets("idx", [IsccEntry(**entry_factory())])
+    assert results[0].status == "created"
+    assert calls["n"] >= 2
