@@ -1,0 +1,34 @@
+"""`datasets` command: list ISCC datasets available on the Hugging Face hub."""
+
+from __future__ import annotations
+
+import click
+from rich.console import Console
+from rich.table import Table
+
+console = Console()
+
+
+@click.command("datasets")
+@click.option("--search", "query", default="iscc", show_default=True, help="Search term")
+@click.option("--limit", default=20, show_default=True)
+def datasets_command(query, limit):
+    """List candidate ISCC datasets on the Hugging Face hub."""
+    try:
+        from huggingface_hub import HfApi
+    except ImportError:  # pragma: no cover
+        console.print("[red]huggingface-hub is not installed[/red]")
+        raise SystemExit(1)
+
+    api = HfApi()
+    results = list(api.list_datasets(search=query, limit=limit))
+    if not results:
+        console.print("[yellow]No datasets found[/yellow]")
+        return
+    table = Table(title=f"Datasets matching '{query}'")
+    table.add_column("ID", style="cyan")
+    table.add_column("Downloads", justify="right")
+    table.add_column("Updated")
+    for d in results:
+        table.add_row(d.id, str(getattr(d, "downloads", "-")), str(getattr(d, "last_modified", "-"))[:10])
+    console.print(table)

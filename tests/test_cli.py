@@ -1,0 +1,155 @@
+"""CLI tests via click's CliRunner against local tpu-backed indexes."""
+
+import json
+
+import pytest
+from click.testing import CliRunner
+
+from iscc_search_tpu.cli import cli
+from iscc_search_tpu.cli import common as cli_common
+from iscc_search_tpu.cli.common import parse_simprints_from_features
+from iscc_search_tpu.config import ConfigManager
+
+
+@pytest.fixture
+def runner(tmp_path, monkeypatch):
+    manager = ConfigManager(config_dir=tmp_path / "cfg")
+    cli_common.set_config_manager(manager)
+    yield CliRunner(), manager, tmp_path
+    cli_common.set_config_manager(None)
+
+
+def write_iscc_json(path, entry):
+    path.write_text(json.dumps(entry))
+
+
+def test_version(runner):
+    r, _, _ = runner
+    result = r.invoke(cli, ["version"])
+    assert result.exit_code == 0
+    assert "iscc-search-tpu" in result.output
+
+
+def test_index_add_list_use_remove(runner, tmp_path):
+    r, manager, base = runner
+    result = r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    assert result.exit_code == 0, result.output
+    result = r.invoke(cli, ["index", "list"])
+    assert "main" in result.output
+    result = r.invoke(cli, ["index", "add", "second", "--path", str(base / "data2"), "--no-use"])
+    assert result.exit_code == 0
+    result = r.invoke(cli, ["index", "use", "second"])
+    assert result.exit_code == 0
+    assert manager.get_active()[0] == "second"
+    result = r.invoke(cli, ["index", "remove", "second"])
+    assert result.exit_code == 0
+    assert manager.get_active()[0] == "main"
+
+
+def test_index_add_remote(runner):
+    r, manager, _ = runner
+    result = r.invoke(cli, ["index", "add", "prod", "--url", "https://api.example.com"])
+    assert result.exit_code == 0
+    cfg = manager.list()["prod"]
+    assert cfg.type == "remote"
+
+
+def test_add_get_search_flow(runner, entry_factory):
+    r, manager, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+
+    entry = entry_factory(metadata={"name": "CLI asset"})
+    src = base / "one.iscc.json"
+    write_iscc_json(src, entry)
+
+    result = r.invoke(cli, ["add", str(src)])
+    assert result.exit_code == 0, result.output
+    assert "1 created" in result.output
+
+    result = r.invoke(cli, ["get", entry["iscc_id"]])
+    assert result.exit_code == 0, result.output
+    assert entry["iscc_id"] in result.output.replace("\n", "")
+
+    result = r.invoke(cli, ["search", entry["iscc_code"], "--json"])
+    assert result.exit_code == 0, result.output
+    assert entry["iscc_id"] in result.output.replace("\n", "")
+
+
+def test_add_directory_glob(runner, entry_factory):
+    r, manager, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    d = base / "files"
+    d.mkdir()
+    for i in range(3):
+        write_iscc_json(d / f"a{i}.iscc.json", entry_factory())
+    result = r.invoke(cli, ["add", str(d)])
+    assert result.exit_code == 0, result.output
+    assert "3 created" in result.output
+
+
+def test_add_no_files(runner):
+    r, _, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    result = r.invoke(cli, ["add", str(base / "nothing-*.json")])
+    assert result.exit_code == 1
+
+
+def test_get_missing(runner, entry_factory):
+    r, _, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    src = base / "one.iscc.json"
+    write_iscc_json(src, entry_factory())
+    r.invoke(cli, ["add", str(src)])
+    result = r.invoke(cli, ["get", "ISCC:MAIGIIFJRDGEQQAA"])
+    assert result.exit_code == 1
+
+
+def test_rebuild_all(runner, entry_factory):
+    r, _, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    src = base / "one.iscc.json"
+    write_iscc_json(src, entry_factory())
+    r.invoke(cli, ["add", str(src)])
+    result = r.invoke(cli, ["index", "rebuild", "--all"])
+    assert result.exit_code == 0, result.output
+    assert "Rebuilt unit types" in result.output
+
+
+def test_rebuild_requires_selector(runner):
+    r, _, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    result = r.invoke(cli, ["index", "rebuild"])
+    assert result.exit_code == 1
+
+
+def test_parse_simprints_from_features():
+    features = [
+        {
+            "maintype": "semantic",
+            "subtype": "text",
+            "version": 0,
+            "simprints": ["AAAAAAAAAAAAAAAAAAAAAA", "__________________hello"],
+            "offsets": [0, 100],
+            "sizes": [50, 60],
+        }
+    ]
+    out = parse_simprints_from_features(features)
+    assert list(out) == ["SEMANTIC_TEXT_V0"]
+    assert out["SEMANTIC_TEXT_V0"][0] == {"simprint": "AAAAAAAAAAAAAAAAAAAAAA", "offset": 0, "size": 50}
+
+
+def test_parse_simprints_truncation():
+    from iscc_search_tpu import codec as ic
+
+    sp = ic.encode_base64(bytes(range(32)))
+    features = [
+        {"maintype": "content", "subtype": "text", "version": 0, "simprints": [sp], "offsets": [0], "sizes": [10]}
+    ]
+    out = parse_simprints_from_features(features, simprint_bits=128)
+    got = ic.decode_base64(out["CONTENT_TEXT_V0"][0]["simprint"])
+    assert got == bytes(range(16))
+
+
+def test_parse_simprints_skips_incomplete():
+    assert parse_simprints_from_features([]) is None
+    assert parse_simprints_from_features([{"maintype": "", "subtype": "text", "simprints": ["x"]}]) is None
