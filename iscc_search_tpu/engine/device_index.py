@@ -37,9 +37,10 @@ from pathlib import Path
 import numpy as np
 
 from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
-from iscc_search_tpu.ops.topk import topk_scan
+from iscc_search_tpu.ops.pm1_scan import pm1_topk, prepare_queries
 
-_MIN_DEVICE_ROWS = 8192  # device capacity floor == top-k scan chunk size
+_MIN_DEVICE_ROWS = 8192  # device partition capacity floor
+_DEFAULT_CHUNK_ROWS = 32768  # top-k scan chunk size (rows per matmul tile)
 
 
 def _pow2ceil(n):
@@ -90,8 +91,8 @@ class PackedCodeIndex:
     # Per-row storage estimate for shard sizing: key + 8 lanes + nlanes + valid
     ROW_BYTES = 8 + MAX_LANES * 4 + 4 + 1
 
-    def __init__(self, path, max_dim=256, shard_size=512 * 1024 * 1024, ndim=None):
-        # type: (str | Path, int, int, int | None) -> None
+    def __init__(self, path, max_dim=256, shard_size=512 * 1024 * 1024, ndim=None, recall_target=None):
+        # type: (str | Path, int, int, int | None, float | None) -> None
         """
         Create or open a packed-code index directory.
 
@@ -99,12 +100,15 @@ class PackedCodeIndex:
         :param max_dim: Maximum code width in bits (NPHD variable-length cap)
         :param shard_size: Seal an immutable segment after this many bytes
         :param ndim: Fixed code width in bits for the hamming metric
+        :param recall_target: None = exact per-chunk top-k; float in (0,1) =
+            TPU approx_max_k with that recall (throughput knob)
         """
         self.path = Path(path)
         self.max_dim = max_dim
         self.ndim = ndim
         self.max_lanes = MAX_LANES
         self.shard_rows = max(1024, shard_size // self.ROW_BYTES)
+        self.recall_target = recall_target if (recall_target is None or recall_target < 1.0) else None
         self._lock = threading.RLock()
 
         cap = _MIN_DEVICE_ROWS
@@ -116,8 +120,10 @@ class PackedCodeIndex:
         self._key_to_row = {}  # type: dict[bytes, int]
         self.dirty = 0  # unsaved key mutations since last save
         self._segments = []  # type: list[dict]  # {"file", "start", "rows"} sealed on disk
-        self._device = None  # type: tuple | None  # (codes, nlanes, valid) jnp arrays
-        self._device_rows = -1
+        # Device mirror: rows partitioned by code length (lane count) so the
+        # NPHD prefix scale is a per-query broadcast inside each partition
+        # (see ops/pm1_scan.py). {lanes: (packed_dev, valid_dev, row_map_np, cap)}
+        self._partitions = None  # type: dict[int, tuple] | None
         self._device_stale = True
         self._closed = False
 
@@ -217,7 +223,12 @@ class PackedCodeIndex:
     def search(self, query_bodies, count):
         # type: (list[bytes], int) -> list[tuple[np.ndarray, np.ndarray]]
         """
-        Exact top-``count`` scan for a batch of queries.
+        Top-``count`` scan for a batch of queries (exact unless a
+        recall_target was configured).
+
+        Each length partition is scanned with the ±1 matmul kernel; per-query
+        candidates from all partitions merge on the host (<= 4 partitions x k
+        candidates each).
 
         :param query_bodies: query code bodies
         :param count: results per query
@@ -229,7 +240,7 @@ class PackedCodeIndex:
         import jax.numpy as jnp
 
         with self._lock:
-            codes_d, nlanes_d, valid_d, cap = self._sync_device()
+            partitions = self._sync_device()
             keys_snapshot = self._keys[: self._rows].copy()
 
         q_codes, q_lanes = pack_codes([self._vector_bytes(b) for b in query_bodies], self.max_lanes)
@@ -239,27 +250,40 @@ class PackedCodeIndex:
             q_codes = np.pad(q_codes, ((0, q_pad - nq), (0, 0)))
             q_lanes = np.pad(q_lanes, (0, q_pad - nq), constant_values=1)
 
-        chunk = min(cap, _MIN_DEVICE_ROWS)
-        k = min(max(1, count), chunk)
-        scores, idx = topk_scan(
-            jnp.asarray(q_codes),
-            jnp.asarray(q_lanes),
-            codes_d,
-            nlanes_d,
-            valid_d,
-            k,
-            chunk_size=chunk,
-            metric=self.metric,
-            ndim_bits=self.ndim,
-        )
-        scores = np.asarray(scores)[:nq]
-        idx = np.asarray(idx)[:nq]
+        # Scan every partition, collect (global_rows, scores) per query
+        cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
+        cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
+        for lanes, (packed_dev, valid_dev, row_map, cap) in partitions.items():
+            nbits = lanes * 32
+            chunk = min(cap, _DEFAULT_CHUNK_ROWS)
+            k = min(max(1, count), chunk)
+            q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
+            scores, idx = pm1_topk(
+                jnp.asarray(q_pm1),
+                jnp.asarray(q_scale),
+                packed_dev,
+                valid_dev,
+                k,
+                nbits,
+                chunk_size=chunk,
+                recall_target=self.recall_target,
+            )
+            scores = np.asarray(scores)[:nq]
+            idx = np.asarray(idx)[:nq]
+            for qi in range(nq):
+                sel = idx[qi] >= 0
+                cand_scores[qi].append(scores[qi][sel])
+                cand_rows[qi].append(row_map[idx[qi][sel]])
 
         results = []
         for qi in range(nq):
-            sel = idx[qi] >= 0
-            rows = idx[qi][sel]
-            results.append((keys_snapshot[rows], scores[qi][sel]))
+            if not cand_scores[qi]:
+                results.append((np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32)))
+                continue
+            s = np.concatenate(cand_scores[qi])
+            r = np.concatenate(cand_rows[qi])
+            order = np.argsort(-s, kind="stable")[:count]
+            results.append((keys_snapshot[r[order]], s[order].astype(np.float32)))
         return results
 
     def save(self):
@@ -322,7 +346,7 @@ class PackedCodeIndex:
             self._rows = 0
             self._key_to_row = {}
             self._segments = []
-            self._device = None
+            self._partitions = None
             self._device_stale = True
             self.dirty = 0
 
@@ -338,7 +362,7 @@ class PackedCodeIndex:
                 return
             if self.dirty:
                 self.save()
-            self._device = None
+            self._partitions = None
             self._closed = True
 
     # -- internals ------------------------------------------------------------
@@ -376,26 +400,40 @@ class PackedCodeIndex:
         self._keys[self._rows :] = 0
 
     def _sync_device(self):
-        # type: () -> tuple
-        """Upload host arrays to the device, padded to a pow2 capacity."""
+        # type: () -> dict[int, tuple]
+        """
+        Upload host arrays to the device as per-length partitions.
+
+        Rows group by lane count; each partition is padded to a pow2 capacity
+        (invalid padding rows) and carries a row_map back to global rows.
+        """
         import jax
         import jax.numpy as jnp
 
-        cap = max(_MIN_DEVICE_ROWS, _pow2ceil(self._rows))
-        if not self._device_stale and self._device is not None and self._device_rows == cap:
-            return (*self._device, cap)
-        codes = self._codes[:cap] if self._codes.shape[0] >= cap else np.zeros((cap, self.max_lanes), np.uint32)
-        nlanes = self._nlanes[:cap] if self._nlanes.shape[0] >= cap else np.zeros((cap,), np.int32)
-        valid = np.zeros((cap,), bool)
-        valid[: self._rows] = self._valid[: self._rows]
-        self._device = (
-            jax.device_put(jnp.asarray(codes)),
-            jax.device_put(jnp.asarray(nlanes)),
-            jax.device_put(jnp.asarray(valid)),
-        )
-        self._device_rows = cap
+        if not self._device_stale and self._partitions is not None:
+            return self._partitions
+
+        partitions = {}
+        rows = self._rows
+        nlanes = self._nlanes[:rows]
+        for lanes in np.unique(nlanes):
+            lanes = int(lanes)
+            row_map = np.flatnonzero(nlanes == lanes).astype(np.int32)
+            n = len(row_map)
+            cap = max(_MIN_DEVICE_ROWS, _pow2ceil(n))
+            packed = np.zeros((cap, lanes), np.uint32)
+            packed[:n] = self._codes[row_map][:, :lanes]
+            valid = np.zeros((cap,), bool)
+            valid[:n] = self._valid[row_map]
+            partitions[lanes] = (
+                jax.device_put(jnp.asarray(packed)),
+                jax.device_put(jnp.asarray(valid)),
+                row_map,
+                cap,
+            )
+        self._partitions = partitions
         self._device_stale = False
-        return (*self._device, cap)
+        return partitions
 
     def _write_segment(self, seg):
         # type: (dict) -> None

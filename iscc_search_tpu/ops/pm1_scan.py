@@ -1,0 +1,169 @@
+"""
+MXU matmul formulation of the NPHD/Hamming scan — the production search path.
+
+Key identity: with codes encoded as ±1 vectors, ``dot(q, d) = matched_bits -
+mismatched_bits = bits - 2*hamming``. Masking the *query* to the pair's
+common prefix (zeros contribute nothing to the dot) gives, for a query
+compared over ``min_bits``:
+
+    dot = min_bits - 2 * hamming_prefix
+    nphd_score = 1 - hamming_prefix / min_bits = 0.5 + dot / (2 * min_bits)
+
+so the entire variable-length NPHD scoring collapses to ONE int8/bf16 matmul
+per length partition plus a per-query scale — no popcount, no per-pair
+masking. The engine partitions database rows by code length so ``min_bits``
+depends only on (query, partition), making the scale a per-row broadcast
+(SURVEY §7 "hard parts": sort/partition rows by length).
+
+The database stays bit-packed in HBM ((N, 8) uint32 = 32 B/row); each scan
+chunk is unpacked to ±1 on the fly (8x less HBM traffic than storing
+unpacked codes). Top-k per chunk uses the TPU-optimized ``approx_max_k``
+(recall_target configurable) or exact ``lax.top_k``; chunk winners merge in
+a single final top-k (no serial carry, so XLA pipelines chunk DMA against
+compute).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_SCORE = -1.0
+
+# MSB-first within a lane; plain numpy so no tracer can be captured globally.
+_SHIFTS_NP = np.arange(31, -1, -1, dtype=np.uint32)
+
+
+def _shifts():
+    return jnp.asarray(_SHIFTS_NP)
+
+
+def unpack_pm1(packed, nbits, dtype=jnp.bfloat16):
+    # type: (jnp.ndarray, int, ...) -> jnp.ndarray
+    """
+    Unpack (N, L) uint32 packed codes to (N, nbits) ±1 values.
+
+    Bit order: lanes in order, MSB-first within each lane — identical to the
+    big-endian byte order of the original code bodies, so 64-bit group g
+    occupies columns [64g, 64g+64).
+    """
+    lanes = nbits // 32
+    bits = (packed[:, :lanes, None] >> _shifts()[None, None, :]) & jnp.uint32(1)
+    bits = bits.reshape(packed.shape[0], nbits)
+    return (bits.astype(dtype) * 2 - 1).astype(dtype)
+
+
+def unpack_pm1_np(packed, nbits, dtype=np.float32):
+    # type: (np.ndarray, int, ...) -> np.ndarray
+    """NumPy twin of unpack_pm1 (host-side query preparation)."""
+    lanes = nbits // 32
+    as_bytes = packed[:, :lanes].astype(">u4").view(np.uint8).reshape(packed.shape[0], lanes * 4)
+    bits = np.unpackbits(as_bytes, axis=1)
+    return (bits.astype(dtype) * 2 - 1).astype(dtype)
+
+
+def _chunk_scores(q_pm1, q_scale, chunk_packed, chunk_valid, nbits, dtype):
+    """Scores for one chunk: unpack -> matmul -> scale -> mask."""
+    d = unpack_pm1(chunk_packed, nbits, dtype)
+    acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
+    dot = jax.lax.dot_general(
+        q_pm1.astype(dtype), d, (((1,), (1,)), ((), ())), preferred_element_type=acc_t
+    )
+    s = 0.5 + dot.astype(jnp.float32) * q_scale[:, None]
+    return jnp.where(chunk_valid[None, :], s, NEG_SCORE)
+
+
+def pm1_topk_impl(
+    q_pm1,
+    q_scale,
+    db_packed,
+    db_valid,
+    k,
+    nbits,
+    chunk_size=32768,
+    dtype=jnp.bfloat16,
+    recall_target=None,
+    pvary_axes=(),
+):
+    # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
+    """
+    Exact (or recall-targeted) top-k scan via the ±1 matmul identity.
+
+    :param q_pm1: (Q, nbits) ±1 queries, already zero-masked beyond each
+        query's common-prefix bits for this partition
+    :param q_scale: (Q,) float32 per-query scale = 1 / (2 * min_bits)
+    :param db_packed: (N, L) uint32 bit-packed codes, N % chunk_size == 0
+    :param db_valid: (N,) bool tombstone/padding mask
+    :param k: results per query (static)
+    :param nbits: partition code width in bits (static, multiple of 64)
+    :param chunk_size: scan chunk rows (static)
+    :param dtype: matmul input dtype (bf16 default; int8 where supported)
+    :param recall_target: None = exact lax.top_k per chunk; float in (0,1] =
+        TPU approx_max_k with that per-chunk recall target
+    :return: (scores (Q, k) float32 desc, indices (Q, k) int32, -1 padding)
+    """
+    n = db_packed.shape[0]
+    q = q_pm1.shape[0]
+    if n % chunk_size:
+        raise ValueError(f"db size {n} not a multiple of chunk_size {chunk_size}")
+    kk = min(k, chunk_size)
+    nch = n // chunk_size
+
+    db_c = db_packed.reshape(nch, chunk_size, db_packed.shape[1])
+    valid_c = db_valid.reshape(nch, chunk_size)
+
+    def body(_, xs):
+        chunk, v = xs
+        s = _chunk_scores(q_pm1, q_scale, chunk, v, nbits, dtype)
+        if recall_target is not None:
+            ts, ti = jax.lax.approx_max_k(s, kk, recall_target=recall_target)
+        else:
+            ts, ti = jax.lax.top_k(s, kk)
+        return None, (ts, ti.astype(jnp.int32))
+
+    carry = None
+    if pvary_axes:
+        carry = jax.lax.pvary(jnp.zeros((), jnp.int32), tuple(pvary_axes))
+    _, (ts, ti) = jax.lax.scan(body, carry, (db_c, valid_c))
+    # (nch, Q, kk) -> final merge over all chunk winners
+    all_s = jnp.transpose(ts, (1, 0, 2)).reshape(q, nch * kk)
+    base = (jnp.arange(nch, dtype=jnp.int32) * chunk_size)[None, :, None]  # (1, nch, 1)
+    all_i = (jnp.transpose(ti, (1, 0, 2)) + base).reshape(q, nch * kk)
+    out_k = min(k, all_s.shape[1])
+    fs, pos = jax.lax.top_k(all_s, out_k)
+    fi = jnp.take_along_axis(all_i, pos, axis=1)
+    fi = jnp.where(fs > NEG_SCORE, fi, -1)
+    if out_k < k:  # pragma: no cover - k > nch*kk edge
+        pad = k - out_k
+        fs = jnp.pad(fs, ((0, 0), (0, pad)), constant_values=NEG_SCORE)
+        fi = jnp.pad(fi, ((0, 0), (0, pad)), constant_values=-1)
+    return fs, fi
+
+
+pm1_topk = jax.jit(
+    pm1_topk_impl,
+    static_argnames=("k", "nbits", "chunk_size", "dtype", "recall_target", "pvary_axes"),
+)
+
+
+def prepare_queries(q_packed, q_lanes, partition_bits):
+    # type: (np.ndarray, np.ndarray, int) -> tuple[np.ndarray, np.ndarray]
+    """
+    Host-side query prep for one length partition.
+
+    Unpacks queries to ±1 over the partition width and zeroes positions past
+    each query's own length, so the matmul computes the common-prefix dot.
+
+    :param q_packed: (Q, L) uint32 packed query codes
+    :param q_lanes: (Q,) int32 query lane counts
+    :param partition_bits: partition code width in bits
+    :return: (q_pm1 (Q, partition_bits) float32, q_scale (Q,) float32)
+    """
+    q_pm1 = unpack_pm1_np(q_packed, partition_bits, np.float32)
+    q_bits = q_lanes.astype(np.int64) * 32
+    min_bits = np.minimum(q_bits, partition_bits)
+    col = np.arange(partition_bits)[None, :]
+    q_pm1 = np.where(col < min_bits[:, None], q_pm1, 0.0).astype(np.float32)
+    q_scale = (1.0 / (2.0 * np.maximum(min_bits, 1))).astype(np.float32)
+    return q_pm1, q_scale
