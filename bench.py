@@ -1,0 +1,116 @@
+"""
+Headline benchmark: exact NPHD top-10 QPS over 10M x 256-bit ISCC codes on a
+single TPU chip (BASELINE.json config 3 scale).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline compares against a measured single-core CPU brute-force scan of
+the same workload (the reference publishes no benchmark numbers — SURVEY §6 —
+and its usearch/LMDB stack is not installable in this environment, so the
+exhaustive CPU scan is the measured baseline; details, including the
+recall-targeted fast path, go to BENCH_DETAILS.json).
+
+Env knobs:
+    ISCC_BENCH_N        database rows        (default 10_485_760)
+    ISCC_BENCH_Q        query batch          (default 256)
+    ISCC_BENCH_K        top-k                (default 10)
+    ISCC_BENCH_CHUNK    scan chunk rows      (default 32768)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def cpu_brute_force_qps(packed, q_packed, k, sample_rows=1_048_576):
+    """Single-core numpy XOR+popcount scan QPS, extrapolated to full N."""
+    n = packed.shape[0]
+    rows = min(sample_rows, n)
+    db = packed[:rows]
+    t0 = time.perf_counter()
+    nq = min(4, q_packed.shape[0])
+    for qi in range(nq):
+        x = np.bitwise_xor(db, q_packed[qi][None, :])
+        ham = np.bitwise_count(x).sum(axis=1)
+        np.argpartition(ham, k)[:k]
+    dt = (time.perf_counter() - t0) / nq
+    # Extrapolate linearly to the full database size
+    return 1.0 / (dt * (n / rows))
+
+
+def main():
+    n = int(os.environ.get("ISCC_BENCH_N", 10_485_760))
+    q = int(os.environ.get("ISCC_BENCH_Q", 256))
+    k = int(os.environ.get("ISCC_BENCH_K", 10))
+    chunk = int(os.environ.get("ISCC_BENCH_CHUNK", 32768))
+    n = (n // chunk) * chunk
+
+    import jax
+    import jax.numpy as jnp
+
+    from iscc_search_tpu.ops.pm1_scan import pm1_topk, prepare_queries
+
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    q_idx = (np.arange(q) * (n // q)).astype(np.int64)
+    q_packed = packed[q_idx].copy()
+    q_lanes = np.full(q, 8, np.int32)
+
+    details = {"n": n, "q": q, "k": k, "chunk": chunk, "device": str(jax.devices()[0])}
+
+    # Stage database on device
+    t0 = time.perf_counter()
+    db_d = jax.device_put(jnp.asarray(packed))
+    valid_d = jax.device_put(jnp.asarray(np.ones(n, bool)))
+    _ = np.asarray(db_d[:1, :1])
+    details["device_put_s"] = round(time.perf_counter() - t0, 2)
+
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    q_pm1_d, q_scale_d = jnp.asarray(q_pm1), jnp.asarray(q_scale)
+
+    def run(recall):
+        s, i = pm1_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk, recall_target=recall)
+        return np.asarray(s), np.asarray(i)
+
+    results = {}
+    for label, recall in (("exact", None), ("recall_0.99", 0.99)):
+        t0 = time.perf_counter()
+        s, i = run(recall)
+        results.setdefault(label, {})["compile_s"] = round(time.perf_counter() - t0, 2)
+        assert np.array_equal(i[:, 0], q_idx), "self-match failed"
+        assert np.allclose(s[:, 0], 1.0, atol=1e-3)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(recall)
+            best = min(best, time.perf_counter() - t0)
+        results[label]["sweep_ms"] = round(best * 1000, 2)
+        results[label]["qps"] = round(q / best)
+    details["tpu"] = results
+
+    # CPU brute-force baseline (same workload, single core)
+    cpu_qps = cpu_brute_force_qps(packed, q_packed, k)
+    details["cpu_brute_force_qps"] = round(cpu_qps, 3)
+
+    tpu_qps = results["exact"]["qps"]
+    details["speedup_exact_vs_cpu"] = round(tpu_qps / cpu_qps, 1)
+    details["speedup_fast_vs_cpu"] = round(results["recall_0.99"]["qps"] / cpu_qps, 1)
+
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as fh:
+        json.dump(details, fh, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"exact NPHD top-{k} QPS, {n // 1_000_000}M x 256-bit codes, batch {q}, single chip",
+                "value": tpu_qps,
+                "unit": "QPS",
+                "vs_baseline": details["speedup_exact_vs_cpu"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -706,6 +706,7 @@ class TpuIndex:
             self.path / unit_type,
             max_dim=self.max_dim,
             shard_size=self._opts.shard_size_units * 1024 * 1024,
+            recall_target=self._opts.scan_recall_target,
         )
 
     def _new_simprint_index(self, sp_type, ndim):

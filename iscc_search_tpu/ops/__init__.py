@@ -3,6 +3,7 @@
 from iscc_search_tpu.ops.packing import pack_codes, unpack_code
 from iscc_search_tpu.ops.nphd import nphd_scores, hamming_scores
 from iscc_search_tpu.ops.topk import topk_scan
+from iscc_search_tpu.ops.pm1_scan import pm1_topk, prepare_queries, unpack_pm1
 
 __all__ = [
     "pack_codes",
@@ -10,4 +11,7 @@ __all__ = [
     "nphd_scores",
     "hamming_scores",
     "topk_scan",
+    "pm1_topk",
+    "prepare_queries",
+    "unpack_pm1",
 ]

@@ -60,8 +60,15 @@ class SearchOptions(BaseModel):
     flush_interval: int = Field(100000, ge=0, description="ISCC_SEARCH_FLUSH_INTERVAL - 0 disables")
 
     # Device/scan knobs (TPU engine replacements for the HNSW quality knobs)
-    scan_chunk_rows: int = Field(8192, ge=128, description="ISCC_SEARCH_SCAN_CHUNK_ROWS - top-k scan chunk size")
+    scan_chunk_rows: int = Field(32768, ge=128, description="ISCC_SEARCH_SCAN_CHUNK_ROWS - top-k scan chunk size")
     query_batch_max: int = Field(256, ge=1, description="ISCC_SEARCH_QUERY_BATCH_MAX - max fused query batch")
+    scan_recall_target: float | None = Field(
+        None,
+        gt=0.0,
+        le=1.0,
+        description="ISCC_SEARCH_SCAN_RECALL_TARGET - per-chunk top-k recall target; unset/1.0 = exact scan "
+        "(recall 1.0); values < 1.0 trade a little recall for throughput (TPU approx_max_k)",
+    )
 
     # Aggregator mode
     aggregator_network: str | None = Field(None, description="ISCC_SEARCH_AGGREGATOR_NETWORK - testnet or mainnet")
