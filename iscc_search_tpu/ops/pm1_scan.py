@@ -39,6 +39,14 @@ def _shifts():
     return jnp.asarray(_SHIFTS_NP)
 
 
+def _mark_varying(x, axes):
+    """Mark a value device-varying over mesh axes (pcast with pvary fallback)."""
+    try:
+        return jax.lax.pcast(x, axes, to="varying")
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        return jax.lax.pvary(x, axes)
+
+
 def unpack_pm1(packed, nbits, dtype=jnp.bfloat16):
     # type: (jnp.ndarray, int, ...) -> jnp.ndarray
     """
@@ -113,18 +121,20 @@ def pm1_topk_impl(
     db_c = db_packed.reshape(nch, chunk_size, db_packed.shape[1])
     valid_c = db_valid.reshape(nch, chunk_size)
 
-    def body(_, xs):
+    def body(carry, xs):
         chunk, v = xs
         s = _chunk_scores(q_pm1, q_scale, chunk, v, nbits, dtype)
         if recall_target is not None:
             ts, ti = jax.lax.approx_max_k(s, kk, recall_target=recall_target)
         else:
             ts, ti = jax.lax.top_k(s, kk)
-        return None, (ts, ti.astype(jnp.int32))
+        return carry, (ts, ti.astype(jnp.int32))
 
+    # Inside shard_map the scanned db arrays are device-varying; a dummy
+    # varying carry keeps the scan's carry types consistent under VMA checks.
     carry = None
     if pvary_axes:
-        carry = jax.lax.pvary(jnp.zeros((), jnp.int32), tuple(pvary_axes))
+        carry = _mark_varying(jnp.zeros((), jnp.int32), tuple(pvary_axes))
     _, (ts, ti) = jax.lax.scan(body, carry, (db_c, valid_c))
     # (nch, Q, kk) -> final merge over all chunk winners
     all_s = jnp.transpose(ts, (1, 0, 2)).reshape(q, nch * kk)

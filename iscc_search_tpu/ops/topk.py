@@ -83,7 +83,9 @@ def topk_scan_impl(
         # Inside shard_map the scanned db arrays are device-varying while this
         # constant carry is replicated; mark it varying so the scan types agree
         # under jax's varying-mesh-axes checking.
-        init = tuple(jax.lax.pvary(x, tuple(pvary_axes)) for x in init)
+        from iscc_search_tpu.ops.pm1_scan import _mark_varying
+
+        init = tuple(_mark_varying(x, tuple(pvary_axes)) for x in init)
     (scores, indices), _ = jax.lax.scan(body, init, (db_codes_c, db_lanes_c, db_valid_c, bases))
     # Mark padding (score == NEG_SCORE) indices as -1
     indices = jnp.where(scores > NEG_SCORE, indices, -1)
