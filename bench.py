@@ -49,7 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from iscc_search_tpu.ops.pm1_scan import pm1_topk, prepare_queries
+    from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries
 
     rng = np.random.default_rng(0)
     packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
@@ -69,22 +69,31 @@ def main():
     q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
     q_pm1_d, q_scale_d = jnp.asarray(q_pm1), jnp.asarray(q_scale)
 
-    def run(recall):
-        s, i = pm1_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk, recall_target=recall)
-        return np.asarray(s), np.asarray(i)
+    def dispatch(mode):
+        if mode == "exact":
+            return pm1_blockmax_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk)
+        return pm1_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk, recall_target=0.99)
 
+    # The harness reaches the TPU through a tunnel with tens of ms of fixed
+    # dispatch+readback latency per call; amortize it by queueing REPEAT async
+    # dispatches and forcing one readback at the end (single-device program
+    # order serializes them).
+    repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 10))
     results = {}
-    for label, recall in (("exact", None), ("recall_0.99", 0.99)):
+    for label in ("exact", "recall_0.99"):
         t0 = time.perf_counter()
-        s, i = run(recall)
+        s, i = dispatch(label)
+        s, i = np.asarray(s), np.asarray(i)
         results.setdefault(label, {})["compile_s"] = round(time.perf_counter() - t0, 2)
         assert np.array_equal(i[:, 0], q_idx), "self-match failed"
         assert np.allclose(s[:, 0], 1.0, atol=1e-3)
         best = float("inf")
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
-            run(recall)
-            best = min(best, time.perf_counter() - t0)
+            for _r in range(repeat):
+                out = dispatch(label)
+            np.asarray(out[0])
+            best = min(best, (time.perf_counter() - t0) / repeat)
         results[label]["sweep_ms"] = round(best * 1000, 2)
         results[label]["qps"] = round(q / best)
     details["tpu"] = results

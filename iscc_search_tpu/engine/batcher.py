@@ -1,0 +1,131 @@
+"""
+Cross-request micro-batching for device scans.
+
+The scan engine's throughput scales with the fused query batch (one sweep
+serves hundreds of queries), but HTTP requests arrive one query at a time.
+SearchBatcher coalesces concurrent callers: requests enqueue and block; a
+collector thread drains the queue (bounded window / batch size), runs ONE
+batched device search, and distributes per-caller results. Under concurrency
+the device sees large fused batches; a lone caller pays at most ``window_ms``
+extra latency (first caller in a batch triggers immediate collection, so the
+idle-server fast path adds ~zero).
+
+This replaces the reference's thread-per-request → HNSW-per-query model with
+the TPU-appropriate shape (SURVEY §2.3 thread concurrency row).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import TYPE_CHECKING
+
+from iscc_search_tpu.utils import get_logger
+
+if TYPE_CHECKING:  # pragma: no cover
+    from iscc_search_tpu.engine.device_index import PackedCodeIndex  # noqa: F401
+
+logger = get_logger(__name__)
+
+
+class _Pending:
+    __slots__ = ("bodies", "count", "event", "result", "error")
+
+    def __init__(self, bodies, count):
+        self.bodies = bodies
+        self.count = count
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class SearchBatcher:
+    """
+    Batches concurrent ``search(bodies, count)`` calls into fused device scans.
+
+    :param index: PackedCodeIndex-like object with .search(list[bytes], count)
+    :param max_batch: maximum fused query count per sweep
+    :param window_ms: how long the collector waits to fill a batch after the
+        first request arrives (0 = no extra wait, still batches whatever is
+        queued at collection time)
+    """
+
+    def __init__(self, index, max_batch=256, window_ms=2.0):
+        # type: (..., int, float) -> None
+        self.index = index
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._queue = []  # type: list[_Pending]
+        self._cond = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(target=self._collector, name="scan-batcher", daemon=True)
+        self._thread.start()
+
+    def search(self, bodies, count):
+        # type: (list[bytes], int) -> list
+        """Blocking search through the batcher; same result shape as index.search."""
+        if not bodies:
+            return []
+        pending = _Pending(list(bodies), count)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(pending)
+            self._cond.notify()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def _collector(self):
+        # type: () -> None
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._queue:
+                    return
+            # A request is in: give followers a short window to pile on
+            if self.window_s > 0:
+                time.sleep(self.window_s)
+            with self._cond:
+                batch = []  # type: list[_Pending]
+                n_queries = 0
+                while self._queue and n_queries + len(self._queue[0].bodies) <= self.max_batch:
+                    item = self._queue.pop(0)
+                    batch.append(item)
+                    n_queries += len(item.bodies)
+                if not batch and self._queue:  # single oversized request
+                    batch.append(self._queue.pop(0))
+            if not batch:
+                continue
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        # type: (list[_Pending]) -> None
+        bodies = [b for item in batch for b in item.bodies]
+        max_count = max(item.count for item in batch)
+        try:
+            results = self.index.search(bodies, max_count)
+        except Exception as exc:
+            for item in batch:
+                item.error = exc
+                item.event.set()
+            return
+        offset = 0
+        for item in batch:
+            n = len(item.bodies)
+            per_query = []
+            for keys, scores in results[offset : offset + n]:
+                per_query.append((keys[: item.count], scores[: item.count]))
+            item.result = per_query
+            item.error = None
+            offset += n
+            item.event.set()
+
+    def close(self):
+        # type: () -> None
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join(5)

@@ -37,7 +37,7 @@ from pathlib import Path
 import numpy as np
 
 from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
-from iscc_search_tpu.ops.pm1_scan import pm1_topk, prepare_queries
+from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries
 
 _MIN_DEVICE_ROWS = 8192  # device partition capacity floor
 _DEFAULT_CHUNK_ROWS = 32768  # top-k scan chunk size (rows per matmul tile)
@@ -258,16 +258,28 @@ class PackedCodeIndex:
             chunk = min(cap, _DEFAULT_CHUNK_ROWS)
             k = min(max(1, count), chunk)
             q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
-            scores, idx = pm1_topk(
-                jnp.asarray(q_pm1),
-                jnp.asarray(q_scale),
-                packed_dev,
-                valid_dev,
-                k,
-                nbits,
-                chunk_size=chunk,
-                recall_target=self.recall_target,
-            )
+            if self.recall_target is None:
+                # Exact: two-phase block-max selection (no per-chunk sort)
+                scores, idx = pm1_blockmax_topk(
+                    jnp.asarray(q_pm1),
+                    jnp.asarray(q_scale),
+                    packed_dev,
+                    valid_dev,
+                    k,
+                    nbits,
+                    chunk_size=chunk,
+                )
+            else:
+                scores, idx = pm1_topk(
+                    jnp.asarray(q_pm1),
+                    jnp.asarray(q_scale),
+                    packed_dev,
+                    valid_dev,
+                    k,
+                    nbits,
+                    chunk_size=chunk,
+                    recall_target=self.recall_target,
+                )
             scores = np.asarray(scores)[:nq]
             idx = np.asarray(idx)[:nq]
             for qi in range(nq):

@@ -157,6 +157,87 @@ pm1_topk = jax.jit(
 )
 
 
+def pm1_blockmax_topk_impl(
+    q_pm1,
+    q_scale,
+    db_packed,
+    db_valid,
+    k,
+    nbits,
+    chunk_size=32768,
+    dtype=jnp.bfloat16,
+    block=128,
+):
+    # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
+    """
+    EXACT top-k via two phases, avoiding any per-chunk sort:
+
+    1. Scan chunks computing only per-128-row block maxima of the scores
+       (a cheap reduction fused into the matmul epilogue).
+    2. Take the top-k BLOCKS per query by maximum, gather those k*block rows,
+       rescore them exactly, and select the final top-k.
+
+    Exactness: every element scoring strictly above the true k-th score lives
+    in a block whose max exceeds it; at most k-1 such elements exist, so all
+    their blocks survive the top-k block cut, and each selected block
+    contributes at least one candidate >= the k-th score — the candidate set
+    always contains a complete top-k score multiset.
+
+    Same signature/semantics as pm1_topk_impl with recall_target=None, but
+    ~an order of magnitude cheaper than per-chunk lax.top_k at large N.
+    """
+    n = db_packed.shape[0]
+    q = q_pm1.shape[0]
+    if n % chunk_size or chunk_size % block:
+        raise ValueError("db size must divide by chunk_size and chunk_size by block")
+    nch = n // chunk_size
+    blocks_per_chunk = chunk_size // block
+    total_blocks = n // block
+    if total_blocks < k:
+        # Tiny database: the single-phase exact path is cheap enough.
+        return pm1_topk_impl(q_pm1, q_scale, db_packed, db_valid, k, nbits, chunk_size, dtype, None)
+
+    db_c = db_packed.reshape(nch, chunk_size, db_packed.shape[1])
+    valid_c = db_valid.reshape(nch, chunk_size)
+
+    def body(_, xs):
+        chunk, v = xs
+        s = _chunk_scores(q_pm1, q_scale, chunk, v, nbits, dtype)
+        return None, jnp.max(s.reshape(q, blocks_per_chunk, block), axis=2)
+
+    _, bm = jax.lax.scan(body, None, (db_c, valid_c))  # (nch, Q, bpc)
+    block_max = jnp.transpose(bm, (1, 0, 2)).reshape(q, total_blocks)
+
+    _, top_blocks = jax.lax.top_k(block_max, k)  # (Q, k) block ids
+
+    # Gather candidate rows and rescore exactly
+    rows = top_blocks[:, :, None] * block + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    rows = rows.reshape(q, k * block)  # (Q, k*block) global row ids
+    cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)  # (Q*k*block, L)
+    cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, k * block)
+    cand_pm1 = unpack_pm1(cand_packed, nbits, dtype).reshape(q, k * block, nbits)
+    acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
+    dots = jax.lax.dot_general(
+        q_pm1.astype(dtype)[:, None, :],
+        cand_pm1,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc_t,
+    ).reshape(q, k * block)
+    scores = 0.5 + dots.astype(jnp.float32) * q_scale[:, None]
+    scores = jnp.where(cand_valid, scores, NEG_SCORE)
+
+    fs, pos = jax.lax.top_k(scores, k)
+    fi = jnp.take_along_axis(rows, pos, axis=1)
+    fi = jnp.where(fs > NEG_SCORE, fi, -1)
+    return fs, fi
+
+
+pm1_blockmax_topk = jax.jit(
+    pm1_blockmax_topk_impl,
+    static_argnames=("k", "nbits", "chunk_size", "dtype", "block"),
+)
+
+
 def prepare_queries(q_packed, q_lanes, partition_bits):
     # type: (np.ndarray, np.ndarray, int) -> tuple[np.ndarray, np.ndarray]
     """

@@ -1,0 +1,105 @@
+"""Exactness tests for the two-phase block-max top-k (including heavy ties)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from iscc_search_tpu.ops import nphd_scores
+from iscc_search_tpu.ops.nphd import NEG_SCORE
+from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, prepare_queries
+
+
+def check_exact(packed, valid, q_packed, q_lanes, k, chunk, block):
+    n = packed.shape[0]
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    scores, idx = pm1_blockmax_topk(
+        jnp.asarray(q_pm1),
+        jnp.asarray(q_scale),
+        jnp.asarray(packed),
+        jnp.asarray(valid),
+        k,
+        256,
+        chunk_size=chunk,
+        block=block,
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+
+    lanes = np.full(n, 8, np.int32)
+    ref = np.array(nphd_scores(jnp.asarray(q_packed), jnp.asarray(q_lanes), jnp.asarray(packed), jnp.asarray(lanes)))
+    ref[:, ~valid] = NEG_SCORE
+    for qi in range(q_packed.shape[0]):
+        expected = np.sort(ref[qi])[::-1][:k]
+        got = np.sort(scores[qi])[::-1]
+        assert np.allclose(got, expected, atol=2e-3), (got, expected)
+        for r in range(k):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=2e-3)
+    return scores, idx
+
+
+def test_blockmax_random():
+    rng = np.random.default_rng(51)
+    n = 2048
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 100)] = False
+    check_exact(packed, valid, packed[:8], np.full(8, 8, np.int32), 10, 512, 128)
+
+
+def test_blockmax_heavy_ties():
+    """Many identical codes spread across blocks — ties must not lose scores."""
+    rng = np.random.default_rng(52)
+    n = 2048
+    base = rng.integers(0, 2**32, 8, dtype=np.uint32)
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    # Plant 60 exact copies of the query scattered widely (ties at score 1.0)
+    plant = rng.choice(n, 60, replace=False)
+    packed[plant] = base
+    valid = np.ones(n, bool)
+    q = base[None, :]
+    scores, idx = check_exact(packed, valid, q, np.array([8], np.int32), 10, 512, 128)
+    assert np.allclose(scores[0], 1.0, atol=1e-3)  # all top-10 are exact copies
+    assert set(idx[0]).issubset(set(plant.tolist()))
+
+
+def test_blockmax_all_topk_in_one_block():
+    """All true top-k rows concentrated in a single block."""
+    rng = np.random.default_rng(53)
+    n = 1024
+    base = rng.integers(0, 2**32, 8, dtype=np.uint32)
+    packed = np.tile(~base, (n, 1))  # everything is the complement (score ~0)
+    # One block (rows 256..384) holds near-duplicates of the query
+    for i in range(256, 266):
+        row = base.copy()
+        row[7] ^= 1 << (i - 256)  # flip one distinct bit each
+        packed[i] = row
+    valid = np.ones(n, bool)
+    scores, idx = check_exact(packed, valid, base[None, :], np.array([8], np.int32), 10, 256, 128)
+    assert set(idx[0]) == set(range(256, 266))
+
+
+def test_blockmax_tiny_db_fallback():
+    rng = np.random.default_rng(54)
+    n = 256
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    # total_blocks (2) < k (10) -> falls back to single-phase exact
+    check_exact(packed, valid, packed[:2], np.full(2, 8, np.int32), 10, 256, 128)
+
+
+def test_blockmax_fewer_valid_than_k():
+    rng = np.random.default_rng(55)
+    n = 2048
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.zeros(n, bool)
+    valid[[5, 600, 1500]] = True
+    q_pm1, q_scale = prepare_queries(packed[5:6], np.array([8], np.int32), 256)
+    scores, idx = pm1_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 10, 256,
+        chunk_size=512, block=128,
+    )
+    idx = np.asarray(idx)[0]
+    found = set(idx[idx >= 0].tolist())
+    assert 5 in found
+    assert found.issubset({5, 600, 1500})
