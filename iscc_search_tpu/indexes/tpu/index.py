@@ -41,6 +41,7 @@ from typing import TYPE_CHECKING
 
 from iscc_search_tpu import codec as ic
 from iscc_search_tpu.engine import simprint_ops as sp_ops
+from iscc_search_tpu.engine.batcher import SearchBatcher
 from iscc_search_tpu.engine.device_index import DeviceNphdIndex
 from iscc_search_tpu.engine.simprint import SimprintEngine
 from iscc_search_tpu.indexes import common
@@ -103,6 +104,7 @@ class TpuIndex:
         self._realm_id = None  # type: int | None
         self._nphd_indexes = {}  # type: dict[str, DeviceNphdIndex]
         self._simprint_indexes = {}  # type: dict[str, SimprintEngine]
+        self._batchers = {}  # type: dict[str, SearchBatcher]
         self._closed = False
         self._write_lock = threading.RLock()
         self._batch_counter = 0
@@ -338,7 +340,7 @@ class TpuIndex:
                 else:
                     if unit_type not in self._nphd_indexes:
                         continue
-                    found = self._nphd_indexes[unit_type].search_one(unit.body, limit)
+                    found = self._search_similarity_unit(unit_type, unit.body, limit)
                 for key, score in found.items():
                     slot = aggregated.setdefault(key, {})
                     slot[unit_type] = max(slot.get(unit_type, 0.0), max(0.0, score))
@@ -377,6 +379,27 @@ class TpuIndex:
             chunk_matches = [m for m in chunk_matches if m.iscc_id != query_iscc_id]
 
         return IsccSearchResult(query=query, global_matches=matches, chunk_matches=chunk_matches)
+
+    def _search_similarity_unit(self, unit_type, unit_body, limit):
+        # type: (str, bytes, int) -> dict[int, float]
+        """
+        NPHD scan for one query unit, routed through the per-type request
+        batcher when enabled (concurrent API calls fuse into one sweep).
+        """
+        nphd_index = self._nphd_indexes[unit_type]
+        if self._opts.search_batching:
+            batcher = self._batchers.get(unit_type)
+            if batcher is None:
+                batcher = SearchBatcher(
+                    nphd_index,
+                    max_batch=self._opts.query_batch_max,
+                    window_ms=self._opts.search_batching_window_ms,
+                )
+                self._batchers[unit_type] = batcher
+            ((keys, scores),) = batcher.search([unit_body], limit)
+        else:
+            ((keys, scores),) = nphd_index.search([unit_body], limit)
+        return {int.from_bytes(keys[i].tobytes(), "big"): float(scores[i]) for i in range(len(scores))}
 
     def _search_instance_unit(self, instance_code):
         # type: (bytes) -> dict[int, float]
@@ -532,6 +555,12 @@ class TpuIndex:
         with self._write_lock:
             if self._closed:
                 return
+            for batcher in self._batchers.values():
+                try:
+                    batcher.close()
+                except Exception:  # pragma: no cover
+                    logger.exception("Failed to close search batcher")
+            self._batchers.clear()
             for unit_type, nphd_index in list(self._nphd_indexes.items()):
                 try:
                     dirty = nphd_index.dirty > 0
@@ -604,6 +633,9 @@ class TpuIndex:
             return False
 
         shard_dir = self.path / unit_type
+        old_batcher = self._batchers.pop(unit_type, None)
+        if old_batcher is not None:
+            old_batcher.close()
         old = self._nphd_indexes.pop(unit_type, None)
         if old is not None:
             old.reset()

@@ -69,6 +69,17 @@ class SearchOptions(BaseModel):
         description="ISCC_SEARCH_SCAN_RECALL_TARGET - per-chunk top-k recall target; unset/1.0 = exact scan "
         "(recall 1.0); values < 1.0 trade a little recall for throughput (TPU approx_max_k)",
     )
+    search_batching: bool = Field(
+        True,
+        description="ISCC_SEARCH_SEARCH_BATCHING - coalesce concurrent searches into fused device sweeps "
+        "(adaptive: batches whatever queued while the previous sweep ran)",
+    )
+    search_batching_window_ms: float = Field(
+        0.0,
+        ge=0.0,
+        description="ISCC_SEARCH_SEARCH_BATCHING_WINDOW_MS - extra wait to fill a batch after the first "
+        "request (0 = adaptive only)",
+    )
 
     # Aggregator mode
     aggregator_network: str | None = Field(None, description="ISCC_SEARCH_AGGREGATOR_NETWORK - testnet or mainnet")

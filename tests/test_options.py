@@ -1,0 +1,88 @@
+"""SearchOptions env loading, override validation, and backend factory tests."""
+
+import pytest
+
+from iscc_search_tpu.indexes.kv import KvIndexManager
+from iscc_search_tpu.indexes.memory import MemoryIndex
+from iscc_search_tpu.indexes.tpu import TpuIndexManager
+from iscc_search_tpu.options import SearchOptions, get_index
+
+
+def test_defaults():
+    opts = SearchOptions()
+    assert opts.match_threshold_units == 0.75
+    assert opts.confidence_exponent == 4
+    assert opts.oversampling_factor == 20
+    assert opts.flush_interval == 100000
+    assert opts.scan_recall_target is None
+    assert not opts.aggregator_mode
+
+
+def test_from_env():
+    env = {
+        "ISCC_SEARCH_INDEX_URI": "memory://",
+        "ISCC_SEARCH_PORT": "9001",
+        "ISCC_SEARCH_MATCH_THRESHOLD_UNITS": "0.5",
+        "ISCC_SEARCH_SCAN_RECALL_TARGET": "0.95",
+        "ISCC_SEARCH_AGGREGATOR_NETWORK": "testnet",
+        "ISCC_SEARCH_CORS_ORIGINS": "https://a.com, https://b.com",
+        "UNRELATED": "x",
+    }
+    opts = SearchOptions.from_env(env)
+    assert opts.index_uri == "memory://"
+    assert opts.port == 9001
+    assert opts.match_threshold_units == 0.5
+    assert opts.scan_recall_target == 0.95
+    assert opts.aggregator_mode
+    assert opts.aggregator_index_name == "idptest"
+    assert opts.cors_origins_list == ["https://a.com", "https://b.com"]
+
+
+def test_invalid_network_rejected():
+    with pytest.raises(ValueError):
+        SearchOptions(aggregator_network="devnet")
+
+
+def test_override_validates():
+    opts = SearchOptions()
+    new = opts.override({"match_threshold_units": 0.9})
+    assert new.match_threshold_units == 0.9
+    assert opts.match_threshold_units == 0.75  # original untouched
+    with pytest.raises(Exception):
+        opts.override({"match_threshold_units": 2.0})
+
+
+def test_hub_list_source():
+    opts = SearchOptions(aggregator_network="mainnet")
+    assert "mainnet.yaml" in opts.aggregator_hub_list_source
+    opts2 = SearchOptions(aggregator_network="mainnet", aggregator_hub_list_url="/tmp/hubs.yaml")
+    assert opts2.aggregator_hub_list_source == "/tmp/hubs.yaml"
+
+
+def test_factory_memory():
+    assert isinstance(get_index("memory://"), MemoryIndex)
+
+
+def test_factory_kv_and_alias(tmp_path):
+    idx = get_index(f"kv://{tmp_path}/kv1")
+    assert isinstance(idx, KvIndexManager)
+    idx.close()
+    idx = get_index(f"lmdb://{tmp_path}/kv2")
+    assert isinstance(idx, KvIndexManager)
+    idx.close()
+
+
+def test_factory_tpu_and_alias(tmp_path):
+    idx = get_index(f"tpu://{tmp_path}/t1")
+    assert isinstance(idx, TpuIndexManager)
+    idx.close()
+    idx = get_index(f"usearch://{tmp_path}/t2")
+    assert isinstance(idx, TpuIndexManager)
+    idx.close()
+
+
+def test_factory_rejects_bad_uris(tmp_path):
+    with pytest.raises(ValueError):
+        get_index(str(tmp_path))  # no scheme
+    with pytest.raises(ValueError):
+        get_index("postgres://localhost/db")
