@@ -1,0 +1,197 @@
+"""
+Pallas TPU kernel: fused NPHD scan phase-1 (unpack + MXU matmul + block-max).
+
+The XLA scan materializes the unpacked ±1 codes (and per-chunk scores)
+through HBM between the unpack, the matmul, and the reduction. This kernel
+keeps the whole per-chunk pipeline in VMEM:
+
+    HBM --DMA--> packed (C, 8) uint32 in VMEM
+              -> unpack to (C, 256) ±1 bf16        (VPU)
+              -> dot(q (Q, 256), unpacked^T)       (MXU)
+              -> score = 0.5 + dot * q_scale       (VPU)
+              -> + validity penalty                (VPU)
+              -> max over 128-row blocks           (VPU)
+    VMEM --> (Q, C/128) block maxima --> HBM
+
+pallas pipelines the packed-block DMA against compute (grid over chunks with
+double-buffered BlockSpecs). The exact top-k then finishes in XLA exactly as
+in ops.pm1_scan.pm1_blockmax_topk (top-k blocks -> gather -> rescore).
+
+A second variant skips the unpack by reading pre-unpacked ±1 int8 codes
+(8x HBM footprint, lower VPU load) — a memory/speed trade exposed to the
+engine as a layout knob.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - exercised only on TPU backends
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, unpack_pm1
+
+BLOCK = 128  # rows per block-max cell (matches pm1_blockmax_topk)
+
+
+def _vmem():
+    return pltpu.VMEM if _HAS_PLTPU else None
+
+
+def _block_spec(shape, index_map):
+    if _HAS_PLTPU:
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, index_map)  # pragma: no cover - interpret mode
+
+
+def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk):
+    """One grid step: fused unpack + dot + scale + mask + 128-block max."""
+    q = q_ref[:]  # (Q, nbits) bf16
+    chunk_codes = db_ref[:]  # (C, nbits//32) uint32
+    d = unpack_pm1(chunk_codes, nbits, jnp.bfloat16)  # (C, nbits)
+    dot = jax.lax.dot_general(
+        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Q, C)
+    s = 0.5 + dot * qs_ref[:]  # qs (Q, 1) f32
+    s = s + pen_ref[:]  # (1, C): 0 valid / -4 invalid
+    qn = s.shape[0]
+    out_ref[:] = jnp.max(s.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
+
+
+def _scan_kernel_unpacked(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
+    """Same, reading pre-unpacked ±1 int8 codes (no unpack stage)."""
+    q = q_ref[:]  # (Q, nbits) bf16
+    d = db_ref[:].astype(jnp.bfloat16)  # (C, nbits)
+    dot = jax.lax.dot_general(
+        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = 0.5 + dot * qs_ref[:]
+    s = s + pen_ref[:]
+    qn = s.shape[0]
+    out_ref[:] = jnp.max(s.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "chunk_size", "interpret", "unpacked")
+)
+def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, interpret=False, unpacked=False):
+    # type: (...) -> jnp.ndarray
+    """
+    Fused phase-1 block maxima over the whole database.
+
+    :param q_pm1: (Q, nbits) ±1 float queries (prefix-masked)
+    :param q_scale: (Q,) float32 1/(2*min_bits)
+    :param db: (N, nbits//32) uint32 packed codes, or (N, nbits) int8 ±1 when
+        ``unpacked=True``; N % chunk_size == 0
+    :param db_valid: (N,) bool
+    :param interpret: run the kernel in interpreter mode (CPU testing)
+    :return: (Q, N // 128) float32 block maxima (invalid rows excluded)
+    """
+    n = db.shape[0]
+    q = q_pm1.shape[0]
+    if n % chunk_size or chunk_size % BLOCK:
+        raise ValueError("db rows must divide by chunk_size, chunk_size by 128")
+    nch = n // chunk_size
+
+    # Validity as an additive penalty row (broadcasts over queries in-kernel).
+    penalty = jnp.where(db_valid, 0.0, NEG_SCORE * 4.0).astype(jnp.float32)[None, :]  # (1, N)
+
+    q_bf = q_pm1.astype(jnp.bfloat16)
+    qs = q_scale.astype(jnp.float32)[:, None]  # (Q, 1)
+
+    if unpacked:
+        kernel = functools.partial(_scan_kernel_unpacked, chunk=chunk_size)
+        db_block = (chunk_size, db.shape[1])
+    else:
+        kernel = functools.partial(_scan_kernel_packed, nbits=nbits, chunk=chunk_size)
+        db_block = (chunk_size, db.shape[1])
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nch,),
+        in_specs=[
+            _block_spec((q, nbits), lambda i: (0, 0)),
+            _block_spec((q, 1), lambda i: (0, 0)),
+            _block_spec(db_block, lambda i: (i, 0)),
+            _block_spec((1, chunk_size), lambda i: (0, i)),
+        ],
+        out_specs=_block_spec((q, chunk_size // BLOCK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((q, n // BLOCK), jnp.float32),
+        interpret=interpret,
+    )(q_bf, qs, db, penalty)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nbits", "chunk_size", "interpret", "unpacked")
+)
+def pallas_blockmax_topk(
+    q_pm1, q_scale, db_packed, db_valid, k, nbits, chunk_size=16384, interpret=False, db_unpacked=None, unpacked=False
+):
+    # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
+    """
+    Exact top-k using the fused Pallas phase 1 + XLA phases 2-3.
+
+    Same contract as ops.pm1_scan.pm1_blockmax_topk. ``db_packed`` is always
+    required (phase-3 rescoring gathers packed rows); pass ``db_unpacked``
+    with ``unpacked=True`` to run phase 1 from the ±1 int8 layout.
+    """
+    n = db_packed.shape[0]
+    q = q_pm1.shape[0]
+    total_blocks = n // BLOCK
+
+    phase1_db = db_unpacked if unpacked else db_packed
+    block_max = pallas_blockmax(
+        q_pm1, q_scale, phase1_db, db_valid, nbits, chunk_size=chunk_size, interpret=interpret, unpacked=unpacked
+    )
+
+    kk = min(k, total_blocks)
+    _, top_blocks = jax.lax.top_k(block_max, kk)
+
+    rows = top_blocks[:, :, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+    rows = rows.reshape(q, kk * BLOCK)
+    cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)
+    cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, kk * BLOCK)
+    cand_pm1 = unpack_pm1(cand_packed, nbits, jnp.bfloat16).reshape(q, kk * BLOCK, nbits)
+    dots = jax.lax.dot_general(
+        q_pm1.astype(jnp.bfloat16)[:, None, :],
+        cand_pm1,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(q, kk * BLOCK)
+    scores = 0.5 + dots * q_scale[:, None]
+    scores = jnp.where(cand_valid, scores, NEG_SCORE)
+
+    out_k = min(k, scores.shape[1])
+    fs, pos = jax.lax.top_k(scores, out_k)
+    fi = jnp.take_along_axis(rows, pos, axis=1)
+    fi = jnp.where(fs > NEG_SCORE, fi, -1)
+    if out_k < k:  # pragma: no cover
+        fs = jnp.pad(fs, ((0, 0), (0, k - out_k)), constant_values=NEG_SCORE)
+        fi = jnp.pad(fi, ((0, 0), (0, k - out_k)), constant_values=-1)
+    return fs, fi
+
+
+def build_unpacked_db(db_packed, nbits, chunk_rows=65536):
+    # type: (jnp.ndarray, int, int) -> jnp.ndarray
+    """Device-side ±1 int8 layout builder (chunked to bound intermediates)."""
+    n = db_packed.shape[0]
+    pad = (-n) % chunk_rows
+    if pad:
+        db_packed = jnp.pad(db_packed, ((0, pad), (0, 0)))
+
+    def one(chunk):
+        return unpack_pm1(chunk, nbits, jnp.int8)
+
+    out = jax.lax.map(one, db_packed.reshape(-1, chunk_rows, db_packed.shape[1]))
+    return out.reshape(-1, nbits)[:n]

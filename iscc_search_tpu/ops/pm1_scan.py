@@ -57,7 +57,10 @@ def unpack_pm1(packed, nbits, dtype=jnp.bfloat16):
     occupies columns [64g, 64g+64).
     """
     lanes = nbits // 32
-    bits = (packed[:, :lanes, None] >> _shifts()[None, None, :]) & jnp.uint32(1)
+    # Shifts built via iota (not a captured constant) so this also works
+    # inside Pallas kernel bodies.
+    shifts = (31 - jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)).astype(jnp.uint32)
+    bits = (packed[:, :lanes, None] >> shifts) & jnp.uint32(1)
     bits = bits.reshape(packed.shape[0], nbits)
     return (bits.astype(dtype) * 2 - 1).astype(dtype)
 

@@ -1,0 +1,91 @@
+"""Pallas fused scan kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from iscc_search_tpu.ops import nphd_scores
+from iscc_search_tpu.ops.nphd import NEG_SCORE
+from iscc_search_tpu.ops.pallas_scan import build_unpacked_db, pallas_blockmax, pallas_blockmax_topk
+from iscc_search_tpu.ops.pm1_scan import prepare_queries
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(71)
+    n = 1024
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 60)] = False
+    q_packed = packed[:8]
+    q_lanes = np.full(8, 8, np.int32)
+    return packed, valid, q_packed, q_lanes
+
+
+def reference_scores(packed, valid, q_packed, q_lanes):
+    lanes = np.full(packed.shape[0], 8, np.int32)
+    ref = np.array(nphd_scores(jnp.asarray(q_packed), jnp.asarray(q_lanes), jnp.asarray(packed), jnp.asarray(lanes)))
+    ref[:, ~valid] = NEG_SCORE
+    return ref
+
+
+def test_pallas_blockmax_matches_reference(data):
+    packed, valid, q_packed, q_lanes = data
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    bm = np.asarray(
+        pallas_blockmax(
+            jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 256,
+            chunk_size=256, interpret=True,
+        )
+    )
+    ref = reference_scores(packed, valid, q_packed, q_lanes)
+    expected = ref.reshape(8, -1, 128).max(axis=2)
+    assert np.allclose(bm, expected, atol=2e-3)
+
+
+def test_pallas_blockmax_topk_exact(data):
+    packed, valid, q_packed, q_lanes = data
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    scores, idx = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 5, 256,
+        chunk_size=256, interpret=True,
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    ref = reference_scores(packed, valid, q_packed, q_lanes)
+    for qi in range(8):
+        expected = np.sort(ref[qi])[::-1][:5]
+        assert np.allclose(np.sort(scores[qi])[::-1], expected, atol=2e-3)
+        for r in range(5):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=2e-3)
+
+
+def test_pallas_unpacked_layout(data):
+    packed, valid, q_packed, q_lanes = data
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    db_unpacked = build_unpacked_db(jnp.asarray(packed), 256, chunk_rows=256)
+    assert db_unpacked.shape == (1024, 256)
+    scores, idx = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 5, 256,
+        chunk_size=256, interpret=True, db_unpacked=db_unpacked, unpacked=True,
+    )
+    ref = reference_scores(packed, valid, q_packed, q_lanes)
+    scores = np.asarray(scores)
+    for qi in range(8):
+        expected = np.sort(ref[qi])[::-1][:5]
+        assert np.allclose(np.sort(scores[qi])[::-1], expected, atol=2e-3)
+
+
+def test_pallas_variable_length_queries(data):
+    packed, valid, q_packed, q_lanes = data
+    # 64-bit query prefix of row 0
+    qp = np.zeros((1, 8), np.uint32)
+    qp[0, :2] = packed[0, :2]
+    q_pm1, q_scale = prepare_queries(qp, np.array([2], np.int32), 256)
+    scores, idx = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 3, 256,
+        chunk_size=256, interpret=True,
+    )
+    assert np.asarray(idx)[0, 0] == 0
+    assert np.asarray(scores)[0, 0] == pytest.approx(1.0, abs=1e-3)
