@@ -57,12 +57,14 @@ def unpack_pm1(packed, nbits, dtype=jnp.bfloat16):
     occupies columns [64g, 64g+64).
     """
     lanes = nbits // 32
-    # Shifts built via iota (not a captured constant) so this also works
-    # inside Pallas kernel bodies.
+    # Shifts built via iota (not a captured constant) and the 0/1 -> ±1 step
+    # via compare+select (no direct uint32 -> bf16 cast) so this expression
+    # also lowers inside Pallas/Mosaic kernel bodies.
     shifts = (31 - jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)).astype(jnp.uint32)
     bits = (packed[:, :lanes, None] >> shifts) & jnp.uint32(1)
     bits = bits.reshape(packed.shape[0], nbits)
-    return (bits.astype(dtype) * 2 - 1).astype(dtype)
+    one = jnp.ones((), dtype)
+    return jnp.where(bits > 0, one, -one)
 
 
 def unpack_pm1_np(packed, nbits, dtype=np.float32):
