@@ -54,11 +54,34 @@ def _block_spec(shape, index_map):
     return pl.BlockSpec(shape, index_map)  # pragma: no cover - interpret mode
 
 
-def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk):
+def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
+    """
+    Mosaic-friendly unpack: (C, L) uint32 -> (C, nbits) ±1 using only 2D ops.
+
+    Each lane value is element-repeated 32x along the lane axis (column c
+    then holds lane c//32), shifted by a per-column iota amount, and masked —
+    no 3D intermediates or shape casts, which Mosaic's layout inference
+    rejects.
+    """
+    c = chunk_codes.shape[0]
+    if interpret or not _HAS_PLTPU:
+        x = jnp.repeat(chunk_codes, 32, axis=1)  # (C, nbits)
+    else:
+        x = pltpu.repeat(chunk_codes, 32, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, nbits), 1)
+    shift = (31 - (col & 31)).astype(jnp.uint32)
+    bits = (x >> shift) & jnp.uint32(1)
+    # Select in f32 (same 32-bit tiling as the i1 mask — no relayout), then
+    # cast down; Mosaic rejects i1 -> 16-bit-tiled selects and u32 -> bf16.
+    pm1 = jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(-1.0))
+    return pm1.astype(dtype)
+
+
+def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk, interpret):
     """One grid step: fused unpack + dot + scale + mask + 128-block max."""
     q = q_ref[:]  # (Q, nbits) bf16
     chunk_codes = db_ref[:]  # (C, nbits//32) uint32
-    d = unpack_pm1(chunk_codes, nbits, jnp.bfloat16)  # (C, nbits)
+    d = _unpack_pm1_2d(chunk_codes, nbits, jnp.bfloat16, interpret)  # (C, nbits)
     dot = jax.lax.dot_general(
         q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Q, C)
@@ -113,7 +136,7 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
         kernel = functools.partial(_scan_kernel_unpacked, chunk=chunk_size)
         db_block = (chunk_size, db.shape[1])
     else:
-        kernel = functools.partial(_scan_kernel_packed, nbits=nbits, chunk=chunk_size)
+        kernel = functools.partial(_scan_kernel_packed, nbits=nbits, chunk=chunk_size, interpret=interpret)
         db_block = (chunk_size, db.shape[1])
 
     out = pl.pallas_call(
