@@ -139,6 +139,18 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
         kernel = functools.partial(_scan_kernel_packed, nbits=nbits, chunk=chunk_size, interpret=interpret)
         db_block = (chunk_size, db.shape[1])
 
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        # The f32 score tile (Q x chunk) plus the unpacked operand exceed the
+        # default 16 MiB scoped-VMEM budget at useful chunk sizes; size the
+        # budget to the actual working set (v5e has 128 MiB VMEM).
+        score_bytes = q * chunk_size * 4
+        operand_bytes = chunk_size * nbits * 2 * (1 if unpacked else 2)
+        budget = int((score_bytes + operand_bytes + q * nbits * 2) * 1.5) + (1 << 20)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(budget, 100 * 2**20)
+        )
+
     out = pl.pallas_call(
         kernel,
         grid=(nch,),
@@ -151,6 +163,7 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
         out_specs=_block_spec((q, chunk_size // BLOCK), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((q, n // BLOCK), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(q_bf, qs, db, penalty)
     return out
 
