@@ -35,14 +35,23 @@ def pack_codes(bodies, max_lanes=MAX_LANES):
     n = len(bodies)
     codes = np.zeros((n, max_lanes), dtype=np.uint32)
     nlanes = np.zeros((n,), dtype=np.int32)
+
+    # Bulk path: group rows by byte length and decode each group with one
+    # frombuffer (per-row struct decoding dominates ingest otherwise).
+    by_len = {}  # type: dict[int, list[int]]
     for i, body in enumerate(bodies):
-        if len(body) % 4 or len(body) == 0:
-            raise ValueError(f"code body length {len(body)} not a positive multiple of 4 bytes")
-        k = len(body) // 4
-        if k > max_lanes:
-            raise ValueError(f"code body too long: {len(body)} bytes > {4 * max_lanes}")
-        codes[i, :k] = np.frombuffer(body, dtype=">u4").astype(np.uint32)
-        nlanes[i] = k
+        nb = len(body)
+        if nb % 4 or nb == 0:
+            raise ValueError(f"code body length {nb} not a positive multiple of 4 bytes")
+        if nb > 4 * max_lanes:
+            raise ValueError(f"code body too long: {nb} bytes > {4 * max_lanes}")
+        by_len.setdefault(nb, []).append(i)
+        nlanes[i] = nb // 4
+    for nb, idxs in by_len.items():
+        k = nb // 4
+        blob = b"".join(bodies[i] for i in idxs)
+        arr = np.frombuffer(blob, dtype=">u4").reshape(len(idxs), k).astype(np.uint32)
+        codes[np.asarray(idxs), :k] = arr
     return codes, nlanes
 
 

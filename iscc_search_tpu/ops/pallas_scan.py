@@ -124,6 +124,10 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
     q = q_pm1.shape[0]
     if n % chunk_size or chunk_size % BLOCK:
         raise ValueError("db rows must divide by chunk_size, chunk_size by 128")
+    if not interpret and chunk_size < BLOCK * 128 and chunk_size != n:
+        # Mosaic requires the (Q, chunk/128) output block's lane dim to be a
+        # multiple of 128 (or the whole array): chunk_size >= 16384.
+        raise ValueError(f"chunk_size must be >= {BLOCK * 128} on TPU (got {chunk_size})")
     nch = n // chunk_size
 
     # Validity as an additive penalty row (broadcasts over queries in-kernel).
