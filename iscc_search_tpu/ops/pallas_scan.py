@@ -77,18 +77,31 @@ def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
     return pm1.astype(dtype)
 
 
+_SUBTILE = 4096  # rows unpacked+scored per inner step (bounds VMEM temporaries)
+
+
 def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk, interpret):
-    """One grid step: fused unpack + dot + scale + mask + 128-block max."""
+    """
+    One grid step: fused unpack + dot + scale + mask + 128-block max.
+
+    The chunk is processed in sub-tiles: every jnp op materializes a VMEM
+    temporary, so a full-chunk unpack would need ~8x the chunk in VMEM;
+    the statically unrolled sub-tile loop caps the live set.
+    """
     q = q_ref[:]  # (Q, nbits) bf16
-    chunk_codes = db_ref[:]  # (C, nbits//32) uint32
-    d = _unpack_pm1_2d(chunk_codes, nbits, jnp.bfloat16, interpret)  # (C, nbits)
-    dot = jax.lax.dot_general(
-        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Q, C)
-    s = 0.5 + dot * qs_ref[:]  # qs (Q, 1) f32
-    s = s + pen_ref[:]  # (1, C): 0 valid / -4 invalid
-    qn = s.shape[0]
-    out_ref[:] = jnp.max(s.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
+    qn = q.shape[0]
+    sub = min(_SUBTILE, chunk)
+    for t in range(chunk // sub):
+        codes = db_ref[t * sub : (t + 1) * sub, :]  # (sub, nbits//32) uint32
+        d = _unpack_pm1_2d(codes, nbits, jnp.bfloat16, interpret)  # (sub, nbits)
+        dot = jax.lax.dot_general(
+            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Q, sub)
+        s = 0.5 + dot * qs_ref[:]  # qs (Q, 1) f32
+        s = s + pen_ref[0:1, t * sub : (t + 1) * sub]  # 0 valid / -4 invalid
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = jnp.max(
+            s.reshape(qn, sub // BLOCK, BLOCK), axis=2
+        )
 
 
 def _scan_kernel_unpacked(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
@@ -145,15 +158,10 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
 
     kwargs = {}
     if _HAS_PLTPU and not interpret:
-        # The f32 score tile (Q x chunk) plus the unpacked operand exceed the
-        # default 16 MiB scoped-VMEM budget at useful chunk sizes; size the
-        # budget to the actual working set (v5e has 128 MiB VMEM).
-        score_bytes = q * chunk_size * 4
-        operand_bytes = chunk_size * nbits * 2 * (1 if unpacked else 2)
-        budget = int((score_bytes + operand_bytes + q * nbits * 2) * 1.5) + (1 << 20)
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(budget, 100 * 2**20)
-        )
+        # The sub-tiled kernel's live set (unpack temporaries + score tile +
+        # double-buffered input blocks) exceeds the default 16 MiB scoped-VMEM
+        # budget; grant it most of the chip's VMEM.
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
     out = pl.pallas_call(
         kernel,
