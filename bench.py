@@ -69,7 +69,22 @@ def main():
     q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
     q_pm1_d, q_scale_d = jnp.asarray(q_pm1), jnp.asarray(q_scale)
 
+    from iscc_search_tpu.ops.pallas_scan import build_unpacked_db, pallas_blockmax_topk
+
+    on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+    db_unpacked = None
+    if on_tpu:
+        t0 = time.perf_counter()
+        db_unpacked = build_unpacked_db(db_d, 256)
+        _ = np.asarray(db_unpacked[:1, :1])
+        details["unpacked_build_s"] = round(time.perf_counter() - t0, 2)
+
     def dispatch(mode):
+        if mode == "exact_pallas":
+            return pallas_blockmax_topk(
+                q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk,
+                db_unpacked=db_unpacked, unpacked=True,
+            )
         if mode == "exact":
             return pm1_blockmax_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk)
         return pm1_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk, recall_target=0.99)
@@ -80,7 +95,8 @@ def main():
     # order serializes them).
     repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 10))
     results = {}
-    for label in ("exact", "recall_0.99"):
+    modes = ["exact", "recall_0.99"] + (["exact_pallas"] if on_tpu else [])
+    for label in modes:
         t0 = time.perf_counter()
         s, i = dispatch(label)
         s, i = np.asarray(s), np.asarray(i)
@@ -102,7 +118,8 @@ def main():
     cpu_qps = cpu_brute_force_qps(packed, q_packed, k)
     details["cpu_brute_force_qps"] = round(cpu_qps, 3)
 
-    tpu_qps = results["exact"]["qps"]
+    # Headline: the best exact path (fused Pallas kernel when on TPU)
+    tpu_qps = max(results[m]["qps"] for m in results if m.startswith("exact"))
     details["speedup_exact_vs_cpu"] = round(tpu_qps / cpu_qps, 1)
     details["speedup_fast_vs_cpu"] = round(results["recall_0.99"]["qps"] / cpu_qps, 1)
 

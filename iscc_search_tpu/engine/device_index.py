@@ -39,6 +39,8 @@ import numpy as np
 from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
 from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries
 
+_PALLAS_MIN_CHUNK = 16384  # Mosaic output-block constraint (see ops/pallas_scan.py)
+
 _MIN_DEVICE_ROWS = 8192  # device partition capacity floor
 _DEFAULT_CHUNK_ROWS = 32768  # top-k scan chunk size (rows per matmul tile)
 
@@ -91,8 +93,10 @@ class PackedCodeIndex:
     # Per-row storage estimate for shard sizing: key + 8 lanes + nlanes + valid
     ROW_BYTES = 8 + MAX_LANES * 4 + 4 + 1
 
-    def __init__(self, path, max_dim=256, shard_size=512 * 1024 * 1024, ndim=None, recall_target=None):
-        # type: (str | Path, int, int, int | None, float | None) -> None
+    def __init__(
+        self, path, max_dim=256, shard_size=512 * 1024 * 1024, ndim=None, recall_target=None, scan_kernel="auto"
+    ):
+        # type: (str | Path, int, int, int | None, float | None, str) -> None
         """
         Create or open a packed-code index directory.
 
@@ -102,6 +106,9 @@ class PackedCodeIndex:
         :param ndim: Fixed code width in bits for the hamming metric
         :param recall_target: None = exact per-chunk top-k; float in (0,1) =
             TPU approx_max_k with that recall (throughput knob)
+        :param scan_kernel: "auto" (fused Pallas kernel with a ±1 int8 HBM
+            layout on TPU backends — ~1.5x the XLA path at 8x HBM footprint;
+            XLA elsewhere), "pallas", or "xla"
         """
         self.path = Path(path)
         self.max_dim = max_dim
@@ -109,6 +116,7 @@ class PackedCodeIndex:
         self.max_lanes = MAX_LANES
         self.shard_rows = max(1024, shard_size // self.ROW_BYTES)
         self.recall_target = recall_target if (recall_target is None or recall_target < 1.0) else None
+        self.scan_kernel = scan_kernel
         self._lock = threading.RLock()
 
         cap = _MIN_DEVICE_ROWS
@@ -253,12 +261,27 @@ class PackedCodeIndex:
         # Scan every partition, collect (global_rows, scores) per query
         cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
-        for lanes, (packed_dev, valid_dev, row_map, cap) in partitions.items():
+        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap, _DEFAULT_CHUNK_ROWS)
             k = min(max(1, count), chunk)
             q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
-            if self.recall_target is None:
+            if self.recall_target is None and unpacked_dev is not None:
+                # Exact: fused Pallas kernel over the ±1 int8 layout
+                from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk
+
+                scores, idx = pallas_blockmax_topk(
+                    jnp.asarray(q_pm1),
+                    jnp.asarray(q_scale),
+                    packed_dev,
+                    valid_dev,
+                    k,
+                    nbits,
+                    chunk_size=max(chunk, _PALLAS_MIN_CHUNK),
+                    db_unpacked=unpacked_dev,
+                    unpacked=True,
+                )
+            elif self.recall_target is None:
                 # Exact: two-phase block-max selection (no per-chunk sort)
                 scores, idx = pm1_blockmax_topk(
                     jnp.asarray(q_pm1),
@@ -425,6 +448,7 @@ class PackedCodeIndex:
         if not self._device_stale and self._partitions is not None:
             return self._partitions
 
+        use_pallas = self._use_pallas()
         partitions = {}
         rows = self._rows
         nlanes = self._nlanes[:rows]
@@ -437,15 +461,38 @@ class PackedCodeIndex:
             packed[:n] = self._codes[row_map][:, :lanes]
             valid = np.zeros((cap,), bool)
             valid[:n] = self._valid[row_map]
+            packed_dev = jax.device_put(jnp.asarray(packed))
+            unpacked_dev = None
+            if use_pallas and cap >= _PALLAS_MIN_CHUNK:
+                # ±1 int8 HBM layout feeding the fused Pallas kernel
+                from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
+
+                unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
             partitions[lanes] = (
-                jax.device_put(jnp.asarray(packed)),
+                packed_dev,
                 jax.device_put(jnp.asarray(valid)),
                 row_map,
                 cap,
+                unpacked_dev,
             )
         self._partitions = partitions
         self._device_stale = False
         return partitions
+
+    def _use_pallas(self):
+        # type: () -> bool
+        """Fused Pallas kernel on real TPU backends (or when forced)."""
+        if self.scan_kernel == "pallas":
+            return True
+        if self.scan_kernel != "auto":
+            return False
+        import jax
+
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover - no devices
+            return False
+        return platform not in ("cpu", "gpu")
 
     def _write_segment(self, seg):
         # type: (dict) -> None
@@ -558,6 +605,6 @@ class DeviceHammingIndex(PackedCodeIndex):
     metric = "hamming"
     key_bytes = 16
 
-    def __init__(self, path, ndim=128, shard_size=512 * 1024 * 1024):
-        # type: (str | Path, int, int) -> None
-        super().__init__(path, max_dim=ndim, shard_size=shard_size, ndim=ndim)
+    def __init__(self, path, ndim=128, shard_size=512 * 1024 * 1024, scan_kernel="auto"):
+        # type: (str | Path, int, int, str) -> None
+        super().__init__(path, max_dim=ndim, shard_size=shard_size, ndim=ndim, scan_kernel=scan_kernel)

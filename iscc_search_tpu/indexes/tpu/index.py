@@ -739,6 +739,7 @@ class TpuIndex:
             max_dim=self.max_dim,
             shard_size=self._opts.shard_size_units * 1024 * 1024,
             recall_target=self._opts.scan_recall_target,
+            scan_kernel=self._opts.scan_kernel,
         )
 
     def _new_simprint_index(self, sp_type, ndim):

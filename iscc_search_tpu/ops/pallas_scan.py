@@ -64,17 +64,18 @@ def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
     rejects.
     """
     c = chunk_codes.shape[0]
-    if interpret or not _HAS_PLTPU:
-        x = jnp.repeat(chunk_codes, 32, axis=1)  # (C, nbits)
-    else:
-        x = pltpu.repeat(chunk_codes, 32, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, nbits), 1)
-    shift = (31 - (col & 31)).astype(jnp.uint32)
-    bits = (x >> shift) & jnp.uint32(1)
-    # Select in f32 (same 32-bit tiling as the i1 mask — no relayout), then
-    # cast down; Mosaic rejects i1 -> 16-bit-tiled selects and u32 -> bf16.
-    pm1 = jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(-1.0))
-    return pm1.astype(dtype)
+    lanes = nbits // 32
+    # Per-lane broadcast + shift keeps every op 2D and preserves the canonical
+    # big-endian column order (pltpu.repeat tiles rather than element-repeats,
+    # which would permute columns relative to the host-side query layout).
+    shift_row = (31 - jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)).astype(jnp.uint32)
+    pieces = []
+    for l in range(lanes):
+        bits_l = (chunk_codes[:, l : l + 1] >> shift_row) & jnp.uint32(1)  # (C, 32)
+        # Select in f32 (same 32-bit tiling as the i1 mask — no relayout),
+        # then cast down; Mosaic rejects i1 -> 16-bit-tiled selects.
+        pieces.append(jnp.where(bits_l > 0, jnp.float32(1.0), jnp.float32(-1.0)))
+    return jnp.concatenate(pieces, axis=1).astype(dtype)
 
 
 _SUBTILE = 4096  # rows unpacked+scored per inner step (bounds VMEM temporaries)

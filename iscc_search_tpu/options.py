@@ -69,6 +69,12 @@ class SearchOptions(BaseModel):
         description="ISCC_SEARCH_SCAN_RECALL_TARGET - per-chunk top-k recall target; unset/1.0 = exact scan "
         "(recall 1.0); values < 1.0 trade a little recall for throughput (TPU approx_max_k)",
     )
+    scan_kernel: str = Field(
+        "auto",
+        pattern="^(auto|pallas|xla)$",
+        description="ISCC_SEARCH_SCAN_KERNEL - scan implementation: auto (fused Pallas kernel with ±1 int8 "
+        "HBM layout on TPU, XLA elsewhere), pallas, or xla",
+    )
     search_batching: bool = Field(
         True,
         description="ISCC_SEARCH_SEARCH_BATCHING - coalesce concurrent searches into fused device sweeps "
