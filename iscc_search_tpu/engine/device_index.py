@@ -264,7 +264,9 @@ class PackedCodeIndex:
         for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap, _DEFAULT_CHUNK_ROWS)
-            k = min(max(1, count), chunk)
+            # Bucket k to a power of two so user-supplied limits don't each
+            # trigger a fresh kernel compile; trim to `count` below.
+            k = min(_pow2ceil(max(1, count)), chunk)
             q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
             if self.recall_target is None and unpacked_dev is not None:
                 # Exact: fused Pallas kernel over the ±1 int8 layout
@@ -303,8 +305,8 @@ class PackedCodeIndex:
                     chunk_size=chunk,
                     recall_target=self.recall_target,
                 )
-            scores = np.asarray(scores)[:nq]
-            idx = np.asarray(idx)[:nq]
+            scores = np.asarray(scores)[:nq, :count]
+            idx = np.asarray(idx)[:nq, :count]
             for qi in range(nq):
                 sel = idx[qi] >= 0
                 cand_scores[qi].append(scores[qi][sel])
