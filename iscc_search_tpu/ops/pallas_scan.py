@@ -106,13 +106,11 @@ def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk
 
 
 def _scan_kernel_unpacked(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
-    """Same, reading pre-unpacked ±1 int8 codes (no unpack stage)."""
-    q = q_ref[:]  # (Q, nbits) bf16
-    d = db_ref[:].astype(jnp.bfloat16)  # (C, nbits)
+    """Same, reading pre-unpacked ±1 int8 codes: pure int8 MXU dot."""
     dot = jax.lax.dot_general(
-        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
-    s = 0.5 + dot * qs_ref[:]
+    s = 0.5 + dot.astype(jnp.float32) * qs_ref[:]
     s = s + pen_ref[:]
     qn = s.shape[0]
     out_ref[:] = jnp.max(s.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
@@ -147,7 +145,9 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
     # Validity as an additive penalty row (broadcasts over queries in-kernel).
     penalty = jnp.where(db_valid, 0.0, NEG_SCORE * 4.0).astype(jnp.float32)[None, :]  # (1, N)
 
-    q_bf = q_pm1.astype(jnp.bfloat16)
+    # int8 queries for the int8 MXU path (values ∈ {-1, 0, 1}); bf16 for the
+    # in-kernel unpack path (its select produces f32 -> bf16).
+    q_in = q_pm1.astype(jnp.int8) if unpacked else q_pm1.astype(jnp.bfloat16)
     qs = q_scale.astype(jnp.float32)[:, None]  # (Q, 1)
 
     if unpacked:
@@ -177,7 +177,7 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
         out_shape=jax.ShapeDtypeStruct((q, n // BLOCK), jnp.float32),
         interpret=interpret,
         **kwargs,
-    )(q_bf, qs, db, penalty)
+    )(q_in, qs, db, penalty)
     return out
 
 
@@ -209,16 +209,27 @@ def pallas_blockmax_topk(
 
     rows = top_blocks[:, :, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
     rows = rows.reshape(q, kk * BLOCK)
-    cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)
     cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, kk * BLOCK)
-    cand_pm1 = unpack_pm1(cand_packed, nbits, jnp.bfloat16).reshape(q, kk * BLOCK, nbits)
-    dots = jax.lax.dot_general(
-        q_pm1.astype(jnp.bfloat16)[:, None, :],
-        cand_pm1,
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(q, kk * BLOCK)
-    scores = 0.5 + dots * q_scale[:, None]
+    if unpacked:
+        # Rescore straight from the ±1 int8 layout: int8 gather + int8 dot
+        # (no unpack traffic in phase 3)
+        cand_pm1 = jnp.take(db_unpacked, rows.reshape(-1), axis=0).reshape(q, kk * BLOCK, nbits)
+        dots = jax.lax.dot_general(
+            q_pm1.astype(jnp.int8)[:, None, :],
+            cand_pm1,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).reshape(q, kk * BLOCK)
+    else:
+        cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)
+        cand_pm1 = unpack_pm1(cand_packed, nbits, jnp.bfloat16).reshape(q, kk * BLOCK, nbits)
+        dots = jax.lax.dot_general(
+            q_pm1.astype(jnp.bfloat16)[:, None, :],
+            cand_pm1,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(q, kk * BLOCK)
+    scores = 0.5 + dots.astype(jnp.float32) * q_scale[:, None]
     scores = jnp.where(cand_valid, scores, NEG_SCORE)
 
     out_k = min(k, scores.shape[1])
