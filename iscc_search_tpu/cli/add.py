@@ -20,14 +20,66 @@ BATCH_SIZE = 100
 
 def expand_pattern_to_files(pattern):
     # type: (str) -> list[Path]
-    """Expand a file path, directory, or glob into .iscc.json files."""
+    """Expand a file path, directory, or glob into ingestible files."""
     p = Path(pattern)
     if p.is_file():
         return [p]
     if p.is_dir():
-        return sorted(p.glob("*.iscc.json"))
+        files = list(p.glob("*.iscc.json")) + list(p.glob("*.ndjson")) + list(p.glob("*.jsonl"))
+        return sorted(files)
     parent = p.parent if p.parent != Path("") else Path(".")
     return sorted(parent.glob(p.name))
+
+
+def dict_to_entry(data, simprint_bits=None, include_simprints=True):
+    # type: (dict, int | None, bool) -> IsccEntry | None
+    """Convert one parsed .iscc.json document into an IsccEntry."""
+    entry = {}
+    for field in ("iscc_id", "iscc_code", "units", "metadata"):
+        if data.get(field) is not None:
+            entry[field] = data[field]
+    if "units" not in entry and data.get("iscc"):
+        entry["iscc_code"] = data["iscc"]
+    if include_simprints and data.get("features"):
+        simprints = parse_simprints_from_features(data["features"], simprint_bits)
+        if simprints:
+            entry["simprints"] = simprints
+    if not entry.get("iscc_code") and not entry.get("units"):
+        return None
+    if entry.get("iscc_code") and not entry.get("units"):
+        from iscc_search_tpu.models import IsccCode
+
+        entry["units"] = [str(u) for u in IsccCode(entry["iscc_code"]).units]
+    if not entry.get("iscc_id"):
+        from iscc_search_tpu.models import IsccID
+
+        entry["iscc_id"] = str(IsccID.random())
+    return IsccEntry(**entry)
+
+
+def iter_entries(path, simprint_bits=None, include_simprints=True):
+    # type: (Path, int | None, bool) -> ...
+    """Yield IsccEntry objects from a file (.iscc.json doc or NDJSON stream)."""
+    if path.suffix in (".ndjson", ".jsonl"):
+        with path.open("r", encoding="utf-8") as fh:
+            for lineno, line in enumerate(fh, 1):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    data = json.loads(line)
+                except Exception as e:
+                    logger.warning(f"Skipping {path}:{lineno}: invalid JSON ({e})")
+                    continue
+                entry = dict_to_entry(data, simprint_bits, include_simprints)
+                if entry is None:
+                    logger.warning(f"Skipping {path}:{lineno}: no iscc_code or units")
+                    continue
+                yield entry
+        return
+    entry = file_to_entry(path, simprint_bits, include_simprints)
+    if entry is not None:
+        yield entry
 
 
 def file_to_entry(path, simprint_bits=None, include_simprints=True):
@@ -38,30 +90,10 @@ def file_to_entry(path, simprint_bits=None, include_simprints=True):
     except Exception as e:
         logger.warning(f"Skipping {path}: invalid JSON ({e})")
         return None
-    entry = {}
-    for field in ("iscc_id", "iscc_code", "units", "metadata"):
-        if data.get(field) is not None:
-            entry[field] = data[field]
-    # Derive units from the iscc code when absent
-    if "units" not in entry and data.get("iscc"):
-        entry["iscc_code"] = data["iscc"]
-    if include_simprints and data.get("features"):
-        simprints = parse_simprints_from_features(data["features"], simprint_bits)
-        if simprints:
-            entry["simprints"] = simprints
-    if not entry.get("iscc_code") and not entry.get("units"):
+    entry = dict_to_entry(data, simprint_bits, include_simprints)
+    if entry is None:
         logger.warning(f"Skipping {path}: no iscc_code or units")
-        return None
-    # Units are required by the wire schema when present; derive from code
-    if entry.get("iscc_code") and not entry.get("units"):
-        from iscc_search_tpu.models import IsccCode
-
-        entry["units"] = [str(u) for u in IsccCode(entry["iscc_code"]).units]
-    if not entry.get("iscc_id"):
-        from iscc_search_tpu.models import IsccID
-
-        entry["iscc_id"] = str(IsccID.random())
-    return IsccEntry(**entry)
+    return entry
 
 
 @click.command("add")
@@ -95,13 +127,14 @@ def add_command(pattern, index_name, simprint_bits, no_simprints, batch_size):
 
     with timer(f"add {len(files)} files"):
         for path in files:
-            entry = file_to_entry(path, bits, include_simprints=not no_simprints)
-            if entry is None:
+            produced = 0
+            for entry in iter_entries(path, bits, include_simprints=not no_simprints):
+                produced += 1
+                batch.append(entry)
+                if len(batch) >= batch_size:
+                    flush_batch()
+            if produced == 0:
                 skipped += 1
-                continue
-            batch.append(entry)
-            if len(batch) >= batch_size:
-                flush_batch()
         flush_batch()
         index.close()
 

@@ -153,3 +153,14 @@ def test_parse_simprints_truncation():
 def test_parse_simprints_skips_incomplete():
     assert parse_simprints_from_features([]) is None
     assert parse_simprints_from_features([{"maintype": "", "subtype": "text", "simprints": ["x"]}]) is None
+
+
+def test_add_ndjson(runner, entry_factory):
+    r, manager, base = runner
+    r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
+    nd = base / "bulk.ndjson"
+    lines = [json.dumps(entry_factory()) for _ in range(5)]
+    nd.write_text("\n".join(lines) + "\n\n{invalid\n")
+    result = r.invoke(cli, ["add", str(nd)])
+    assert result.exit_code == 0, result.output
+    assert "5 created" in result.output
