@@ -53,6 +53,11 @@ def _pow2ceil(n):
     return p
 
 
+def _mesh_size(mesh):
+    # type: (...) -> int
+    return int(np.prod(list(mesh.shape.values())))
+
+
 def _atomic_write(path, data):
     # type: (Path, bytes) -> None
     """Write bytes durably: temp file + fsync + rename (single visible commit)."""
@@ -94,9 +99,16 @@ class PackedCodeIndex:
     ROW_BYTES = 8 + MAX_LANES * 4 + 4 + 1
 
     def __init__(
-        self, path, max_dim=256, shard_size=512 * 1024 * 1024, ndim=None, recall_target=None, scan_kernel="auto"
+        self,
+        path,
+        max_dim=256,
+        shard_size=512 * 1024 * 1024,
+        ndim=None,
+        recall_target=None,
+        scan_kernel="auto",
+        mesh=None,
     ):
-        # type: (str | Path, int, int, int | None, float | None, str) -> None
+        # type: (str | Path, int, int, int | None, float | None, str, ...) -> None
         """
         Create or open a packed-code index directory.
 
@@ -109,6 +121,9 @@ class PackedCodeIndex:
         :param scan_kernel: "auto" (fused Pallas kernel with a ±1 int8 HBM
             layout on TPU backends — ~1.5x the XLA path at 8x HBM footprint;
             XLA elsewhere), "pallas", or "xla"
+        :param mesh: optional jax.sharding.Mesh — partitions row-shard over
+            its single axis and searches run the sharded scan with an
+            all-gather top-k merge (multi-chip capacity scaling)
         """
         self.path = Path(path)
         self.max_dim = max_dim
@@ -117,6 +132,7 @@ class PackedCodeIndex:
         self.shard_rows = max(1024, shard_size // self.ROW_BYTES)
         self.recall_target = recall_target if (recall_target is None or recall_target < 1.0) else None
         self.scan_kernel = scan_kernel
+        self.mesh = mesh if mesh is not None and _mesh_size(mesh) > 1 else None
         self._lock = threading.RLock()
 
         cap = _MIN_DEVICE_ROWS
@@ -261,14 +277,29 @@ class PackedCodeIndex:
         # Scan every partition, collect (global_rows, scores) per query
         cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
+        n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
         for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
             nbits = lanes * 32
-            chunk = min(cap, _DEFAULT_CHUNK_ROWS)
+            chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
             # trigger a fresh kernel compile; trim to `count` below.
             k = min(_pow2ceil(max(1, count)), chunk)
             q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
-            if self.recall_target is None and unpacked_dev is not None:
+            if self.mesh is not None:
+                from iscc_search_tpu.parallel.pm1_sharded import sharded_pm1_topk
+
+                scores, idx = sharded_pm1_topk(
+                    self.mesh,
+                    jnp.asarray(q_pm1),
+                    jnp.asarray(q_scale),
+                    packed_dev,
+                    valid_dev,
+                    k,
+                    nbits,
+                    chunk_size=chunk,
+                    recall_target=self.recall_target,
+                )
+            elif self.recall_target is None and unpacked_dev is not None:
                 # Exact: fused Pallas kernel over the ±1 int8 layout
                 from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk
 
@@ -450,7 +481,8 @@ class PackedCodeIndex:
         if not self._device_stale and self._partitions is not None:
             return self._partitions
 
-        use_pallas = self._use_pallas()
+        use_pallas = self._use_pallas() and self.mesh is None
+        n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
         partitions = {}
         rows = self._rows
         nlanes = self._nlanes[:rows]
@@ -458,25 +490,29 @@ class PackedCodeIndex:
             lanes = int(lanes)
             row_map = np.flatnonzero(nlanes == lanes).astype(np.int32)
             n = len(row_map)
-            cap = max(_MIN_DEVICE_ROWS, _pow2ceil(n))
+            # Per-shard pow2 capacity; total capacity divides evenly by shards
+            per_shard = max(_MIN_DEVICE_ROWS, _pow2ceil(-(-n // n_shards)))
+            cap = per_shard * n_shards
             packed = np.zeros((cap, lanes), np.uint32)
             packed[:n] = self._codes[row_map][:, :lanes]
             valid = np.zeros((cap,), bool)
             valid[:n] = self._valid[row_map]
-            packed_dev = jax.device_put(jnp.asarray(packed))
+            if self.mesh is not None:
+                from iscc_search_tpu.parallel.pm1_sharded import shard_pm1_database
+
+                packed_dev, valid_dev = shard_pm1_database(
+                    self.mesh, jnp.asarray(packed), jnp.asarray(valid)
+                )
+            else:
+                packed_dev = jax.device_put(jnp.asarray(packed))
+                valid_dev = jax.device_put(jnp.asarray(valid))
             unpacked_dev = None
             if use_pallas and cap >= _PALLAS_MIN_CHUNK:
                 # ±1 int8 HBM layout feeding the fused Pallas kernel
                 from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
 
                 unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
-            partitions[lanes] = (
-                packed_dev,
-                jax.device_put(jnp.asarray(valid)),
-                row_map,
-                cap,
-                unpacked_dev,
-            )
+            partitions[lanes] = (packed_dev, valid_dev, row_map, cap, unpacked_dev)
         self._partitions = partitions
         self._device_stale = False
         return partitions

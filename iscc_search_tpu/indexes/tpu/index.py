@@ -732,6 +732,17 @@ class TpuIndex:
             types.append(sp_type)
             self.store.put(DB_META, b"sp_types", json.dumps(types).encode())
 
+    def _device_mesh(self):
+        # type: () -> ...
+        """Shared search mesh when mesh_devices > 1 (lazy, cached)."""
+        if self._opts.mesh_devices <= 1:
+            return None
+        if not hasattr(self, "_mesh"):
+            from iscc_search_tpu.parallel import make_mesh
+
+            self._mesh = make_mesh(self._opts.mesh_devices)
+        return self._mesh
+
     def _new_nphd_index(self, unit_type):
         # type: (str) -> DeviceNphdIndex
         return DeviceNphdIndex(
@@ -740,6 +751,7 @@ class TpuIndex:
             shard_size=self._opts.shard_size_units * 1024 * 1024,
             recall_target=self._opts.scan_recall_target,
             scan_kernel=self._opts.scan_kernel,
+            mesh=self._device_mesh(),
         )
 
     def _new_simprint_index(self, sp_type, ndim):

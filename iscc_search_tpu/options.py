@@ -69,6 +69,12 @@ class SearchOptions(BaseModel):
         description="ISCC_SEARCH_SCAN_RECALL_TARGET - per-chunk top-k recall target; unset/1.0 = exact scan "
         "(recall 1.0); values < 1.0 trade a little recall for throughput (TPU approx_max_k)",
     )
+    mesh_devices: int = Field(
+        0,
+        ge=0,
+        description="ISCC_SEARCH_MESH_DEVICES - shard NPHD partitions over this many devices "
+        "(0 = single device; >1 enables the sharded scan with all-gather top-k merge)",
+    )
     scan_kernel: str = Field(
         "auto",
         pattern="^(auto|pallas|xla)$",
