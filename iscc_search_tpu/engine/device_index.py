@@ -58,6 +58,32 @@ def _mesh_size(mesh):
     return int(np.prod(list(mesh.shape.values())))
 
 
+class _Partition:
+    """Device mirror of one code-length partition."""
+
+    __slots__ = ("packed_dev", "valid_dev", "unpacked_dev", "row_map", "cap", "count")
+
+    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count):
+        self.packed_dev = packed_dev
+        self.valid_dev = valid_dev
+        self.unpacked_dev = unpacked_dev
+        self.row_map = row_map  # (cap,) int32 global row per device row (junk rows -> 0, invalid)
+        self.cap = cap
+        self.count = count  # real rows uploaded
+
+
+def _device_append(buf, new, start):
+    # type: (...) -> ...
+    """In-place device append via donation (no host round-trip, no copy)."""
+    import jax
+
+    if not hasattr(_device_append, "_fn"):
+        _device_append._fn = jax.jit(
+            lambda b, n, s: jax.lax.dynamic_update_slice(b, n, (s, 0)), donate_argnums=0
+        )
+    return _device_append._fn(buf, new, start)
+
+
 def _atomic_write(path, data):
     # type: (Path, bytes) -> None
     """Write bytes durably: temp file + fsync + rename (single visible commit)."""
@@ -146,9 +172,13 @@ class PackedCodeIndex:
         self._segments = []  # type: list[dict]  # {"file", "start", "rows"} sealed on disk
         # Device mirror: rows partitioned by code length (lane count) so the
         # NPHD prefix scale is a per-query broadcast inside each partition
-        # (see ops/pm1_scan.py). {lanes: (packed_dev, valid_dev, row_map_np, cap)}
+        # (see ops/pm1_scan.py). {lanes: (packed_dev, valid_dev, row_map_np, cap, unpacked_dev)}
         self._partitions = None  # type: dict[int, tuple] | None
         self._device_stale = True
+        # Incremental sync bookkeeping: host rows already mirrored on device
+        # and whether tombstones changed since the last sync.
+        self._synced_rows = 0
+        self._valid_dirty = False
         self._closed = False
 
         if (self.path / "state.json").exists():
@@ -209,6 +239,7 @@ class PackedCodeIndex:
                 old = self._key_to_row.get(kb)
                 if old is not None:
                     self._valid[old] = False
+                    self._valid_dirty = True  # tombstone must reach the device mirror
                 row = start + i
                 self._keys[row] = np.frombuffer(kb, dtype=np.uint8)
                 self._key_to_row[kb] = row
@@ -233,6 +264,7 @@ class PackedCodeIndex:
                     self.dirty += 1
             if removed:
                 self._device_stale = True
+                self._valid_dirty = True
         return removed
 
     def get(self, key):
@@ -278,7 +310,9 @@ class PackedCodeIndex:
         cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
+        for lanes, part in partitions.items():
+            packed_dev, valid_dev = part.packed_dev, part.valid_dev
+            row_map, cap, unpacked_dev = part.row_map, part.cap, part.unpacked_dev
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
@@ -416,6 +450,8 @@ class PackedCodeIndex:
             self._segments = []
             self._partitions = None
             self._device_stale = True
+            self._synced_rows = 0
+            self._valid_dirty = False
             self.dirty = 0
 
     def drain_rotations(self):
@@ -481,41 +517,95 @@ class PackedCodeIndex:
         if not self._device_stale and self._partitions is not None:
             return self._partitions
 
-        use_pallas = self._use_pallas() and self.mesh is None
-        n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        partitions = {}
         rows = self._rows
-        nlanes = self._nlanes[:rows]
-        for lanes in np.unique(nlanes):
-            lanes = int(lanes)
-            row_map = np.flatnonzero(nlanes == lanes).astype(np.int32)
-            n = len(row_map)
-            # Per-shard pow2 capacity; total capacity divides evenly by shards
-            per_shard = max(_MIN_DEVICE_ROWS, _pow2ceil(-(-n // n_shards)))
-            cap = per_shard * n_shards
-            packed = np.zeros((cap, lanes), np.uint32)
-            packed[:n] = self._codes[row_map][:, :lanes]
-            valid = np.zeros((cap,), bool)
-            valid[:n] = self._valid[row_map]
-            if self.mesh is not None:
-                from iscc_search_tpu.parallel.pm1_sharded import shard_pm1_database
+        if self._partitions is None or self.mesh is not None or rows < self._synced_rows:
+            # Full (re)build: first sync, mesh placement (sharded arrays are
+            # rebuilt whole), or a compaction/reset shrank the row space.
+            self._partitions = {}
+            nlanes = self._nlanes[:rows]
+            for lanes in np.unique(nlanes):
+                lanes = int(lanes)
+                row_map = np.flatnonzero(nlanes == lanes).astype(np.int32)
+                self._partitions[lanes] = self._build_partition(lanes, row_map)
+        else:
+            # Incremental: append only rows added since the last sync; a
+            # partition whose capacity overflows is rebuilt alone.
+            new_lanes = self._nlanes[self._synced_rows : rows]
+            for lanes in np.unique(new_lanes):
+                lanes = int(lanes)
+                new_rows = (
+                    self._synced_rows + np.flatnonzero(new_lanes == lanes)
+                ).astype(np.int32)
+                part = self._partitions.get(lanes)
+                if part is None or part.count + len(new_rows) > part.cap:
+                    row_map = np.flatnonzero(self._nlanes[:rows] == lanes).astype(np.int32)
+                    self._partitions[lanes] = self._build_partition(lanes, row_map)
+                else:
+                    self._append_to_partition(part, lanes, new_rows)
+            if self._valid_dirty:
+                for lanes, part in self._partitions.items():
+                    valid = np.zeros((part.cap,), bool)
+                    live = part.row_map[: part.count]
+                    valid[: part.count] = self._valid[live]
+                    part.valid_dev = jax.device_put(jnp.asarray(valid))
 
-                packed_dev, valid_dev = shard_pm1_database(
-                    self.mesh, jnp.asarray(packed), jnp.asarray(valid)
-                )
-            else:
-                packed_dev = jax.device_put(jnp.asarray(packed))
-                valid_dev = jax.device_put(jnp.asarray(valid))
-            unpacked_dev = None
-            if use_pallas and cap >= _PALLAS_MIN_CHUNK:
-                # ±1 int8 HBM layout feeding the fused Pallas kernel
-                from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
-
-                unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
-            partitions[lanes] = (packed_dev, valid_dev, row_map, cap, unpacked_dev)
-        self._partitions = partitions
+        self._synced_rows = rows
+        self._valid_dirty = False
         self._device_stale = False
-        return partitions
+        return self._partitions
+
+    def _build_partition(self, lanes, row_map):
+        # type: (int, np.ndarray) -> _Partition
+        """Upload one partition from scratch (pow2 capacity + headroom)."""
+        import jax
+        import jax.numpy as jnp
+
+        n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
+        n = len(row_map)
+        per_shard = max(_MIN_DEVICE_ROWS, _pow2ceil(-(-n // n_shards)))
+        cap = per_shard * n_shards
+        packed = np.zeros((cap, lanes), np.uint32)
+        packed[:n] = self._codes[row_map][:, :lanes]
+        valid = np.zeros((cap,), bool)
+        valid[:n] = self._valid[row_map]
+        full_map = np.zeros((cap,), np.int32)
+        full_map[:n] = row_map
+        if self.mesh is not None:
+            from iscc_search_tpu.parallel.pm1_sharded import shard_pm1_database
+
+            packed_dev, valid_dev = shard_pm1_database(self.mesh, jnp.asarray(packed), jnp.asarray(valid))
+        else:
+            packed_dev = jax.device_put(jnp.asarray(packed))
+            valid_dev = jax.device_put(jnp.asarray(valid))
+        unpacked_dev = None
+        if self._use_pallas() and self.mesh is None and cap >= _PALLAS_MIN_CHUNK:
+            from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
+
+            unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
+        return _Partition(packed_dev, valid_dev, unpacked_dev, full_map, cap, n)
+
+    def _append_to_partition(self, part, lanes, new_rows):
+        # type: (_Partition, int, np.ndarray) -> None
+        """Donated in-place device append of new rows (no full re-upload)."""
+        import jax.numpy as jnp
+
+        m = len(new_rows)
+        start = part.count
+        new_packed = jnp.asarray(self._codes[new_rows][:, :lanes])
+        part.packed_dev = _device_append(part.packed_dev, new_packed, start)
+        valid = np.zeros((part.cap,), bool)
+        live_map = part.row_map
+        live_map[start : start + m] = new_rows
+        part.count = start + m
+        valid[: part.count] = self._valid[live_map[: part.count]]
+        import jax
+
+        part.valid_dev = jax.device_put(jnp.asarray(valid))
+        if part.unpacked_dev is not None:
+            from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
+
+            new_unpacked = build_unpacked_db(new_packed, lanes * 32)
+            part.unpacked_dev = _device_append(part.unpacked_dev, new_unpacked, start)
 
     def _use_pallas(self):
         # type: () -> bool
@@ -565,6 +655,9 @@ class PackedCodeIndex:
             except OSError:
                 pass
         self._segments = []
+        self._partitions = None  # row space rewritten: full device rebuild
+        self._synced_rows = 0
+        self._valid_dirty = False
         self._device_stale = True
         self.dirty += 1  # force persistence of the rewritten layout
 
@@ -609,6 +702,9 @@ class PackedCodeIndex:
         for i in range(pos):
             if self._valid[i]:
                 self._key_to_row[self._keys[i].tobytes()] = i
+        self._partitions = None
+        self._synced_rows = 0
+        self._valid_dirty = False
         self._device_stale = True
 
 
