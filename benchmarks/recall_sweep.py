@@ -1,0 +1,83 @@
+"""
+Recall@k vs QPS sweep for the approx_max_k fast path, against exact ground
+truth from the block-max scan.
+
+The reference's HNSW pays a permanent recall penalty set by expansion_search;
+here recall is a runtime knob. This script quantifies the trade on the
+device: measured recall@10 and amortized sweep QPS per recall_target.
+
+Run: PYTHONPATH=. python benchmarks/recall_sweep.py
+Writes benchmarks/RECALL.json. Size via ISCC_BENCH_N (default 10_485_760).
+"""
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries
+
+    n = int(os.environ.get("ISCC_BENCH_N", 10_485_760))
+    chunk = 32768
+    n = (n // chunk) * chunk
+    q, k = 256, 10
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    # Queries: noisy copies of db rows (realistic near-duplicate workload)
+    q_idx = (np.arange(q) * (n // q))
+    q_packed = packed[q_idx].copy()
+    flips = rng.integers(0, 2**32, (q, 8), dtype=np.uint32) & rng.integers(0, 2**32, (q, 8), dtype=np.uint32) & rng.integers(0, 2**32, (q, 8), dtype=np.uint32)
+    q_packed ^= flips  # ~12.5% bit flips
+    q_lanes = np.full(q, 8, np.int32)
+
+    db_d = jax.device_put(jnp.asarray(packed))
+    valid_d = jax.device_put(jnp.asarray(np.ones(n, bool)))
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    qp, qs = jnp.asarray(q_pm1), jnp.asarray(q_scale)
+
+    # Exact ground truth
+    ts, ti = pm1_blockmax_topk(qp, qs, db_d, valid_d, k, 256, chunk_size=chunk)
+    truth = [set(row[row >= 0].tolist()) for row in np.asarray(ti)]
+
+    results = {"n": n, "q": q, "k": k}
+    sweeps = {}
+    for target in (0.99, 0.95, 0.9):
+        s, i = pm1_topk(qp, qs, db_d, valid_d, k, 256, chunk_size=chunk, recall_target=target)
+        i_np = np.asarray(i)
+        hits = sum(len(truth[r] & set(i_np[r][i_np[r] >= 0].tolist())) for r in range(q))
+        recall = hits / (q * k)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _r in range(10):
+                out = pm1_topk(qp, qs, db_d, valid_d, k, 256, chunk_size=chunk, recall_target=target)
+            np.asarray(out[0])
+            best = min(best, (time.perf_counter() - t0) / 10)
+        sweeps[str(target)] = {"recall_at_10": round(recall, 4), "sweep_ms": round(best * 1e3, 2), "qps": round(q / best)}
+        print(f"target={target}: recall@10={recall:.4f} sweep={best*1e3:.1f}ms qps={q/best:.0f}", flush=True)
+
+    # Exact reference timing
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _r in range(10):
+            out = pm1_blockmax_topk(qp, qs, db_d, valid_d, k, 256, chunk_size=chunk)
+        np.asarray(out[0])
+        best = min(best, (time.perf_counter() - t0) / 10)
+    sweeps["exact"] = {"recall_at_10": 1.0, "sweep_ms": round(best * 1e3, 2), "qps": round(q / best)}
+    print(f"exact: sweep={best*1e3:.1f}ms qps={q/best:.0f}", flush=True)
+
+    results["sweeps"] = sweeps
+    Path(__file__).parent.joinpath("RECALL.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -297,7 +297,10 @@ class PackedCodeIndex:
 
         with self._lock:
             partitions = self._sync_device()
-            keys_snapshot = self._keys[: self._rows].copy()
+            # Reference snapshot is race-safe: rows are append-only (keys of
+            # existing rows never mutate; capacity growth rebinds self._keys
+            # to a new array, leaving this reference intact).
+            keys_snapshot = self._keys[: self._rows]
 
         q_codes, q_lanes = pack_codes([self._vector_bytes(b) for b in query_bodies], self.max_lanes)
         nq = len(query_bodies)
