@@ -420,18 +420,48 @@ int64_t ts_dup_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t bu
     return inserted;
 }
 
-// Get a plain value. Returns 1 and sets *val/*vlen (borrowed pointer, valid
-// until the next write) or 0 if absent.
-int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, const uint8_t** val, uint32_t* vlen) {
+// Get a plain value. Returns 1 and sets *val to a malloc'd copy (caller
+// frees via ts_free — an owned copy, so concurrent writers can't invalidate
+// it after the lock drops) or 0 if absent.
+int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, uint8_t** val, uint32_t* vlen) {
     Store* s = static_cast<Store*>(h);
     std::shared_lock lock(s->mtx);
     auto dbit = s->dbs.find(db);
     if (dbit == s->dbs.end()) return 0;
     auto it = dbit->second.data.find(Bytes(reinterpret_cast<const char*>(key), klen));
     if (it == dbit->second.data.end() || it->second.empty()) return 0;
-    *val = reinterpret_cast<const uint8_t*>(it->second[0].data());
-    *vlen = static_cast<uint32_t>(it->second[0].size());
+    const Bytes& v = it->second[0];
+    uint8_t* out = static_cast<uint8_t*>(malloc(v.size() ? v.size() : 1));
+    memcpy(out, v.data(), v.size());
+    *val = out;
+    *vlen = static_cast<uint32_t>(v.size());
     return 1;
+}
+
+// Batched plain put: concatenated [u32 klen][key][u32 vlen][val] pairs.
+// Returns the number of pairs applied (replacements count), -1 on malformed
+// input.
+int64_t ts_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t buflen) {
+    Store* s = static_cast<Store*>(h);
+    std::unique_lock lock(s->mtx);
+    int64_t applied = 0;
+    uint64_t off = 0;
+    while (off + 8 <= buflen) {
+        uint32_t klen;
+        memcpy(&klen, buf + off, 4);
+        off += 4;
+        if (off + klen + 4 > buflen) return -1;
+        Bytes key(reinterpret_cast<const char*>(buf + off), klen);
+        off += klen;
+        uint32_t vlen;
+        memcpy(&vlen, buf + off, 4);
+        off += 4;
+        if (off + vlen > buflen) return -1;
+        Bytes val(reinterpret_cast<const char*>(buf + off), vlen);
+        off += vlen;
+        if (log_and_apply(*s, OP_PUT, db, key, val)) applied++;
+    }
+    return applied;
 }
 
 // Iteration / scan results are serialized into a malloc'd buffer of

@@ -75,6 +75,8 @@ def _load_library():
             ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.ts_get.restype = ctypes.c_int
+        lib.ts_putmulti.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_u8p, ctypes.c_uint64]
+        lib.ts_putmulti.restype = ctypes.c_int64
         for name in ("ts_prefix_scan", "ts_get_dups", "ts_range_scan"):
             fn = getattr(lib, name)
             fn.argtypes = [
@@ -187,19 +189,35 @@ class HostStore:
         # type: (str, bytes, bytes) -> bool
         return bool(self._lib.ts_dup_del(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
-    def dup_putmulti(self, db, pairs):
-        # type: (str, list[tuple[bytes, bytes]]) -> int
-        """Batched dupsort insert (single native call; C loop)."""
-        if not pairs:
-            return 0
+    @staticmethod
+    def _encode_pairs(pairs):
+        # type: (list[tuple[bytes, bytes]]) -> bytes
         parts = []
         for key, val in pairs:
             parts.append(struct.pack("<I", len(key)))
             parts.append(key)
             parts.append(struct.pack("<I", len(val)))
             parts.append(val)
-        blob = b"".join(parts)
+        return b"".join(parts)
+
+    def dup_putmulti(self, db, pairs):
+        # type: (str, list[tuple[bytes, bytes]]) -> int
+        """Batched dupsort insert (single native call; C loop)."""
+        if not pairs:
+            return 0
+        blob = self._encode_pairs(pairs)
         n = self._lib.ts_dup_putmulti(self._h, db.encode(), _buf(blob), len(blob))
+        if n < 0:  # pragma: no cover - encoding is internal
+            raise ValueError("malformed putmulti buffer")
+        return int(n)
+
+    def putmulti(self, db, pairs):
+        # type: (str, list[tuple[bytes, bytes]]) -> int
+        """Batched plain put (replace semantics; single native call)."""
+        if not pairs:
+            return 0
+        blob = self._encode_pairs(pairs)
+        n = self._lib.ts_putmulti(self._h, db.encode(), _buf(blob), len(blob))
         if n < 0:  # pragma: no cover - encoding is internal
             raise ValueError("malformed putmulti buffer")
         return int(n)
@@ -217,7 +235,10 @@ class HostStore:
         ok = self._lib.ts_get(self._h, db.encode(), _buf(key), len(key), ctypes.byref(val_p), ctypes.byref(vlen))
         if not ok:
             return None
-        return ctypes.string_at(val_p, vlen.value)
+        try:
+            return ctypes.string_at(val_p, vlen.value)
+        finally:
+            self._lib.ts_free(val_p)
 
     def _scan(self, fn, db, arg, limit):
         out_len = ctypes.c_uint64()

@@ -165,3 +165,39 @@ def test_binary_keys_values(store):
     val = os.urandom(1024)
     store.put("bin", key, val)
     assert store.get("bin", key) == val
+
+
+def test_putmulti_plain(store):
+    pairs = [(bytes([i]), bytes([i * 2])) for i in range(10)]
+    assert store.putmulti("bulk", pairs) == 10
+    assert store.get("bulk", bytes([4])) == bytes([8])
+    # Replacement counts as applied
+    assert store.putmulti("bulk", [(bytes([4]), b"new")]) == 1
+    assert store.get("bulk", bytes([4])) == b"new"
+    assert store.entries("bulk") == 10
+
+
+def test_get_is_owned_copy_under_writes(store):
+    import threading
+
+    store.put("r", b"key", b"A" * 1000)
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            store.put("r", b"key", bytes([65 + (i % 26)]) * 1000)
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(2000):
+            v = store.get("r", b"key")
+            assert v is not None and len(v) == 1000
+            assert len(set(v)) == 1, "torn read detected"
+    finally:
+        stop.set()
+        t.join(5)
+    assert not errors
