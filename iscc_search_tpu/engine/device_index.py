@@ -58,6 +58,16 @@ def _mesh_size(mesh):
     return int(np.prod(list(mesh.shape.values())))
 
 
+def _unpacked_budget_bytes():
+    # type: () -> int
+    """
+    HBM budget for the ±1 int8 layout (8x the packed footprint). Partitions
+    beyond it serve from the packed layout via the XLA block-max path instead
+    of OOMing — ~25M 256-bit codes at the 6 GiB default.
+    """
+    return int(os.environ.get("ISCC_SEARCH_UNPACKED_MAX_BYTES", 6 * 1024**3))
+
+
 class _Partition:
     """Device mirror of one code-length partition."""
 
@@ -581,7 +591,12 @@ class PackedCodeIndex:
             packed_dev = jax.device_put(jnp.asarray(packed))
             valid_dev = jax.device_put(jnp.asarray(valid))
         unpacked_dev = None
-        if self._use_pallas() and self.mesh is None and cap >= _PALLAS_MIN_CHUNK:
+        if (
+            self._use_pallas()
+            and self.mesh is None
+            and cap >= _PALLAS_MIN_CHUNK
+            and cap * lanes * 32 <= _unpacked_budget_bytes()
+        ):
             from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
 
             unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
