@@ -141,13 +141,15 @@ class WsgiApp:
         # type: (Request) -> Response
         if request.method == "OPTIONS":
             return Response(None, status=204, headers=self._cors_headers(request))
+        # HEAD is served by the GET handler with the body stripped
+        effective_method = "GET" if request.method == "HEAD" else request.method
         path_matched = False
         for method, regex, fn in self._routes:
             m = regex.match(request.path)
             if not m:
                 continue
             path_matched = True
-            if method != request.method:
+            if method != effective_method:
                 continue
             request.path_params = m.groupdict()
             try:
@@ -167,6 +169,9 @@ class WsgiApp:
                 logger.error("Unhandled error:\n" + traceback.format_exc())
                 resp = Response({"detail": "Internal Server Error"}, status=500)
             resp.headers.update(self._cors_headers(request))
+            if request.method == "HEAD":
+                resp.headers.setdefault("Content-Length", str(len(resp.body)))
+                resp.body = b""
             return resp
         if path_matched:
             return Response({"detail": "Method Not Allowed"}, status=405)

@@ -212,3 +212,10 @@ class TestAggregatorMode:
     def test_aggregator_landing_page(self, agg_client):
         r = agg_client.get("/")
         assert "Aggregator" in r.text
+
+
+def test_head_request(client):
+    r = client.head("/healthz")
+    assert r.status_code == 200
+    assert r.content == b""
+    assert int(r.headers.get("Content-Length", 0)) > 0
