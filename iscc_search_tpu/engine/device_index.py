@@ -61,12 +61,12 @@ def _mesh_size(mesh):
 def _unpacked_budget_bytes():
     # type: () -> int
     """
-    HBM budget for the ±1 int8 layout (8x the packed footprint; the device-side
-    build transiently needs ~2x the layout). Partitions beyond it serve from
-    the packed layout via the XLA block-max path instead of OOMing —
-    ~16M 256-bit codes at the 4 GiB default on a 16 GB chip.
+    HBM budget for the ±1 int8 layout (8x the packed footprint; built
+    in-place with donation so the transient overhead is one chunk). Partitions
+    beyond it serve from the packed layout via the XLA block-max path instead
+    of OOMing — ~37M 256-bit codes at the 9 GiB default on a 16 GB chip.
     """
-    return int(os.environ.get("ISCC_SEARCH_UNPACKED_MAX_BYTES", 4 * 1024**3))
+    return int(os.environ.get("ISCC_SEARCH_UNPACKED_MAX_BYTES", 9 * 1024**3))
 
 
 class _Partition:

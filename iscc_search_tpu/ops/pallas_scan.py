@@ -242,16 +242,32 @@ def pallas_blockmax_topk(
     return fs, fi
 
 
+_UNPACK_APPEND = None
+
+
 def build_unpacked_db(db_packed, nbits, chunk_rows=65536):
     # type: (jnp.ndarray, int, int) -> jnp.ndarray
-    """Device-side ±1 int8 layout builder (chunked to bound intermediates)."""
+    """
+    Device-side ±1 int8 layout builder.
+
+    Writes chunk-wise into one preallocated buffer with donation, so peak HBM
+    is the output plus one chunk's intermediates (a lax.map would transiently
+    hold a second full copy of the output).
+    """
+    global _UNPACK_APPEND
     n = db_packed.shape[0]
-    pad = (-n) % chunk_rows
-    if pad:
-        db_packed = jnp.pad(db_packed, ((0, pad), (0, 0)))
-
-    def one(chunk):
-        return unpack_pm1(chunk, nbits, jnp.int8)
-
-    out = jax.lax.map(one, db_packed.reshape(-1, chunk_rows, db_packed.shape[1]))
-    return out.reshape(-1, nbits)[:n]
+    chunk_rows = min(chunk_rows, n)
+    if _UNPACK_APPEND is None:
+        _UNPACK_APPEND = jax.jit(
+            lambda buf, chunk, start, nb: jax.lax.dynamic_update_slice(
+                buf, unpack_pm1(chunk, nb, jnp.int8), (start, 0)
+            ),
+            static_argnums=(3,),
+            donate_argnums=0,
+        )
+    buf = jnp.zeros((n, nbits), jnp.int8)
+    for start in range(0, n, chunk_rows):
+        end = min(start + chunk_rows, n)
+        chunk = jax.lax.dynamic_slice_in_dim(db_packed, start, end - start, axis=0)
+        buf = _UNPACK_APPEND(buf, chunk, start, nbits)
+    return buf
