@@ -317,3 +317,30 @@ def test_derived_sizes_reported(idx, rng):
 
 def test_empty_add(idx):
     assert idx.add_assets([]) == []
+
+
+def test_simprint_near_match_soft_boundary(idx, rng):
+    """The scan path matches SIMILAR simprints (hamming within threshold),
+    not just exact collisions — soft-boundary semantics."""
+    rnd = np.random.default_rng(14)
+    sp = rnd.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    e = entry(
+        1,
+        [make_unit(ic.MT.DATA, 0, 64, rng=rng), make_unit(ic.MT.INSTANCE, 0, 64, rng=rng)],
+        simprints={"CONTENT_TEXT_V0": [{"simprint": ic.encode_base64(sp), "offset": 0, "size": 10}]},
+    )
+    idx.add_assets([e])
+    # Flip 8 of 128 bits -> similarity ~0.9375 (above the 0.75 threshold)
+    noisy = bytearray(sp)
+    for b in range(8):
+        noisy[b] ^= 1
+    q = IsccQuery(simprints={"CONTENT_TEXT_V0": [ic.encode_base64(bytes(noisy))]})
+    res = idx.search_assets(q, limit=5)
+    assert res.chunk_matches
+    chunk = res.chunk_matches[0].types["CONTENT_TEXT_V0"].chunks[0]
+    assert chunk.score == pytest.approx(1.0 - 8 / 128, abs=1e-3)
+    assert chunk.match == ic.encode_base64(sp)  # stored simprint returned
+    assert chunk.query == ic.encode_base64(bytes(noisy))
+    # The exact (hard-boundary) path does NOT match the noisy query
+    res_exact = idx.search_assets(q, limit=5, exact=True)
+    assert res_exact.chunk_matches == []
