@@ -323,11 +323,14 @@ class TpuIndex:
             query = IsccQuery(iscc_code=asset.iscc_code, units=asset.units, simprints=sp)
 
         query = common.normalize_query(query)
+        t_search = time.perf_counter()
 
         chunk_matches = []  # type: list[IsccChunkMatch]
         has_sp = bool(self._simprint_indexes) or bool(self._get_sp_types())
+        t_sp = time.perf_counter()
         if has_sp and query.simprints:
             chunk_matches = self._search_simprints(query, limit, exact=exact)
+        t_sp = time.perf_counter() - t_sp
 
         matches = []  # type: list[IsccGlobalMatch]
         if query.units:
@@ -378,6 +381,12 @@ class TpuIndex:
         if query_iscc_id:
             chunk_matches = [m for m in chunk_matches if m.iscc_id != query_iscc_id]
 
+        logger.debug(
+            f"search_assets units={len(query.units or [])} "
+            f"sp_types={len(query.simprints or {})} limit={limit} | "
+            f"simprints={t_sp:.3f}s TOTAL={time.perf_counter() - t_search:.3f}s "
+            f"-> {len(matches)} global, {len(chunk_matches)} chunk matches"
+        )
         return IsccSearchResult(query=query, global_matches=matches, chunk_matches=chunk_matches)
 
     def _search_similarity_unit(self, unit_type, unit_body, limit):
