@@ -65,17 +65,29 @@ def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
     """
     c = chunk_codes.shape[0]
     lanes = nbits // 32
-    # Per-lane broadcast + shift keeps every op 2D and preserves the canonical
-    # big-endian column order (pltpu.repeat tiles rather than element-repeats,
-    # which would permute columns relative to the host-side query layout).
-    shift_row = (31 - jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)).astype(jnp.uint32)
+    # Work in 128-column tiles (full VPU lane width). Each tile spans 4 uint32
+    # lanes; the per-column lane value is gathered with 4 masked broadcasts
+    # (uint32 multiply by a 0/1 mask), then shifted by a per-column iota.
+    # Column order stays canonical big-endian, matching the host-side query
+    # layout (pltpu.repeat is unusable here: it tiles rather than
+    # element-repeats, permuting columns).
+    tile_w = min(128, nbits)
+    lanes_per_tile = tile_w // 32
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, tile_w), 1)
+    lane_of_col = col >> 5  # 0..lanes_per_tile-1 within the tile
+    shift = (31 - (col & 31)).astype(jnp.uint32)
+    masks = [(lane_of_col == j).astype(jnp.uint32) for j in range(lanes_per_tile)]
     pieces = []
-    for l in range(lanes):
-        bits_l = (chunk_codes[:, l : l + 1] >> shift_row) & jnp.uint32(1)  # (C, 32)
+    for t in range(nbits // tile_w):
+        acc = chunk_codes[:, t * lanes_per_tile : t * lanes_per_tile + 1] * masks[0]
+        for j in range(1, lanes_per_tile):
+            acc += chunk_codes[:, t * lanes_per_tile + j : t * lanes_per_tile + j + 1] * masks[j]
+        bits = (acc >> shift) & jnp.uint32(1)
         # Select in f32 (same 32-bit tiling as the i1 mask — no relayout),
         # then cast down; Mosaic rejects i1 -> 16-bit-tiled selects.
-        pieces.append(jnp.where(bits_l > 0, jnp.float32(1.0), jnp.float32(-1.0)))
-    return jnp.concatenate(pieces, axis=1).astype(dtype)
+        pieces.append(jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(-1.0)))
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    return out.astype(dtype)
 
 
 _SUBTILE = 4096  # rows unpacked+scored per inner step (bounds VMEM temporaries)
