@@ -85,13 +85,15 @@ class _Partition:
 
 def _device_append(buf, new, start):
     # type: (...) -> ...
-    """In-place device append via donation (no host round-trip, no copy)."""
+    """
+    Functional device append (device-side copy, NO donation): a concurrent
+    search snapshot may still reference the old buffer, and donation would
+    invalidate it mid-flight. The copy runs at HBM speed (~ms for 10M rows).
+    """
     import jax
 
     if not hasattr(_device_append, "_fn"):
-        _device_append._fn = jax.jit(
-            lambda b, n, s: jax.lax.dynamic_update_slice(b, n, (s, 0)), donate_argnums=0
-        )
+        _device_append._fn = jax.jit(lambda b, n, s: jax.lax.dynamic_update_slice(b, n, (s, 0)))
     return _device_append._fn(buf, new, start)
 
 
@@ -307,7 +309,14 @@ class PackedCodeIndex:
         import jax.numpy as jnp
 
         with self._lock:
-            partitions = self._sync_device()
+            synced = self._sync_device()
+            # Snapshot partition buffers under the lock: a concurrent sync may
+            # rebind partition attributes, and a consistent (buffer, validity,
+            # row_map) triple must be used per partition.
+            partitions = {
+                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev)
+                for lanes, p in synced.items()
+            }
             # Reference snapshot is race-safe: rows are append-only (keys of
             # existing rows never mutate; capacity growth rebinds self._keys
             # to a new array, leaving this reference intact).
@@ -324,9 +333,7 @@ class PackedCodeIndex:
         cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        for lanes, part in partitions.items():
-            packed_dev, valid_dev = part.packed_dev, part.valid_dev
-            row_map, cap, unpacked_dev = part.row_map, part.cap, part.unpacked_dev
+        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
@@ -613,6 +620,9 @@ class PackedCodeIndex:
         new_packed = jnp.asarray(self._codes[new_rows][:, :lanes])
         part.packed_dev = _device_append(part.packed_dev, new_packed, start)
         valid = np.zeros((part.cap,), bool)
+        # In-place row_map growth is reader-safe: a concurrent search snapshot
+        # pairs this map with the OLD validity mask, which marks rows >= its
+        # count invalid, so the mutated tail is never dereferenced by it.
         live_map = part.row_map
         live_map[start : start + m] = new_rows
         part.count = start + m

@@ -98,3 +98,40 @@ def test_capacity_overflow_triggers_rebuild(tmp_path, monkeypatch):
     assert builds["n"] == 1  # overflow -> one full partition rebuild
     assert idx.size == 10 + n
     idx.close()
+
+
+def test_concurrent_search_during_appends(tmp_path):
+    """Readers must never crash or see torn state while a writer appends
+    (functional buffer updates keep old snapshots valid)."""
+    import threading
+
+    rng = np.random.default_rng(95)
+    idx = DeviceNphdIndex(tmp_path / "c")
+    base = bodies_of(rng, 64)
+    idx.add(list(range(64)), base)
+    idx.search_one(base[0], 3)  # initial sync
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                res = idx.search_one(base[3], 3)
+                assert res[3] == pytest.approx(1.0, abs=1e-3)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for batch in range(12):
+            ids = list(range(1000 + batch * 40, 1040 + batch * 40))
+            idx.add(ids, bodies_of(rng, 40))
+            idx.search_one(base[1], 2)  # force a sync between appends
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(20)
+    assert not errors
+    idx.close()
