@@ -89,3 +89,23 @@ def test_pallas_variable_length_queries(data):
     )
     assert np.asarray(idx)[0, 0] == 0
     assert np.asarray(scores)[0, 0] == pytest.approx(1.0, abs=1e-3)
+
+
+@pytest.mark.parametrize("nbits,lanes", [(64, 2), (128, 4)])
+def test_pallas_narrow_widths(nbits, lanes):
+    """64/128-bit partitions (short units, simprints) through both kernels."""
+    rng = np.random.default_rng(72)
+    n = 512
+    packed = rng.integers(0, 2**32, (n, lanes), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    q_packed = packed[:4]
+    q_pm1, q_scale = prepare_queries(q_packed, np.full(4, lanes, np.int32), nbits)
+    db_unpacked = build_unpacked_db(jnp.asarray(packed), nbits, chunk_rows=256)
+    for kwargs in ({}, {"db_unpacked": db_unpacked, "unpacked": True}):
+        scores, idx = pallas_blockmax_topk(
+            jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 3, nbits,
+            chunk_size=256, interpret=True, **kwargs,
+        )
+        idx = np.asarray(idx)
+        assert list(idx[:, 0]) == [0, 1, 2, 3]
+        assert np.allclose(np.asarray(scores)[:, 0], 1.0, atol=1e-3)
