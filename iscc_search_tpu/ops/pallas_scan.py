@@ -65,27 +65,29 @@ def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
     """
     c = chunk_codes.shape[0]
     lanes = nbits // 32
-    # Work in 128-column tiles (full VPU lane width). Each tile spans 4 uint32
-    # lanes; the per-column lane value is gathered with 4 masked broadcasts
-    # (uint32 multiply by a 0/1 mask), then shifted by a per-column iota.
-    # Column order stays canonical big-endian, matching the host-side query
-    # layout (pltpu.repeat is unusable here: it tiles rather than
-    # element-repeats, permuting columns).
-    tile_w = min(128, nbits)
-    lanes_per_tile = tile_w // 32
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, tile_w), 1)
-    lane_of_col = col >> 5  # 0..lanes_per_tile-1 within the tile
-    shift = (31 - (col & 31)).astype(jnp.uint32)
-    masks = [(lane_of_col == j).astype(jnp.uint32) for j in range(lanes_per_tile)]
+    # Work in up-to-128-column segments (full VPU lane width). Each segment
+    # spans up to 4 uint32 lanes; the per-column lane value is gathered with
+    # masked broadcasts (uint32 multiply by a 0/1 mask), then shifted by a
+    # per-column iota. Column order stays canonical big-endian, matching the
+    # host-side query layout (pltpu.repeat is unusable here: it tiles rather
+    # than element-repeats, permuting columns). Widths that are not multiples
+    # of 128 (e.g. 192-bit units) get a trailing narrower segment.
     pieces = []
-    for t in range(nbits // tile_w):
-        acc = chunk_codes[:, t * lanes_per_tile : t * lanes_per_tile + 1] * masks[0]
-        for j in range(1, lanes_per_tile):
-            acc += chunk_codes[:, t * lanes_per_tile + j : t * lanes_per_tile + j + 1] * masks[j]
+    lane_base = 0
+    while lane_base < lanes:
+        seg_lanes = min(4, lanes - lane_base)
+        seg_w = seg_lanes * 32
+        col = jax.lax.broadcasted_iota(jnp.int32, (c, seg_w), 1)
+        lane_of_col = col >> 5  # 0..seg_lanes-1 within the segment
+        shift = (31 - (col & 31)).astype(jnp.uint32)
+        acc = chunk_codes[:, lane_base : lane_base + 1] * (lane_of_col == 0).astype(jnp.uint32)
+        for j in range(1, seg_lanes):
+            acc += chunk_codes[:, lane_base + j : lane_base + j + 1] * (lane_of_col == j).astype(jnp.uint32)
         bits = (acc >> shift) & jnp.uint32(1)
         # Select in f32 (same 32-bit tiling as the i1 mask — no relayout),
         # then cast down; Mosaic rejects i1 -> 16-bit-tiled selects.
         pieces.append(jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(-1.0)))
+        lane_base += seg_lanes
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
     return out.astype(dtype)
 

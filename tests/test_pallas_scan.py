@@ -91,7 +91,7 @@ def test_pallas_variable_length_queries(data):
     assert np.asarray(scores)[0, 0] == pytest.approx(1.0, abs=1e-3)
 
 
-@pytest.mark.parametrize("nbits,lanes", [(64, 2), (128, 4)])
+@pytest.mark.parametrize("nbits,lanes", [(64, 2), (128, 4), (192, 6)])
 def test_pallas_narrow_widths(nbits, lanes):
     """64/128-bit partitions (short units, simprints) through both kernels."""
     rng = np.random.default_rng(72)
