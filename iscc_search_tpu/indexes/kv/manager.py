@@ -111,5 +111,8 @@ class KvIndexManager:
 
     def _validate_exists(self, name):
         # type: (str) -> None
+        # Pattern check first: crafted names must never address paths
+        # outside the base directory.
+        common.validate_index_name(name)
         if not self._index_path(name).exists():
             raise FileNotFoundError(f"Index '{name}' not found")

@@ -129,6 +129,9 @@ class TpuIndexManager:
 
     def _validate_index_exists(self, name):
         # type: (str) -> None
+        # Pattern check BEFORE any filesystem access so crafted names
+        # (e.g. "..") can never address paths outside the base directory.
+        common.validate_index_name(name)
         if not (self.base_path / name / "store").exists():
             raise FileNotFoundError(f"Index '{name}' not found")
 

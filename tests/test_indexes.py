@@ -179,3 +179,17 @@ def test_realm_mismatch_rejected(backend, entry_factory):
 def test_close_idempotent(backend):
     backend.close()
     backend.close()
+
+
+def test_crafted_names_rejected_before_filesystem(backend, tmp_path):
+    """Names like '..' must never address paths outside the base directory."""
+    if isinstance(backend, MemoryIndex):
+        pytest.skip("memory backend has no filesystem")
+    for name in ("..", "a..b".replace("..", ".."), "UPPER"):
+        with pytest.raises((ValueError, FileNotFoundError)):
+            backend.get_index(name)
+        with pytest.raises((ValueError, FileNotFoundError)):
+            backend.delete_index(name)
+    # Specifically: '..' raises ValueError (pattern), not a path operation
+    with pytest.raises(ValueError):
+        backend.delete_index("..")
