@@ -164,3 +164,22 @@ def test_add_ndjson(runner, entry_factory):
     result = r.invoke(cli, ["add", str(nd)])
     assert result.exit_code == 0, result.output
     assert "5 created" in result.output
+
+
+def test_serve_rejects_multi_worker(runner, tmp_path):
+    r, _, base = runner
+    result = r.invoke(
+        cli, ["serve", "--workers", "2", "--index-uri", f"tpu://{base}/srv"]
+    )
+    assert result.exit_code == 1
+    assert "Multi-worker" in result.output
+
+
+def test_serve_rejects_multi_worker_aggregator(runner, monkeypatch):
+    import iscc_search_tpu.options as opts_mod
+
+    r, _, _ = runner
+    monkeypatch.setattr(opts_mod, "search_opts", opts_mod.SearchOptions(
+        index_uri="memory://", aggregator_network="testnet"))
+    result = r.invoke(cli, ["serve", "--workers", "2", "--index-uri", "memory://"])
+    assert result.exit_code == 1
