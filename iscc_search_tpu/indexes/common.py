@@ -121,6 +121,42 @@ def validate_iscc_id(iscc_id, expected_realm=None):
         )
 
 
+def parse_iscc_id(iscc_id, expected_realm=None):
+    # type: (str, int | None) -> ...
+    """
+    Validate and decode an ISCC-ID in one pass (single base32 + header decode).
+
+    Same checks as validate_iscc_id, returning the decoded IsccID so callers
+    don't decode twice on hot ingest paths.
+    """
+    from iscc_search_tpu.models import IsccID
+
+    if not iscc_id or not iscc_id.startswith("ISCC:"):
+        raise ValueError(f"Invalid ISCC-ID format: '{iscc_id}' (must start with 'ISCC:')")
+    try:
+        obj = IsccID(iscc_id)
+    except ValueError as e:
+        raise ValueError(f"Invalid ISCC-ID base32 encoding: {e}")
+    if len(obj.digest) != 10:
+        raise ValueError(
+            f"Invalid ISCC-ID length: {len(obj.digest)} bytes (expected 10 bytes = 2-byte header + 8-byte body)"
+        )
+    fields = obj.fields
+    if fields.maintype != ic.MT.ID:
+        raise ValueError(f"Invalid ISCC-ID main type: {fields.maintype} (expected {int(ic.MT.ID)})")
+    if fields.length != 0:
+        raise ValueError(
+            f"Invalid ISCC-ID length field: {fields.length} (expected 0 for 64-bit ISCC-ID v1). "
+            f"ISCC-ID '{iscc_id}' appears to be malformed."
+        )
+    if expected_realm is not None and fields.subtype != expected_realm:
+        raise ValueError(
+            f"Realm mismatch: ISCC-ID '{iscc_id}' has realm={fields.subtype}, "
+            f"but expected realm={expected_realm}. Cannot query assets from different realm."
+        )
+    return obj
+
+
 def normalize_query(query):
     # type: (IsccQuery) -> IsccQuery
     """

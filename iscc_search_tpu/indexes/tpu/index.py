@@ -157,7 +157,8 @@ class TpuIndex:
             for i, asset in enumerate(assets):
                 if asset.iscc_id is None:
                     raise ValueError("Asset must have iscc_id field when adding to index")
-                asset_realm = common.extract_realm_id(asset.iscc_id)
+                iscc_id_obj = common.parse_iscc_id(asset.iscc_id)  # single decode
+                asset_realm = iscc_id_obj.realm_id
                 if self._realm_id != asset_realm:
                     raise ValueError(
                         f"Realm ID mismatch: index has realm={self._realm_id}, "
@@ -165,7 +166,6 @@ class TpuIndex:
                         f"All assets in an index must have the same realm ID."
                     )
 
-                iscc_id_obj = IsccID(asset.iscc_id)
                 key = int(iscc_id_obj)
                 key_bytes = struct.pack(">Q", key)
                 iscc_id_body = iscc_id_obj.body

@@ -17,6 +17,9 @@ import numpy as np
 
 from iscc_search_tpu import codec as ic
 
+# 2-byte header -> type string (see IsccBase.iscc_type)
+_TYPE_CACHE = {}  # type: dict[bytes, str]
+
 
 def new_iscc_id():
     # type: () -> bytes
@@ -80,11 +83,21 @@ class IsccBase:
     def iscc_type(self):
         # type: () -> str
         """Type string "MAINTYPE_SUBTYPE_VERSION" (e.g. "CONTENT_TEXT_V0")."""
+        # All currently defined field values fit a 2-byte header, so the type
+        # string is fully determined by those bytes — cache process-wide
+        # (unit-type resolution dominates bulk-ingest profiles otherwise).
+        header = self.digest[:2]
+        cached = _TYPE_CACHE.get(header)
+        if cached is not None and not ((header[0] | header[1]) & 0x88):
+            return cached
         mt = ic.MT(self.fields.maintype)
         st_enum = ic.SUBTYPE_MAP.get((mt, ic.VS(self.fields.version)), ic.ST)
         st = st_enum(self.fields.subtype)
         vs = ic.VS(self.fields.version)
-        return f"{mt.name}_{st.name}_{vs.name}"
+        result = f"{mt.name}_{st.name}_{vs.name}"
+        if not ((header[0] | header[1]) & 0x88):
+            _TYPE_CACHE[header] = result
+        return result
 
     def __str__(self):
         # type: () -> str
