@@ -101,6 +101,34 @@ def main():
         idx2.close()
         idx.close()
 
+    # ---- end-to-end TpuIndex ingest rate (store + derived indexes) ----
+    from iscc_search_tpu import codec as ic_codec
+    from iscc_search_tpu.indexes.tpu import TpuIndex
+    from iscc_search_tpu.schema import IsccEntry
+
+    n_ing = max(2000, int(20_000 * scale))
+
+    def _unit(mt):
+        body = rng.integers(0, 256, 8, dtype=np.uint8).tobytes()
+        h = ic_codec.encode_header(mt, 0, 0, ic_codec.encode_length(mt, 64))
+        return "ISCC:" + ic_codec.encode_base32(h + body)
+
+    ing_entries = [
+        IsccEntry(
+            iscc_id=ic_codec.gen_iscc_id_v1(i + 1, 0, 0)["iscc"],
+            units=[_unit(ic_codec.MT.CONTENT), _unit(ic_codec.MT.DATA), _unit(ic_codec.MT.INSTANCE)],
+        )
+        for i in range(n_ing)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        tix = TpuIndex(Path(tmp) / "ing", search_batching=False)
+        t0 = time.perf_counter()
+        for s in range(0, n_ing, 1000):
+            tix.add_assets(ing_entries[s : s + 1000])
+        dt = time.perf_counter() - t0
+        results["tpuindex_ingest_assets_per_s"] = round(n_ing / dt)
+        tix.close()
+
     # ---- config 4: SIMPRINT granular (scaled) ----
     from iscc_search_tpu.engine.simprint import SimprintEngine
 

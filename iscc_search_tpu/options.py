@@ -102,6 +102,12 @@ class SearchOptions(BaseModel):
     # Logging
     log_level: str = Field("info", description="ISCC_SEARCH_LOG_LEVEL")
 
+    # Error tracking (optional; requires sentry-sdk to be installed)
+    sentry_dsn: str | None = Field(None, description="ISCC_SEARCH_SENTRY_DSN - disabled when unset")
+    sentry_traces_sample_rate: float = Field(
+        0.05, ge=0.0, le=1.0, description="ISCC_SEARCH_SENTRY_TRACES_SAMPLE_RATE"
+    )
+
     @field_validator("aggregator_network")
     @classmethod
     def validate_aggregator_network(cls, value):

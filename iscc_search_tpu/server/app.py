@@ -48,6 +48,24 @@ def _dump(model):
     return model.model_dump(mode="json", exclude_unset=True, exclude_none=True)
 
 
+def init_sentry(opts):
+    # type: (...) -> bool
+    """
+    Optional error tracking: initialized only when a DSN is configured AND
+    sentry-sdk is installed (reference parity: env-gated, 5% default traces).
+    """
+    if not getattr(opts, "sentry_dsn", None):
+        return False
+    try:
+        import sentry_sdk
+    except ImportError:
+        logger.warning("ISCC_SEARCH_SENTRY_DSN set but sentry-sdk is not installed")
+        return False
+    sentry_sdk.init(dsn=opts.sentry_dsn, traces_sample_rate=opts.sentry_traces_sample_rate)
+    logger.info("Sentry error tracking initialized")
+    return True
+
+
 def create_app(index=None, opts=None):
     # type: (..., ...) -> WsgiApp
     """
@@ -60,6 +78,7 @@ def create_app(index=None, opts=None):
     from iscc_search_tpu.options import get_index, search_opts
 
     opts = opts or search_opts
+    init_sentry(opts)
     app = WsgiApp(cors_origins=opts.cors_origins_list)
 
     if index is None:
