@@ -3,9 +3,11 @@ Transparency-log poller (async I/O shell over the Sans-IO cores).
 
 Parity with reference aggregator/poller.py: plan bundles covering new
 records, poll each hub with per-hub error isolation, handle checkpoint
-regression by re-backfilling from leaf 0, keep in-memory cursors (restart
-re-backfills; add_assets is an idempotent upsert so at-least-once is safe),
-and publish per-hub HubStatus for /status.
+regression by re-backfilling from leaf 0, and publish per-hub HubStatus for
+/status. Beyond the reference (which keeps cursors in memory and
+re-backfills on restart), cursors persist next to durable backends via
+aggregator.cursors — add_assets stays an idempotent upsert, so at-least-once
+delivery remains safe either way.
 """
 
 from __future__ import annotations
@@ -117,18 +119,21 @@ async def poll_hub_once(client, hub, last_size, index, index_name, network, stop
     return PollResult(last_size=processed, counts=counts)
 
 
-async def poll_loop(index, opts, stop_event, client, status):
-    # type: (..., SearchOptions, asyncio.Event, httpx.AsyncClient, dict[int, HubStatus]) -> None
+async def poll_loop(index, opts, stop_event, client, status, cursor_store=None):
+    # type: (..., SearchOptions, asyncio.Event, httpx.AsyncClient, dict[int, HubStatus], ...) -> None
     """
     Refresh the hub list and poll every hub until stopped.
 
     Hub-list refresh failure keeps the last-known-good list (retry at the
     short poll interval); an empty list is benign idle; hubs leaving a
     non-empty refreshed list are pruned from status (empty refreshes prune
-    nothing so cursors survive transient outages).
+    nothing so cursors survive transient outages). With a durable backend,
+    cursors are seeded from and persisted to ``cursor_store`` so restarts
+    resume from the last ingested bundle instead of re-backfilling.
     """
     network = opts.aggregator_network
     index_name = opts.aggregator_index_name
+    saved_cursors = cursor_store.load() if cursor_store is not None else {}
     hubs = []  # type: list[hublist.Hub]
     next_refresh = 0.0
     while not stop_event.is_set():
@@ -150,7 +155,9 @@ async def poll_loop(index, opts, stop_event, client, status):
             if stop_event.is_set():
                 break
             if hub.hub_id not in status:
-                status[hub.hub_id] = HubStatus(hub_id=hub.hub_id, url=hub.url)
+                status[hub.hub_id] = HubStatus(
+                    hub_id=hub.hub_id, url=hub.url, cursor=saved_cursors.get(hub.hub_id, 0)
+                )
             hub_status = status[hub.hub_id]
             hub_status.url = hub.url  # refresh may relocate a hub
             hub_status.last_poll = time.time()
@@ -158,11 +165,16 @@ async def poll_loop(index, opts, stop_event, client, status):
                 result = await poll_hub_once(
                     client, hub, hub_status.cursor, index, index_name, network, stop_event
                 )
+                cursor_moved = result.last_size != hub_status.cursor
                 hub_status.cursor = result.last_size
                 for reason, count in result.counts.items():
                     hub_status.counts[reason] = hub_status.counts.get(reason, 0) + count
                 hub_status.ok = result.error is None
                 hub_status.error = result.error
+                if cursor_moved and cursor_store is not None:
+                    await asyncio.to_thread(
+                        cursor_store.save, {hid: st.cursor for hid, st in status.items()}
+                    )
                 if result.counts["ok"]:
                     logger.info(
                         f"aggregator: {hub.url}: indexed {result.counts['ok']} records, cursor {result.last_size}"
@@ -180,5 +192,8 @@ async def poll_loop(index, opts, stop_event, client, status):
 async def run(index, opts, stop_event, status):
     # type: (..., SearchOptions, asyncio.Event, dict[int, HubStatus]) -> None
     """Poller entry point owning the HTTP client."""
+    from iscc_search_tpu.aggregator.cursors import cursor_store_for
+
+    cursor_store = cursor_store_for(opts)
     async with httpx.AsyncClient(timeout=HTTP_TIMEOUT, follow_redirects=True) as client:
-        await poll_loop(index, opts, stop_event, client, status)
+        await poll_loop(index, opts, stop_event, client, status, cursor_store=cursor_store)

@@ -297,3 +297,81 @@ def test_poll_loop_full_cycle(agg_setup):
     assert status[0].ok is True
     assert status[0].counts["ok"] == 49
     assert index.get_index("idptest").assets == 49
+
+
+# ---------------------------------------------------------------- cursors
+
+
+def test_cursor_store_roundtrip(tmp_path):
+    from iscc_search_tpu.aggregator.cursors import CursorStore
+
+    store = CursorStore(tmp_path / "c.json", "testnet")
+    assert store.load() == {}
+    store.save({0: 300, 7: 512})
+    assert store.load() == {0: 300, 7: 512}
+    # Another network's store ignores the file
+    other = CursorStore(tmp_path / "c.json", "mainnet")
+    assert other.load() == {}
+
+
+def test_cursor_store_corrupt_file(tmp_path):
+    from iscc_search_tpu.aggregator.cursors import CursorStore
+
+    path = tmp_path / "c.json"
+    path.write_text("{not json")
+    assert CursorStore(path, "testnet").load() == {}
+    path.write_text(json.dumps({"network": "testnet", "cursors": {"x": "y", "3": 9}}))
+    assert CursorStore(path, "testnet").load() == {3: 9}
+
+
+def test_cursor_store_for_uri_schemes(tmp_path):
+    from iscc_search_tpu.aggregator.cursors import cursor_store_for
+
+    opts = SearchOptions(index_uri=f"tpu://{tmp_path}", aggregator_network="testnet")
+    store = cursor_store_for(opts)
+    assert store is not None and store.network == "testnet"
+    # memory:// is non-durable -> no cursor persistence (must re-backfill)
+    assert cursor_store_for(SearchOptions(index_uri="memory://", aggregator_network="testnet")) is None
+    # not in aggregator mode -> None
+    assert cursor_store_for(SearchOptions(index_uri=f"tpu://{tmp_path}")) is None
+
+
+def test_poll_loop_persists_and_resumes_cursor(agg_setup, tmp_path):
+    from iscc_search_tpu.aggregator.cursors import CursorStore
+
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 50)]
+    fake = FakeLog(records)
+    store = CursorStore(tmp_path / "c.json", "testnet")
+
+    def cycle(status):
+        client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+
+        async def go():
+            stop = asyncio.Event()
+
+            async def stopper():
+                for _ in range(500):
+                    await asyncio.sleep(0.01)
+                    if status.get(0) and status[0].cursor == 49:
+                        break
+                stop.set()
+
+            await asyncio.gather(
+                poller.poll_loop(index, opts, stop, client, status, cursor_store=store), stopper()
+            )
+
+        run_async(go())
+
+    status1 = {}
+    cycle(status1)
+    assert status1[0].cursor == 49
+    assert store.load() == {0: 49}
+
+    # "Restart": fresh status dict seeds from the persisted cursor; with no
+    # new records the poller ingests nothing but keeps the cursor at 49.
+    before = index.get_index("idptest").assets
+    status2 = {}
+    cycle(status2)
+    assert status2[0].cursor == 49
+    assert index.get_index("idptest").assets == before
