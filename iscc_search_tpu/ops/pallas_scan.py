@@ -39,7 +39,7 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, unpack_pm1
+from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, topk_blocks_hier, unpack_pm1
 
 BLOCK = 128  # rows per block-max cell (matches pm1_blockmax_topk)
 
@@ -219,7 +219,7 @@ def pallas_blockmax_topk(
     )
 
     kk = min(k, total_blocks)
-    _, top_blocks = jax.lax.top_k(block_max, kk)
+    top_blocks = topk_blocks_hier(block_max, kk)
 
     rows = top_blocks[:, :, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
     rows = rows.reshape(q, kk * BLOCK)

@@ -103,3 +103,59 @@ def test_blockmax_fewer_valid_than_k():
     found = set(idx[idx >= 0].tolist())
     assert 5 in found
     assert found.issubset({5, 600, 1500})
+
+
+# -------------------------------------------------- hierarchical phase 2
+
+
+def test_topk_blocks_hier_matches_flat_values():
+    """Hierarchical block cut returns blocks with the same max multiset."""
+    import jax
+
+    from iscc_search_tpu.ops.pm1_scan import topk_blocks_hier
+
+    rng = np.random.default_rng(60)
+    for k, nb in [(10, 4096), (1, 2048), (16, 8192)]:
+        bm = rng.standard_normal((5, nb)).astype(np.float32)
+        # Plant heavy ties: same max value in many super-blocks
+        bm[2, rng.choice(nb, 300, replace=False)] = 7.5
+        got = np.asarray(topk_blocks_hier(jnp.asarray(bm), k))
+        flat_v = np.asarray(jax.lax.top_k(jnp.asarray(bm), k)[0])
+        got_v = np.sort(np.take_along_axis(bm, got, axis=1), axis=1)[:, ::-1]
+        assert got.shape == (5, k)
+        for qi in range(5):
+            assert len(set(got[qi].tolist())) == k  # distinct blocks
+        assert np.allclose(got_v, flat_v)
+
+
+def test_topk_blocks_hier_fallback_small():
+    """Few blocks -> falls back to flat top_k (still exact)."""
+    import jax
+
+    from iscc_search_tpu.ops.pm1_scan import topk_blocks_hier
+
+    rng = np.random.default_rng(61)
+    bm = rng.standard_normal((3, 256)).astype(np.float32)
+    got = np.asarray(topk_blocks_hier(jnp.asarray(bm), 10))
+    flat = np.asarray(jax.lax.top_k(jnp.asarray(bm), 10)[1])
+    assert np.array_equal(np.sort(got, axis=1), np.sort(flat, axis=1))
+
+
+def test_blockmax_hier_engaged_exact():
+    """Scan-level exactness at a scale where the hierarchy actually engages."""
+    rng = np.random.default_rng(62)
+    n = 131072  # nb=1024, ns=8 > 2k for k=3
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    # Ties: plant 40 copies of query 0 across distant super-blocks
+    base = packed[7].copy()
+    plant = rng.choice(n, 40, replace=False)
+    packed[plant] = base
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 500)] = False
+    q = np.stack([base, packed[99], packed[12345]])
+    scores, idx = check_exact(packed, valid, q, np.full(3, 8, np.int32), 3, 16384, 128)
+    live_plant = [p for p in plant if valid[p]]
+    if len(live_plant) >= 3:
+        assert np.allclose(scores[0], 1.0, atol=1e-3)
+        # row 7 is the query itself, also an exact copy
+        assert set(idx[0]).issubset(set(plant.tolist()) | {7})
