@@ -8,9 +8,9 @@ keeps the whole per-chunk pipeline in VMEM:
     HBM --DMA--> packed (C, 8) uint32 in VMEM
               -> unpack to (C, 256) ±1 bf16        (VPU)
               -> dot(q (Q, 256), unpacked^T)       (MXU)
-              -> score = 0.5 + dot * q_scale       (VPU)
-              -> + validity penalty                (VPU)
+              -> + validity penalty (dot domain)   (VPU)
               -> max over 128-row blocks           (VPU)
+              -> score = 0.5 + max * q_scale       (VPU, 128x smaller tile)
     VMEM --> (Q, C/128) block maxima --> HBM
 
 pallas pipelines the packed-block DMA against compute (grid over chunks with
@@ -111,12 +111,13 @@ def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk
         d = _unpack_pm1_2d(codes, nbits, jnp.bfloat16, interpret)  # (sub, nbits)
         dot = jax.lax.dot_general(
             q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Q, sub)
-        s = 0.5 + dot * qs_ref[:]  # qs (Q, 1) f32
-        s = s + pen_ref[0:1, t * sub : (t + 1) * sub]  # 0 valid / -4 invalid
-        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = jnp.max(
-            s.reshape(qn, sub // BLOCK, BLOCK), axis=2
-        )
+        )  # (Q, sub) — exact small integers
+        # Penalty + block-max in the dot domain (score is monotone in dot per
+        # query since q_scale > 0); convert+scale runs on the 128x-smaller
+        # maxima tile instead of the full score matrix.
+        dot = dot + pen_ref[0:1, t * sub : (t + 1) * sub]  # 0 valid / -65536 invalid
+        m = jnp.max(dot.reshape(qn, sub // BLOCK, BLOCK), axis=2)
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = 0.5 + m * qs_ref[:]
 
 
 def _scan_kernel_unpacked(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
@@ -124,10 +125,13 @@ def _scan_kernel_unpacked(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
     dot = jax.lax.dot_general(
         q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
-    s = 0.5 + dot.astype(jnp.float32) * qs_ref[:]
-    s = s + pen_ref[:]
-    qn = s.shape[0]
-    out_ref[:] = jnp.max(s.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
+    # Penalty + block-max in the (f32) dot domain: int32 reductions lower to
+    # a spill-heavy Mosaic path, so convert first, then save the full-size
+    # scale passes by scaling only the 128x-smaller maxima tile.
+    dotf = dot.astype(jnp.float32) + pen_ref[:]  # (1, chunk) f32: 0 / -65536
+    qn = dotf.shape[0]
+    m = jnp.max(dotf.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
+    out_ref[:] = 0.5 + m * qs_ref[:]
 
 
 @functools.partial(
@@ -156,8 +160,10 @@ def pallas_blockmax(q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, inter
         raise ValueError(f"chunk_size must be >= {BLOCK * 128} on TPU (got {chunk_size})")
     nch = n // chunk_size
 
-    # Validity as an additive penalty row (broadcasts over queries in-kernel).
-    penalty = jnp.where(db_valid, 0.0, NEG_SCORE * 4.0).astype(jnp.float32)[None, :]  # (1, N)
+    # Validity as an additive penalty row in the DOT domain (broadcasts over
+    # queries in-kernel). |dot| <= nbits <= 256, so -65536 puts any invalid
+    # row's block max far below every valid score after scaling.
+    penalty = jnp.where(db_valid, 0, -65536).astype(jnp.float32)[None, :]  # (1, N)
 
     # int8 queries for the int8 MXU path (values ∈ {-1, 0, 1}); bf16 for the
     # in-kernel unpack path (its select produces f32 -> bf16).
@@ -225,8 +231,10 @@ def pallas_blockmax_topk(
     rows = rows.reshape(q, kk * BLOCK)
     cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, kk * BLOCK)
     if unpacked:
-        # Rescore straight from the ±1 int8 layout: int8 gather + int8 dot
-        # (no unpack traffic in phase 3)
+        # Rescore straight from the ±1 int8 layout: int8 gather + int8 dot.
+        # Measured best on v5e: a packed gather + in-XLA unpack costs more
+        # than the 8x extra gather traffic, and an XOR+popcount rescore wastes
+        # the vector lanes on the (.., 8)-minor uint32 layout.
         cand_pm1 = jnp.take(db_unpacked, rows.reshape(-1), axis=0).reshape(q, kk * BLOCK, nbits)
         dots = jax.lax.dot_general(
             q_pm1.astype(jnp.int8)[:, None, :],

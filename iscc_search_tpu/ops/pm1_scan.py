@@ -187,13 +187,18 @@ def topk_blocks_hier(block_max, k, super_block=128):
     if nb % super_block or ns <= kk * 2:
         # Ragged or too few super-blocks for the hierarchy to pay for itself.
         return jax.lax.top_k(block_max, kk)[1]
-    super_max = jnp.max(block_max.reshape(q, ns, super_block), axis=2)
+    bm3 = block_max.reshape(q, ns, super_block)
+    super_max = jnp.max(bm3, axis=2)
     _, top_super = jax.lax.top_k(super_max, kk)  # (Q, kk) distinct super ids
-    bcols = top_super[:, :, None] * super_block + jnp.arange(super_block, dtype=jnp.int32)[None, None, :]
-    bcols = bcols.reshape(q, kk * super_block)  # distinct block ids
-    cand = jnp.take_along_axis(block_max, bcols, axis=1)
-    _, pos = jax.lax.top_k(cand, kk)
-    return jnp.take_along_axis(bcols, pos, axis=1)
+    # Gather the surviving super-blocks' maxima rows with a one-hot matmul:
+    # a scattered lane-dim gather is slow on TPU, the MXU contraction is not.
+    onehot = jax.nn.one_hot(top_super, ns, dtype=block_max.dtype)  # (Q, kk, ns)
+    cand = jax.lax.dot_general(
+        onehot, bm3, (((2,), (1,)), ((0,), (0,)))
+    )  # (Q, kk, super_block)
+    _, pos = jax.lax.top_k(cand.reshape(q, kk * super_block), kk)
+    sel_super = jnp.take_along_axis(top_super, pos // super_block, axis=1)
+    return sel_super * super_block + pos % super_block
 
 
 def pm1_blockmax_topk_impl(
