@@ -71,7 +71,9 @@ def unpack_pm1_np(packed, nbits, dtype=np.float32):
     # type: (np.ndarray, int, ...) -> np.ndarray
     """NumPy twin of unpack_pm1 (host-side query preparation)."""
     lanes = nbits // 32
-    as_bytes = packed[:, :lanes].astype(">u4").view(np.uint8).reshape(packed.shape[0], lanes * 4)
+    # order="C" so the byte view is valid even for F-contiguous inputs
+    # (e.g. arrays read back from a device gather)
+    as_bytes = packed[:, :lanes].astype(">u4", order="C").view(np.uint8).reshape(packed.shape[0], lanes * 4)
     bits = np.unpackbits(as_bytes, axis=1)
     return (bits.astype(dtype) * 2 - 1).astype(dtype)
 
