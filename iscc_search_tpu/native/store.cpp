@@ -1,4 +1,5 @@
-// tructstore — crash-safe in-memory KV store with append-only log persistence.
+// tructstore — crash-safe KV store with append-only log persistence and
+// disk-resident large values.
 //
 // Native host-side storage for the TPU search engine, replacing the role LMDB
 // plays in the reference design (source-of-truth asset store, exact-match
@@ -15,16 +16,26 @@
 //     A torn tail is truncated on recovery. fsync only on explicit sync()
 //     (parity with the reference's sync=False LMDB usage).
 //   - Compaction: snapshot rewrite (store.snap) + log truncation, atomic via
-//     temp+rename. Open() loads snapshot then replays the log.
+//     temp+rename. Open() loads snapshot then replays the log, streaming both
+//     (no full-file buffering).
+//   - Value externalization (WiscKey-style, mirroring LMDB's page-cache-backed
+//     working set): plain values >= TRUCTSTORE_EXT_MIN bytes (default 64) are
+//     NOT copied into RAM. The in-memory map keeps (file, offset, length)
+//     pointing at the value bytes already inside the log/snapshot, and reads
+//     pread() them on demand (OS page cache keeps hot values memory-speed).
+//     Keys, small values, and dupsort values (8-24 byte ISCC bodies/pointers)
+//     stay inline — they ARE the search structure. The on-disk format is
+//     unchanged; externalization is purely an in-memory residency policy.
 //
 // Exposed as a C ABI consumed via ctypes (iscc_search_tpu/store/kv.py).
 // Thread safety: a std::shared_mutex allows concurrent readers; writers are
 // exclusive (the engine additionally serializes writers, mirroring the
-// reference's single-writer lock).
+// reference's single-writer lock). pread() keeps reads lock-compatible.
 
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -70,12 +81,27 @@ uint32_t crc32(const uint8_t* data, size_t len, uint32_t seed = 0) {
 
 using Bytes = std::string;
 
+// Where a plain value's bytes live when not held in RAM.
+enum ValSrc : uint8_t { SRC_INLINE = 0, SRC_LOG = 1, SRC_SNAP = 2 };
+
+struct ValRef {
+    uint64_t off = 0;
+    uint32_t len = 0;
+    uint8_t src = SRC_INLINE;
+};
+
+struct Entry {
+    // dupsort: sorted unique values; plain: single inline value at [0]
+    // (empty when the plain value is external — see ref).
+    std::vector<Bytes> vals;
+    ValRef ref;  // plain external value when ref.src != SRC_INLINE
+};
+
 struct Db {
     bool dupsort = false;
-    // plain: value = single-element vector; dupsort: sorted unique values
-    std::map<Bytes, std::vector<Bytes>> data;
+    std::map<Bytes, Entry> data;
     size_t entries = 0;  // plain: #keys; dupsort: #(key,value) pairs
-    size_t bytes = 0;    // approximate payload bytes
+    size_t bytes = 0;    // approximate logical payload bytes
 };
 
 enum Op : uint8_t {
@@ -88,19 +114,64 @@ enum Op : uint8_t {
 
 struct Store {
     std::string dir;
-    int log_fd = -1;
+    int log_fd = -1;    // O_WRONLY append handle
+    int log_rfd = -1;   // O_RDONLY handle for external value pread
+    int snap_rfd = -1;  // O_RDONLY handle for the current snapshot (-1 = none)
     std::unordered_map<std::string, Db> dbs;
     mutable std::shared_mutex mtx;
     std::string wbuf;         // pending appends not yet written to the fd
-    uint64_t log_bytes = 0;   // current log size
+    uint64_t log_bytes = 0;   // log bytes already written to the fd
+    uint32_t ext_min = 64;    // externalize plain values >= this; 0 disables
     std::string last_error;
 };
+
+size_t plain_len(const Entry& e) {
+    return e.ref.src != SRC_INLINE ? e.ref.len : (e.vals.empty() ? 0 : e.vals[0].size());
+}
+
+// Read an external value's bytes. Shared lock must be held (pread keeps the
+// fd offset untouched, so concurrent readers are safe; bytes still in wbuf
+// are served from memory).
+bool read_val(const Store& s, const ValRef& r, Bytes& out) {
+    out.resize(r.len);
+    if (r.len == 0) return true;
+    if (r.src == SRC_LOG && r.off >= s.log_bytes) {
+        uint64_t woff = r.off - s.log_bytes;
+        if (woff + r.len > s.wbuf.size()) return false;
+        memcpy(out.data(), s.wbuf.data() + woff, r.len);
+        return true;
+    }
+    int fd = r.src == SRC_LOG ? s.log_rfd : s.snap_rfd;
+    if (fd < 0) return false;
+    size_t done = 0;
+    while (done < r.len) {
+        ssize_t n = ::pread(fd, out.data() + done, r.len - done, static_cast<off_t>(r.off + done));
+        if (n <= 0) {
+            if (n < 0 && errno == EINTR) continue;
+            return false;
+        }
+        done += static_cast<size_t>(n);
+    }
+    return true;
+}
+
+// Plain value bytes (inline or external) as an owned copy.
+bool plain_value(const Store& s, const Entry& e, Bytes& out) {
+    if (e.ref.src != SRC_INLINE) return read_val(s, e.ref, out);
+    out = e.vals.empty() ? Bytes() : e.vals[0];
+    return true;
+}
 
 // Record framing: [u32 payload_len][payload][u32 crc(payload)]
 // payload: [u8 op][u16 db_len][db][u32 key_len][key][u32 val_len][val]
 
 void put_u16(std::string& out, uint16_t v) { out.append(reinterpret_cast<char*>(&v), 2); }
 void put_u32(std::string& out, uint32_t v) { out.append(reinterpret_cast<char*>(&v), 4); }
+
+// Byte offset of the value field inside a record that starts at rec_off.
+uint64_t value_off(uint64_t rec_off, size_t dblen, size_t klen) {
+    return rec_off + 4 + 1 + 2 + dblen + 4 + klen + 4;
+}
 
 void encode_record(std::string& out, uint8_t op, const std::string& db, const Bytes& key, const Bytes& val) {
     std::string payload;
@@ -117,8 +188,11 @@ void encode_record(std::string& out, uint8_t op, const std::string& db, const By
     put_u32(out, crc32(reinterpret_cast<const uint8_t*>(payload.data()), payload.size()));
 }
 
-// Apply a mutation to in-memory state. Returns true if state changed.
-bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, const Bytes& val) {
+// Apply a mutation to in-memory state. Returns true if state changed. When
+// `ref` is non-null (plain put of an externalized value), `val` may be empty
+// and the entry stores the reference instead of the bytes.
+bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, const Bytes& val,
+           const ValRef* ref = nullptr) {
     if (op == OP_DROP_DB) {
         return s.dbs.erase(dbname) > 0;
     }
@@ -126,14 +200,28 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
     switch (op) {
         case OP_PUT: {
             db.dupsort = false;
+            size_t new_len = ref ? ref->len : val.size();
             auto it = db.data.find(key);
             if (it == db.data.end()) {
-                db.data.emplace(key, std::vector<Bytes>{val});
+                Entry e;
+                if (ref) {
+                    e.ref = *ref;
+                } else {
+                    e.vals.push_back(val);
+                }
+                db.data.emplace(key, std::move(e));
                 db.entries += 1;
-                db.bytes += key.size() + val.size();
+                db.bytes += key.size() + new_len;
             } else {
-                db.bytes += val.size() - it->second[0].size();
-                it->second[0] = val;
+                db.bytes += new_len;
+                db.bytes -= plain_len(it->second);
+                it->second.vals.clear();
+                if (ref) {
+                    it->second.ref = *ref;
+                } else {
+                    it->second.ref = ValRef{};
+                    it->second.vals.push_back(val);
+                }
             }
             return true;
         }
@@ -141,14 +229,19 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
             auto it = db.data.find(key);
             if (it == db.data.end()) return false;
             db.bytes -= key.size();
-            for (const auto& v : it->second) db.bytes -= v.size();
-            db.entries -= db.dupsort ? it->second.size() : 1;
+            if (db.dupsort) {
+                for (const auto& v : it->second.vals) db.bytes -= v.size();
+                db.entries -= it->second.vals.size();
+            } else {
+                db.bytes -= plain_len(it->second);
+                db.entries -= 1;
+            }
             db.data.erase(it);
             return true;
         }
         case OP_DUP_PUT: {
             db.dupsort = true;
-            auto& vec = db.data[key];
+            auto& vec = db.data[key].vals;
             auto pos = std::lower_bound(vec.begin(), vec.end(), val);
             if (pos != vec.end() && *pos == val) return false;  // dupdata=False semantics
             vec.insert(pos, val);
@@ -159,7 +252,7 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
         case OP_DUP_DEL: {
             auto it = db.data.find(key);
             if (it == db.data.end()) return false;
-            auto& vec = it->second;
+            auto& vec = it->second.vals;
             auto pos = std::lower_bound(vec.begin(), vec.end(), val);
             if (pos == vec.end() || *pos != val) return false;
             vec.erase(pos);
@@ -176,8 +269,16 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
     }
 }
 
-// Log a mutation (append to write buffer) and apply it.
+// Log a mutation (append to write buffer) and apply it. Plain puts at or
+// above ext_min are applied as a reference into the log bytes just encoded.
 bool log_and_apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, const Bytes& val) {
+    if (op == OP_PUT && s.ext_min && val.size() >= s.ext_min) {
+        uint64_t rec_off = s.log_bytes + s.wbuf.size();
+        encode_record(s.wbuf, op, dbname, key, val);
+        ValRef ref{value_off(rec_off, dbname.size(), key.size()), static_cast<uint32_t>(val.size()), SRC_LOG};
+        apply(s, op, dbname, key, Bytes(), &ref);  // OP_PUT always changes state
+        return true;
+    }
     bool changed = apply(s, op, dbname, key, val);
     if (changed) encode_record(s.wbuf, op, dbname, key, val);
     return changed;
@@ -202,100 +303,188 @@ bool flush_wbuf(Store& s) {
     return true;
 }
 
-// Replay framed records from a buffer; stops cleanly at a torn tail.
-// Returns the number of bytes of valid records consumed.
-size_t replay(Store& s, const std::string& buf) {
-    size_t off = 0;
-    while (off + 8 <= buf.size()) {
-        uint32_t plen;
-        memcpy(&plen, buf.data() + off, 4);
-        if (off + 4 + plen + 4 > buf.size()) break;  // torn tail
-        const uint8_t* payload = reinterpret_cast<const uint8_t*>(buf.data()) + off + 4;
-        uint32_t stored_crc;
-        memcpy(&stored_crc, buf.data() + off + 4 + plen, 4);
-        if (crc32(payload, plen) != stored_crc) break;  // corrupt tail
-        // decode
-        size_t p = 0;
-        if (plen < 1 + 2 + 4 + 4) break;
-        uint8_t op = payload[p];
-        p += 1;
-        uint16_t dblen;
-        memcpy(&dblen, payload + p, 2);
-        p += 2;
-        if (p + dblen + 4 > plen) break;
-        std::string dbname(reinterpret_cast<const char*>(payload + p), dblen);
-        p += dblen;
-        uint32_t klen;
-        memcpy(&klen, payload + p, 4);
-        p += 4;
-        if (p + klen + 4 > plen) break;
-        Bytes key(reinterpret_cast<const char*>(payload + p), klen);
-        p += klen;
-        uint32_t vlen;
-        memcpy(&vlen, payload + p, 4);
-        p += 4;
-        if (p + vlen != plen) break;
-        Bytes val(reinterpret_cast<const char*>(payload + p), vlen);
-        apply(s, op, dbname, key, val);
-        off += 4 + plen + 4;
-    }
-    return off;
+// Parse one framed record at buf[off..]; returns consumed bytes (0 = torn /
+// incomplete / corrupt tail — stop). On success fills the out-params.
+size_t parse_record(const std::string& buf, size_t off, uint8_t& op, std::string& dbname, Bytes& key, Bytes& val,
+                    size_t& val_in_rec) {
+    if (off + 8 > buf.size()) return 0;
+    uint32_t plen;
+    memcpy(&plen, buf.data() + off, 4);
+    if (off + 4 + plen + 4 > buf.size()) return 0;  // torn tail
+    const uint8_t* payload = reinterpret_cast<const uint8_t*>(buf.data()) + off + 4;
+    uint32_t stored_crc;
+    memcpy(&stored_crc, buf.data() + off + 4 + plen, 4);
+    if (crc32(payload, plen) != stored_crc) return 0;  // corrupt tail
+    size_t p = 0;
+    if (plen < 1 + 2 + 4 + 4) return 0;
+    op = payload[p];
+    p += 1;
+    uint16_t dblen;
+    memcpy(&dblen, payload + p, 2);
+    p += 2;
+    if (p + dblen + 4 > plen) return 0;
+    dbname.assign(reinterpret_cast<const char*>(payload + p), dblen);
+    p += dblen;
+    uint32_t klen;
+    memcpy(&klen, payload + p, 4);
+    p += 4;
+    if (p + klen + 4 > plen) return 0;
+    key.assign(reinterpret_cast<const char*>(payload + p), klen);
+    p += klen;
+    uint32_t vlen;
+    memcpy(&vlen, payload + p, 4);
+    p += 4;
+    if (p + vlen != plen) return 0;
+    val.assign(reinterpret_cast<const char*>(payload + p), vlen);
+    val_in_rec = 4 + p;  // value offset relative to record start
+    return 4 + plen + 4;
 }
 
-bool read_file(const std::string& path, std::string& out) {
-    int fd = ::open(path.c_str(), O_RDONLY);
-    if (fd < 0) return false;
-    struct stat st;
-    if (fstat(fd, &st) != 0) {
-        ::close(fd);
-        return false;
-    }
-    out.resize(static_cast<size_t>(st.st_size));
-    size_t off = 0;
-    while (off < out.size()) {
-        ssize_t n = ::read(fd, out.data() + off, out.size() - off);
-        if (n <= 0) {
-            ::close(fd);
-            return false;
-        }
-        off += static_cast<size_t>(n);
-    }
-    ::close(fd);
-    return true;
-}
-
-// Snapshot format: same framed records as the log (a full replayable state
-// dump), so one decoder serves both files.
-bool write_snapshot(Store& s) {
-    std::string tmp_path = s.dir + "/store.snap.tmp";
-    std::string snap_path = s.dir + "/store.snap";
+// Stream-replay framed records from an open file; stops cleanly at a torn
+// tail. Returns the number of bytes of valid records consumed. `src` tags
+// where externalized values live (SRC_LOG / SRC_SNAP).
+size_t replay_fd(Store& s, int fd, uint8_t src) {
+    constexpr size_t CHUNK = 4 << 20;
     std::string buf;
-    for (const auto& [dbname, db] : s.dbs) {
-        for (const auto& [key, vals] : db.data) {
-            if (db.dupsort) {
-                for (const auto& v : vals) encode_record(buf, OP_DUP_PUT, dbname, key, v);
+    size_t base = 0;      // file offset of buf[0]
+    size_t consumed = 0;  // total valid bytes
+    bool eof = false;
+    while (true) {
+        if (!eof) {
+            size_t old = buf.size();
+            buf.resize(old + CHUNK);
+            ssize_t n = ::read(fd, buf.data() + old, CHUNK);
+            if (n < 0) {
+                if (errno == EINTR) {
+                    buf.resize(old);
+                    continue;
+                }
+                buf.resize(old);
+                eof = true;
             } else {
-                encode_record(buf, OP_PUT, dbname, key, vals[0]);
+                buf.resize(old + static_cast<size_t>(n));
+                if (static_cast<size_t>(n) < CHUNK) eof = true;
             }
         }
+        size_t off = 0;
+        while (true) {
+            uint8_t op;
+            std::string dbname;
+            Bytes key, val;
+            size_t val_in_rec = 0;
+            size_t used = parse_record(buf, off, op, dbname, key, val, val_in_rec);
+            if (used == 0) break;
+            if (op == OP_PUT && s.ext_min && val.size() >= s.ext_min) {
+                ValRef ref{base + off + val_in_rec, static_cast<uint32_t>(val.size()), src};
+                apply(s, op, dbname, key, Bytes(), &ref);
+            } else {
+                apply(s, op, dbname, key, val);
+            }
+            off += used;
+        }
+        consumed = base + off;
+        if (eof && off == 0) break;  // nothing more parseable
+        // Keep the unparsed tail, slide the window
+        buf.erase(0, off);
+        base += off;
+        if (eof) {
+            // A final partial record that can never complete
+            break;
+        }
     }
-    int fd = ::open(tmp_path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
-    if (fd < 0) {
+    return consumed;
+}
+
+// Buffered sequential file writer for snapshot streaming.
+struct FileWriter {
+    int fd = -1;
+    std::string buf;
+    uint64_t written = 0;
+    bool ok = true;
+
+    uint64_t offset() const { return written + buf.size(); }
+
+    void append(const std::string& data) {
+        buf.append(data);
+        if (buf.size() >= (4u << 20)) flush();
+    }
+
+    void flush() {
+        size_t off = 0;
+        while (off < buf.size()) {
+            ssize_t n = ::write(fd, buf.data() + off, buf.size() - off);
+            if (n < 0) {
+                if (errno == EINTR) continue;
+                ok = false;
+                return;
+            }
+            off += static_cast<size_t>(n);
+        }
+        written += buf.size();
+        buf.clear();
+    }
+};
+
+// Snapshot format: same framed records as the log (a full replayable state
+// dump), so one decoder serves both files. Streams records to disk (memory
+// use is bounded by the write buffer, not the dataset) and collects the
+// post-compaction value references to swap in after the atomic rename.
+struct PendingRef {
+    Entry* entry;
+    ValRef ref;
+};
+
+bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
+    std::string tmp_path = s.dir + "/store.snap.tmp";
+    std::string snap_path = s.dir + "/store.snap";
+    FileWriter w;
+    w.fd = ::open(tmp_path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (w.fd < 0) {
         s.last_error = std::string("snapshot open failed: ") + strerror(errno);
         return false;
     }
-    size_t off = 0;
-    while (off < buf.size()) {
-        ssize_t n = ::write(fd, buf.data() + off, buf.size() - off);
-        if (n < 0) {
-            ::close(fd);
-            s.last_error = std::string("snapshot write failed: ") + strerror(errno);
-            return false;
+    std::string rec;
+    Bytes vbuf;
+    for (auto& [dbname, db] : s.dbs) {
+        for (auto& [key, entry] : db.data) {
+            if (db.dupsort) {
+                for (const auto& v : entry.vals) {
+                    rec.clear();
+                    encode_record(rec, OP_DUP_PUT, dbname, key, v);
+                    w.append(rec);
+                }
+            } else {
+                if (!plain_value(s, entry, vbuf)) {
+                    s.last_error = "snapshot: external value read failed";
+                    ::close(w.fd);
+                    ::unlink(tmp_path.c_str());
+                    return false;
+                }
+                uint64_t rec_off = w.offset();
+                rec.clear();
+                encode_record(rec, OP_PUT, dbname, key, vbuf);
+                w.append(rec);
+                if (s.ext_min && vbuf.size() >= s.ext_min) {
+                    pending.push_back(
+                        {&entry,
+                         ValRef{value_off(rec_off, dbname.size(), key.size()),
+                                static_cast<uint32_t>(vbuf.size()), SRC_SNAP}});
+                }
+            }
+            if (!w.ok) break;
         }
-        off += static_cast<size_t>(n);
+        if (!w.ok) break;
     }
-    if (fdatasync(fd) != 0 || ::close(fd) != 0) {
+    w.flush();
+    if (!w.ok) {
+        s.last_error = "snapshot write failed";
+        ::close(w.fd);
+        ::unlink(tmp_path.c_str());
+        return false;
+    }
+    if (fdatasync(w.fd) != 0 || ::close(w.fd) != 0) {
         s.last_error = "snapshot sync failed";
+        ::unlink(tmp_path.c_str());
         return false;
     }
     if (::rename(tmp_path.c_str(), snap_path.c_str()) != 0) {
@@ -314,18 +503,32 @@ bool write_snapshot(Store& s) {
 extern "C" {
 
 // Opens (creating if needed) a store rooted at `dir`. Returns handle or null.
+// TRUCTSTORE_EXT_MIN overrides the externalization threshold (bytes; 0
+// disables and keeps every value in RAM).
 void* ts_open(const char* dir) {
     crc32_init();
     auto s = std::make_unique<Store>();
     s->dir = dir;
     ::mkdir(dir, 0755);
+    if (const char* env = getenv("TRUCTSTORE_EXT_MIN")) {
+        s->ext_min = static_cast<uint32_t>(strtoul(env, nullptr, 10));
+    }
 
-    std::string snap;
-    if (read_file(s->dir + "/store.snap", snap)) replay(*s, snap);
-    std::string log;
+    std::string snap_path = s->dir + "/store.snap";
+    int sfd = ::open(snap_path.c_str(), O_RDONLY);
+    if (sfd >= 0) {
+        replay_fd(*s, sfd, SRC_SNAP);
+        ::close(sfd);
+        s->snap_rfd = ::open(snap_path.c_str(), O_RDONLY);
+    }
+
     std::string log_path = s->dir + "/store.log";
     size_t valid = 0;
-    if (read_file(log_path, log)) valid = replay(*s, log);
+    int lfd = ::open(log_path.c_str(), O_RDONLY);
+    if (lfd >= 0) {
+        valid = replay_fd(*s, lfd, SRC_LOG);
+        ::close(lfd);
+    }
 
     s->log_fd = ::open(log_path.c_str(), O_WRONLY | O_CREAT, 0644);
     if (s->log_fd < 0) return nullptr;
@@ -339,6 +542,11 @@ void* ts_open(const char* dir) {
         return nullptr;
     }
     s->log_bytes = valid;
+    s->log_rfd = ::open(log_path.c_str(), O_RDONLY);
+    if (s->log_rfd < 0) {
+        ::close(s->log_fd);
+        return nullptr;
+    }
     return s.release();
 }
 
@@ -352,6 +560,8 @@ void ts_close(void* h) {
             fdatasync(s->log_fd);
             ::close(s->log_fd);
         }
+        if (s->log_rfd >= 0) ::close(s->log_rfd);
+        if (s->snap_rfd >= 0) ::close(s->snap_rfd);
     }
     delete s;
 }
@@ -429,8 +639,9 @@ int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, uint8_t**
     auto dbit = s->dbs.find(db);
     if (dbit == s->dbs.end()) return 0;
     auto it = dbit->second.data.find(Bytes(reinterpret_cast<const char*>(key), klen));
-    if (it == dbit->second.data.end() || it->second.empty()) return 0;
-    const Bytes& v = it->second[0];
+    if (it == dbit->second.data.end()) return 0;
+    Bytes v;
+    if (!plain_value(*s, it->second, v)) return 0;
     uint8_t* out = static_cast<uint8_t*>(malloc(v.size() ? v.size() : 1));
     memcpy(out, v.data(), v.size());
     *val = out;
@@ -488,6 +699,20 @@ void append_pair(ScanBuf& sb, const Bytes& key, const Bytes& val) {
     sb.data.append(val);
     sb.count++;
 }
+
+// Append every (key, value) of one entry; returns false once limit is hit.
+bool append_entry(const Store& s, ScanBuf& sb, const Db& db, const Bytes& key, const Entry& e, uint64_t limit) {
+    if (db.dupsort) {
+        for (const auto& v : e.vals) {
+            append_pair(sb, key, v);
+            if (limit && sb.count >= limit) return false;
+        }
+        return true;
+    }
+    Bytes v;
+    if (plain_value(s, e, v)) append_pair(sb, key, v);
+    return !(limit && sb.count >= limit);
+}
 }  // namespace
 
 void ts_free(uint8_t* p) { free(p); }
@@ -504,13 +729,9 @@ uint8_t* ts_prefix_scan(void* h, const char* db, const uint8_t* prefix, uint32_t
         Bytes pref(reinterpret_cast<const char*>(prefix), plen);
         for (auto it = dbit->second.data.lower_bound(pref); it != dbit->second.data.end(); ++it) {
             if (it->first.compare(0, pref.size(), pref) != 0) break;
-            for (const auto& v : it->second) {
-                append_pair(sb, it->first, v);
-                if (limit && sb.count >= limit) goto done;
-            }
+            if (!append_entry(*s, sb, dbit->second, it->first, it->second, limit)) break;
         }
     }
-done:
     return finish_scan(sb, out_len, out_count);
 }
 
@@ -524,7 +745,7 @@ uint8_t* ts_get_dups(void* h, const char* db, const uint8_t* key, uint32_t klen,
     if (dbit != s->dbs.end()) {
         auto it = dbit->second.data.find(Bytes(reinterpret_cast<const char*>(key), klen));
         if (it != dbit->second.data.end()) {
-            for (const auto& v : it->second) {
+            for (const auto& v : it->second.vals) {
                 put_u32(sb.data, static_cast<uint32_t>(v.size()));
                 sb.data.append(v);
                 sb.count++;
@@ -545,13 +766,9 @@ uint8_t* ts_range_scan(void* h, const char* db, const uint8_t* start, uint32_t s
     if (dbit != s->dbs.end()) {
         Bytes st(reinterpret_cast<const char*>(start), slen);
         for (auto it = dbit->second.data.lower_bound(st); it != dbit->second.data.end(); ++it) {
-            for (const auto& v : it->second) {
-                append_pair(sb, it->first, v);
-                if (limit && sb.count >= limit) goto done;
-            }
+            if (!append_entry(*s, sb, dbit->second, it->first, it->second, limit)) break;
         }
     }
-done:
     return finish_scan(sb, out_len, out_count);
 }
 
@@ -569,8 +786,9 @@ int64_t ts_key_count(void* h, const char* db) {
     return dbit == s->dbs.end() ? 0 : static_cast<int64_t>(dbit->second.data.size());
 }
 
-// Approximate resident payload bytes across all dbs (monitoring parity with
-// lmdb_used_bytes — reference indexes/common.py:57).
+// Approximate logical payload bytes across all dbs (monitoring parity with
+// lmdb_used_bytes — reference indexes/common.py:57). Counts externalized
+// values at their full size even though they are not RAM-resident.
 int64_t ts_used_bytes(void* h) {
     Store* s = static_cast<Store*>(h);
     std::shared_lock lock(s->mtx);
@@ -607,12 +825,23 @@ int ts_sync(void* h) {
     return fdatasync(s->log_fd) == 0 ? 1 : 0;
 }
 
-// Write a compacted snapshot and truncate the log.
+// Write a compacted snapshot and truncate the log. External value references
+// are rewritten to the new snapshot before the log is truncated, so no
+// reference can dangle; on any failure the old refs (and old files) stay
+// valid.
 int ts_compact(void* h) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
     if (!flush_wbuf(*s)) return 0;
-    if (!write_snapshot(*s)) return 0;
+    std::vector<PendingRef> pending;
+    if (!write_snapshot(*s, pending)) return 0;
+    // Snapshot is durably in place: point refs at it and swap the read fd.
+    for (auto& p : pending) {
+        p.entry->vals.clear();
+        p.entry->ref = p.ref;
+    }
+    if (s->snap_rfd >= 0) ::close(s->snap_rfd);
+    s->snap_rfd = ::open((s->dir + "/store.snap").c_str(), O_RDONLY);
     if (ftruncate(s->log_fd, 0) != 0) return 0;
     if (lseek(s->log_fd, 0, SEEK_SET) < 0) return 0;
     s->log_bytes = 0;

@@ -201,3 +201,103 @@ def test_get_is_owned_copy_under_writes(store):
         stop.set()
         t.join(5)
     assert not errors
+
+
+# ------------------------------------------------ value externalization
+
+
+def test_external_values_roundtrip(tmp_path):
+    """Values >= threshold live on disk (log refs) yet read back correctly
+    before flush, after flush, across reopen, and after compaction."""
+    big1 = b"A" * 500
+    big2 = b"B" * 2000
+    small = b"s"
+    s = HostStore(tmp_path / "db")
+    s.put("assets", b"k1", big1)
+    s.put("assets", b"k2", small)
+    # Unflushed: value bytes are still in the write buffer
+    assert s.get("assets", b"k1") == big1
+    s.flush()
+    assert s.get("assets", b"k1") == big1  # now pread from the log file
+    s.put("assets", b"k1", big2)  # replace external with external
+    assert s.get("assets", b"k1") == big2
+    s.close()
+
+    s = HostStore(tmp_path / "db")  # log replay builds refs, not copies
+    assert s.get("assets", b"k1") == big2
+    assert s.get("assets", b"k2") == small
+    s.compact()  # values move into the snapshot; refs are rewritten
+    assert s.get("assets", b"k1") == big2
+    s.put("assets", b"k3", big1)  # post-compaction put -> fresh log ref
+    assert s.get("assets", b"k3") == big1
+    s.close()
+
+    s = HostStore(tmp_path / "db")  # snapshot replay + log replay
+    assert s.get("assets", b"k1") == big2
+    assert s.get("assets", b"k2") == small
+    assert s.get("assets", b"k3") == big1
+    s.close()
+
+
+def test_external_values_in_scans(tmp_path):
+    big = b"X" * 300
+    s = HostStore(tmp_path / "db")
+    s.put("assets", b"aa1", big)
+    s.put("assets", b"aa2", b"tiny")
+    s.put("assets", b"zz1", big)
+    pairs = s.prefix_scan("assets", b"aa")
+    assert pairs == [(b"aa1", big), (b"aa2", b"tiny")]
+    allpairs = s.range_scan("assets")
+    assert allpairs[-1] == (b"zz1", big)
+    s.close()
+
+
+def test_external_values_torn_tail(tmp_path):
+    big = b"Q" * 400
+    s = HostStore(tmp_path / "db")
+    s.put("assets", b"k", big)
+    s.flush()
+    s.sync()
+    s.close()
+    # Append garbage (simulated torn write)
+    with open(tmp_path / "db" / "store.log", "ab") as fh:
+        fh.write(b"\x99" * 37)
+    s = HostStore(tmp_path / "db")
+    assert s.get("assets", b"k") == big
+    s.put("assets", b"k2", big)  # appends after the truncated tail
+    assert s.get("assets", b"k2") == big
+    s.close()
+    s = HostStore(tmp_path / "db")
+    assert s.get("assets", b"k2") == big
+    s.close()
+
+
+def test_external_values_delete_and_overwrite(tmp_path):
+    big = b"D" * 1000
+    s = HostStore(tmp_path / "db")
+    s.put("assets", b"k", big)
+    assert s.delete("assets", b"k") is True
+    assert s.get("assets", b"k") is None
+    s.put("assets", b"k", b"small-now")
+    assert s.get("assets", b"k") == b"small-now"
+    s.put("assets", b"k", big)
+    s.compact()
+    s.compact()  # idempotent double compaction (snap -> snap refs)
+    assert s.get("assets", b"k") == big
+    assert s.used_bytes() >= 1000  # logical size counts external values
+    s.close()
+
+
+def test_ext_min_env_disable(tmp_path, monkeypatch):
+    monkeypatch.setenv("TRUCTSTORE_EXT_MIN", "0")
+    s = HostStore(tmp_path / "db")
+    big = b"E" * 5000
+    s.put("assets", b"k", big)
+    assert s.get("assets", b"k") == big
+    s.close()
+    monkeypatch.setenv("TRUCTSTORE_EXT_MIN", "1")
+    s = HostStore(tmp_path / "db")  # replay externalizes everything
+    assert s.get("assets", b"k") == big
+    s.put("assets", b"t", b"x")
+    assert s.get("assets", b"t") == b"x"
+    s.close()
