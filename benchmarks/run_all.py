@@ -101,6 +101,32 @@ def main():
         idx2.close()
         idx.close()
 
+    # ---- config 3: variable-length units (64-256 bit), engine-level ----
+    # BASELINE config 3 is variable-length; bench.py measures the fixed
+    # 256-bit kernel, this measures the length-partitioned engine search.
+    n3 = max(131072, int(2_097_152 * scale)) // 65536 * 65536
+    lens = rng.choice([8, 16, 24, 32], n3, p=[0.25, 0.25, 0.1, 0.4])
+    bodies3_arr = rng.integers(0, 256, (n3, 32), dtype=np.uint8)
+    bodies3 = [bodies3_arr[i, : lens[i]].tobytes() for i in range(n3)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx3 = DeviceNphdIndex(Path(tmp) / "v")
+        B = 200_000
+        for s in range(0, n3, B):
+            idx3.add(list(range(s, min(s + B, n3))), bodies3[s : min(s + B, n3)])
+        qsel = [bodies3[i] for i in range(0, n3, n3 // 64)][:64]
+        idx3.search(qsel, 10)  # warm-up/compile (one partition per length)
+        t0 = time.perf_counter()
+        res3 = idx3.search(qsel, 10)
+        warm3 = time.perf_counter() - t0
+        assert all(r[1][0] >= 0.999 for r in res3), "self-match failed"
+        results["config3_varlen"] = {
+            "n": n3,
+            "lengths": "64/128/192/256-bit mixed",
+            "engine_search_warm_ms": round(warm3 * 1e3, 1),
+            "engine_qps_warm": round(64 / warm3),
+        }
+        idx3.close()
+
     # ---- end-to-end TpuIndex ingest rate (store + derived indexes) ----
     from iscc_search_tpu import codec as ic_codec
     from iscc_search_tpu.indexes.tpu import TpuIndex

@@ -20,6 +20,12 @@ in ops.pm1_scan.pm1_blockmax_topk (top-k blocks -> gather -> rescore).
 A second variant skips the unpack by reading pre-unpacked ±1 int8 codes
 (8x HBM footprint, lower VPU load) — a memory/speed trade exposed to the
 engine as a layout knob.
+
+Caveat (measured on v5e): the packed variant's custom-call operand layout
+forces a 16x lane-padded device copy of the u32[N, 8] database (the minor
+dim pads to 128 lanes), so at very large N prefer the XLA packed scan
+(ops.pm1_scan.pm1_blockmax_topk reads the compact resting layout and also
+measures faster) — the engine's auto routing already does this.
 """
 
 from __future__ import annotations
