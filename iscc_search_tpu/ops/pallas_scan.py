@@ -127,17 +127,26 @@ def _scan_kernel_packed(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk
 
 
 def _scan_kernel_unpacked(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
-    """Same, reading pre-unpacked ±1 int8 codes: pure int8 MXU dot."""
-    dot = jax.lax.dot_general(
-        q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    # Penalty + block-max in the (f32) dot domain: int32 reductions lower to
-    # a spill-heavy Mosaic path, so convert first, then save the full-size
-    # scale passes by scaling only the 128x-smaller maxima tile.
-    dotf = dot.astype(jnp.float32) + pen_ref[:]  # (1, chunk) f32: 0 / -65536
-    qn = dotf.shape[0]
-    m = jnp.max(dotf.reshape(qn, chunk // BLOCK, BLOCK), axis=2)
-    out_ref[:] = 0.5 + m * qs_ref[:]
+    """Same, reading pre-unpacked ±1 int8 codes: pure int8 MXU dot.
+
+    Sub-slabbed like the packed kernel: a full-chunk (Q, chunk) f32 dot tile
+    keeps a 32 MB live set in VMEM; smaller slabs overlap MXU and DMA a
+    little better (~5% measured on v5e).
+    """
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    slab = min(_SUBTILE, chunk)
+    for t in range(chunk // slab):
+        dot = jax.lax.dot_general(
+            qv, db_ref[t * slab : (t + 1) * slab, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # Penalty + block-max in the (f32) dot domain: int32 reductions lower
+        # to a spill-heavy Mosaic path, so convert first, then scale only the
+        # 128x-smaller maxima tile.
+        dotf = dot.astype(jnp.float32) + pen_ref[0:1, t * slab : (t + 1) * slab]
+        m = jnp.max(dotf.reshape(qn, slab // BLOCK, BLOCK), axis=2)
+        out_ref[:, t * (slab // BLOCK) : (t + 1) * (slab // BLOCK)] = 0.5 + m * qs_ref[:]
 
 
 @functools.partial(
