@@ -286,17 +286,18 @@ bool log_and_apply(Store& s, uint8_t op, const std::string& dbname, const Bytes&
 
 bool flush_wbuf(Store& s) {
     if (s.wbuf.empty()) return true;
-    const char* p = s.wbuf.data();
-    size_t remaining = s.wbuf.size();
-    while (remaining > 0) {
-        ssize_t n = ::write(s.log_fd, p, remaining);
+    // pwrite at absolute offsets: a partially-failed flush (ENOSPC etc.)
+    // can be retried without duplicating the already-written prefix.
+    size_t done = 0;
+    while (done < s.wbuf.size()) {
+        ssize_t n = ::pwrite(s.log_fd, s.wbuf.data() + done, s.wbuf.size() - done,
+                             static_cast<off_t>(s.log_bytes + done));
         if (n < 0) {
             if (errno == EINTR) continue;
             s.last_error = std::string("log write failed: ") + strerror(errno);
             return false;
         }
-        p += n;
-        remaining -= static_cast<size_t>(n);
+        done += static_cast<size_t>(n);
     }
     s.log_bytes += s.wbuf.size();
     s.wbuf.clear();
