@@ -183,3 +183,46 @@ def test_serve_rejects_multi_worker_aggregator(runner, monkeypatch):
         index_uri="memory://", aggregator_network="testnet"))
     result = r.invoke(cli, ["serve", "--workers", "2", "--index-uri", "memory://"])
     assert result.exit_code == 1
+
+
+def test_datasets_command_listing(runner, monkeypatch):
+    """`datasets` renders a table from the HF API (mocked — no network)."""
+    r, _, _ = runner
+    import types
+
+    class FakeInfo:
+        def __init__(self, i):
+            self.id = f"org/iscc-set-{i}"
+            self.downloads = i * 10
+            self.last_modified = "2026-01-01T00:00:00"
+
+    class FakeApi:
+        def list_datasets(self, search=None, limit=None):
+            assert search == "iscc"
+            return [FakeInfo(i) for i in range(3)]
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "HfApi", FakeApi)
+    from iscc_search_tpu.cli import cli
+
+    res = r.invoke(cli, ["datasets"])
+    assert res.exit_code == 0
+    assert "iscc-set-0" in res.output
+
+
+def test_datasets_command_empty(runner, monkeypatch):
+    r, _, _ = runner
+
+    class FakeApi:
+        def list_datasets(self, search=None, limit=None):
+            return []
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "HfApi", FakeApi)
+    from iscc_search_tpu.cli import cli
+
+    res = r.invoke(cli, ["datasets", "--search", "nothing"])
+    assert res.exit_code == 0
+    assert "No datasets found" in res.output
