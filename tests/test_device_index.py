@@ -216,3 +216,54 @@ def test_mismatched_key_bytes_on_load(tmp_path, rng):
     idx.close()
     with pytest.raises(ValueError):
         DeviceHammingIndex(path)
+
+
+def test_concurrent_search_during_appends(tmp_path, rng):
+    """Readers must always see a consistent snapshot while a writer appends.
+
+    Guards the non-donating functional device-append design: a search that
+    started against snapshot S must not crash or return corrupt scores when
+    the writer extends the partition concurrently (donated buffers would be
+    invalidated under the reader).
+    """
+    import threading
+
+    idx = DeviceNphdIndex(tmp_path / "i")
+    base = [rand_body(rng) for _ in range(512)]
+    idx.add(list(range(512)), base)
+
+    errors = []
+    stop = threading.Event()
+
+    def reader(tid):
+        r = np.random.default_rng(tid)
+        while not stop.is_set():
+            i = int(r.integers(0, 512))
+            try:
+                res = idx.search([base[i]], 3)
+                keys, scores = res[0]
+                if not (scores[0] >= 0.999):
+                    errors.append(f"reader{tid}: bad top score {scores[0]} for {i}")
+                    return
+            except Exception as exc:  # pragma: no cover - the failure we guard
+                errors.append(f"reader{tid}: {exc!r}")
+                return
+
+    readers = [threading.Thread(target=reader, args=(t,)) for t in range(4)]
+    for t in readers:
+        t.start()
+    try:
+        for batch in range(8):  # appends force device syncs under the readers
+            start = 512 + batch * 256
+            idx.add(list(range(start, start + 256)), [rand_body(rng) for _ in range(256)])
+            idx.search([base[0]], 1)  # force a sync + search from this thread too
+    finally:
+        stop.set()
+        for t in readers:
+            t.join(timeout=30)
+    assert not errors, errors[:3]
+    assert idx.size == 512 + 8 * 256
+    # Everything added during the run is searchable afterwards
+    res = idx.search([base[100]], 1)
+    assert res[0][1][0] >= 0.999
+    idx.close()
