@@ -329,9 +329,11 @@ class PackedCodeIndex:
             q_codes = np.pad(q_codes, ((0, q_pad - nq), (0, 0)))
             q_lanes = np.pad(q_lanes, (0, q_pad - nq), constant_values=1)
 
-        # Scan every partition, collect (global_rows, scores) per query
-        cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
-        cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
+        # Scan every partition: dispatch all sweeps asynchronously first, then
+        # collect — device work on later partitions overlaps the readback
+        # latency of earlier ones (one fixed host<->device round-trip total
+        # instead of one per partition).
+        pending = []  # type: list[tuple[np.ndarray, object, object]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
         for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
             nbits = lanes * 32
@@ -391,8 +393,13 @@ class PackedCodeIndex:
                     chunk_size=chunk,
                     recall_target=self.recall_target,
                 )
-            scores = np.asarray(scores)[:nq, :count]
-            idx = np.asarray(idx)[:nq, :count]
+            pending.append((row_map, scores, idx))
+
+        cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
+        cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
+        for row_map, scores_dev, idx_dev in pending:
+            scores = np.asarray(scores_dev)[:nq, :count]
+            idx = np.asarray(idx_dev)[:nq, :count]
             for qi in range(nq):
                 sel = idx[qi] >= 0
                 cand_scores[qi].append(scores[qi][sel])
