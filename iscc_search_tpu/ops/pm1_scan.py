@@ -213,6 +213,7 @@ def pm1_blockmax_topk_impl(
     chunk_size=32768,
     dtype=jnp.bfloat16,
     block=128,
+    pvary_axes=(),
 ):
     # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
     """
@@ -241,17 +242,24 @@ def pm1_blockmax_topk_impl(
     total_blocks = n // block
     if total_blocks < k:
         # Tiny database: the single-phase exact path is cheap enough.
-        return pm1_topk_impl(q_pm1, q_scale, db_packed, db_valid, k, nbits, chunk_size, dtype, None)
+        return pm1_topk_impl(
+            q_pm1, q_scale, db_packed, db_valid, k, nbits, chunk_size, dtype, None, pvary_axes
+        )
 
     db_c = db_packed.reshape(nch, chunk_size, db_packed.shape[1])
     valid_c = db_valid.reshape(nch, chunk_size)
 
-    def body(_, xs):
+    def body(carry, xs):
         chunk, v = xs
         s = _chunk_scores(q_pm1, q_scale, chunk, v, nbits, dtype)
-        return None, jnp.max(s.reshape(q, blocks_per_chunk, block), axis=2)
+        return carry, jnp.max(s.reshape(q, blocks_per_chunk, block), axis=2)
 
-    _, bm = jax.lax.scan(body, None, (db_c, valid_c))  # (nch, Q, bpc)
+    # Inside shard_map the scanned db arrays are device-varying; a dummy
+    # varying carry keeps the scan's carry types consistent under VMA checks.
+    carry = None
+    if pvary_axes:
+        carry = _mark_varying(jnp.zeros((), jnp.int32), tuple(pvary_axes))
+    _, bm = jax.lax.scan(body, carry, (db_c, valid_c))  # (nch, Q, bpc)
     block_max = jnp.transpose(bm, (1, 0, 2)).reshape(q, total_blocks)
 
     top_blocks = topk_blocks_hier(block_max, k)  # (Q, k) block ids
@@ -280,7 +288,7 @@ def pm1_blockmax_topk_impl(
 
 pm1_blockmax_topk = jax.jit(
     pm1_blockmax_topk_impl,
-    static_argnames=("k", "nbits", "chunk_size", "dtype", "block"),
+    static_argnames=("k", "nbits", "chunk_size", "dtype", "block", "pvary_axes"),
 )
 
 

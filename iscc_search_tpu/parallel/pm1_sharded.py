@@ -19,7 +19,7 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, pm1_topk_impl
+from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, pm1_blockmax_topk_impl, pm1_topk_impl
 from iscc_search_tpu.parallel.mesh import SHARD_AXIS
 
 
@@ -37,18 +37,33 @@ def shard_pm1_database(mesh, db_packed, db_valid, axis_name=SHARD_AXIS):
 
 def _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name):
     def local_step(q_pm1, q_scale, db_packed, db_valid):
-        scores, idx = pm1_topk_impl(
-            q_pm1,
-            q_scale,
-            db_packed,
-            db_valid,
-            k,
-            nbits,
-            chunk_size=chunk_size,
-            dtype=dtype,
-            recall_target=recall_target,
-            pvary_axes=(axis_name,),
-        )
+        if recall_target is None:
+            # Exact local scan via two-phase block-max (no per-chunk sort) —
+            # the same fast path the single-device engine uses.
+            scores, idx = pm1_blockmax_topk_impl(
+                q_pm1,
+                q_scale,
+                db_packed,
+                db_valid,
+                k,
+                nbits,
+                chunk_size=chunk_size,
+                dtype=dtype,
+                pvary_axes=(axis_name,),
+            )
+        else:
+            scores, idx = pm1_topk_impl(
+                q_pm1,
+                q_scale,
+                db_packed,
+                db_valid,
+                k,
+                nbits,
+                chunk_size=chunk_size,
+                dtype=dtype,
+                recall_target=recall_target,
+                pvary_axes=(axis_name,),
+            )
         shard = jax.lax.axis_index(axis_name)
         idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
         all_s = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)
