@@ -221,3 +221,53 @@ def test_meta_256_header():
     assert fields.maintype == ic.MT.META
     assert ic.decode_length(fields.maintype, fields.length) == 256
     assert len(fields.body) == 32
+
+
+# ----------------------------------------------------------- fuzz roundtrips
+
+
+def test_fuzz_header_roundtrip():
+    """Random (mt, st, vs, ln) headers roundtrip through encode/decode,
+    including multi-nibble varnibble values past the fast path."""
+    import random
+
+    rnd = random.Random(1234)
+    for _ in range(2000):
+        mt = rnd.randint(0, 7)
+        st = rnd.randint(0, 7) if rnd.random() < 0.9 else rnd.randint(8, 71)
+        vs = rnd.randint(0, 7) if rnd.random() < 0.9 else rnd.randint(8, 71)
+        ln = rnd.randint(0, 7) if rnd.random() < 0.9 else rnd.randint(8, 71)
+        tail = bytes([rnd.randint(0, 255) for _ in range(rnd.randint(0, 8))])
+        data = ic.encode_header(mt, st, vs, ln) + tail
+        f = ic.decode_header(data)
+        assert (f.maintype, f.subtype, f.version, f.length) == (mt, st, vs, ln)
+        assert f.body == tail
+
+
+def test_fuzz_base32_roundtrip():
+    import random
+
+    rnd = random.Random(99)
+    for _ in range(500):
+        raw = bytes([rnd.randint(0, 255) for _ in range(rnd.randint(1, 40))])
+        enc = ic.encode_base32(raw)
+        assert ic.decode_base32(enc) == raw
+        assert ic.decode_base32(enc.lower()) == raw  # case-insensitive
+
+
+def test_fuzz_decode_garbage_never_crashes_unexpectedly():
+    """Arbitrary byte soup either decodes or raises ValueError — nothing else."""
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(1000):
+        blob = bytes([rnd.randint(0, 255) for _ in range(rnd.randint(0, 12))])
+        try:
+            ic.decode_header(blob)
+        except ValueError:
+            pass
+        s = "".join(rnd.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ234567=!abc089 ") for _ in range(rnd.randint(0, 16)))
+        try:
+            ic.decode_base32(s)
+        except ValueError:
+            pass
