@@ -301,3 +301,72 @@ def test_ext_min_env_disable(tmp_path, monkeypatch):
     s.put("assets", b"t", b"x")
     assert s.get("assets", b"t") == b"x"
     s.close()
+
+
+def test_store_model_based_fuzz(tmp_path):
+    """Random op sequences mirrored against a dict model, with reopen and
+    compaction at random points. Catches externalization ref bugs (dangling
+    offsets, stale refs after compaction, wbuf-window reads) by construction.
+    """
+    import random
+
+    rnd = random.Random(4242)
+    path = tmp_path / "db"
+    plain = {}  # key -> value
+    dups = {}  # key -> set(values)
+    s = HostStore(path)
+
+    def rand_key():
+        return bytes([rnd.randint(0, 3) for _ in range(rnd.randint(1, 3))])
+
+    def rand_val():
+        # Mix sizes around the 64-byte externalization threshold
+        n = rnd.choice([1, 8, 63, 64, 65, 200, 1500])
+        return bytes([rnd.randint(0, 255) for _ in range(n)])
+
+    for step in range(1500):
+        r = rnd.random()
+        if r < 0.35:
+            k, v = rand_key(), rand_val()
+            s.put("p", k, v)
+            plain[k] = v
+        elif r < 0.45:
+            k = rand_key()
+            assert s.delete("p", k) == (k in plain)
+            plain.pop(k, None)
+        elif r < 0.60:
+            k, v = rand_key(), bytes([rnd.randint(0, 9) for _ in range(rnd.randint(1, 20))])
+            inserted = s.dup_put("d", k, v)
+            assert inserted == (v not in dups.get(k, set()))
+            dups.setdefault(k, set()).add(v)
+        elif r < 0.68:
+            k = rand_key()
+            vals = sorted(dups.get(k, set()))
+            if vals:
+                v = rnd.choice(vals)
+                assert s.dup_delete("d", k, v) is True
+                dups[k].discard(v)
+                if not dups[k]:
+                    del dups[k]
+        elif r < 0.88:
+            k = rand_key()
+            assert s.get("p", k) == plain.get(k)
+            assert s.get_dups("d", k) == sorted(dups.get(k, set()))
+        elif r < 0.94:
+            s.flush()
+        elif r < 0.98 and step > 50:
+            s.close()
+            s = HostStore(path)
+        else:
+            s.compact()
+
+    # Final full-state comparison via ordered scans
+    got_plain = dict(s.range_scan("p"))
+    assert got_plain == plain
+    got_dups = {}
+    for k, v in s.range_scan("d"):
+        got_dups.setdefault(k, set()).add(v)
+    assert got_dups == dups
+    assert s.entries("p") == len(plain)
+    assert s.entries("d") == sum(len(v) for v in dups.values())
+    s.close()
