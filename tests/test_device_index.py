@@ -267,3 +267,72 @@ def test_concurrent_search_during_appends(tmp_path, rng):
     res = idx.search([base[100]], 1)
     assert res[0][1][0] >= 0.999
     idx.close()
+
+
+def _nphd_brute(model, qbody, k):
+    """Python brute-force NPHD top-k over {key: body} (variable length)."""
+    scored = []
+    for key, body in model.items():
+        nb = min(len(qbody), len(body))
+        ham = sum((qbody[i] ^ body[i]).bit_count() for i in range(nb))
+        scored.append((1.0 - ham / (nb * 8), key))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored[:k]
+
+
+def test_device_index_model_fuzz(tmp_path):
+    """Random add/update/remove/search/persist sequence vs a brute-force
+    model — hardens the tombstone/compaction/segment-reload interplay."""
+    import random
+
+    rnd = random.Random(77)
+    model = {}  # key -> body bytes
+    path = tmp_path / "m"
+    idx = DeviceNphdIndex(path)
+    next_key = 1
+
+    def rand_bodies(n):
+        return [bytes(rnd.randint(0, 255) for _ in range(rnd.choice([8, 16, 32]))) for _ in range(n)]
+
+    for step in range(40):
+        r = rnd.random()
+        if r < 0.45 or not model:
+            n = rnd.randint(1, 60)
+            keys = list(range(next_key, next_key + n))
+            next_key += n
+            bodies = rand_bodies(n)
+            idx.add(keys, bodies)
+            model.update(zip(keys, bodies))
+        elif r < 0.60:
+            keys = rnd.sample(sorted(model), min(len(model), rnd.randint(1, 20)))
+            bodies = rand_bodies(len(keys))
+            idx.add(keys, bodies)  # update = re-add same key
+            model.update(zip(keys, bodies))
+        elif r < 0.75:
+            keys = rnd.sample(sorted(model), min(len(model), rnd.randint(1, 15)))
+            idx.remove(keys)
+            for key in keys:
+                del model[key]
+        elif r < 0.90 and model:
+            qkey = rnd.choice(sorted(model))
+            qbody = model[qkey] if rnd.random() < 0.7 else bytes(
+                rnd.randint(0, 255) for _ in range(rnd.choice([8, 16, 32])))
+            k = rnd.choice([1, 3, 10])
+            (keys_arr, scores), = idx.search([qbody], k)
+            got = [(round(float(scores[i]), 4), int.from_bytes(keys_arr[i].tobytes(), "big"))
+                   for i in range(len(scores))]
+            exp = [(round(sc, 4), key) for sc, key in _nphd_brute(model, qbody, k)]
+            # Compare score multisets (ties make key sets interchangeable)
+            assert [g[0] for g in got] == [e[0] for e in exp], (step, got, exp)
+            for g_score, g_key in got:  # each returned key's true score matches
+                nb = min(len(qbody), len(model[g_key]))
+                ham = sum((qbody[i] ^ model[g_key][i]).bit_count() for i in range(nb))
+                assert round(1.0 - ham / (nb * 8), 4) == g_score, (step, g_key)
+        else:
+            idx.save()
+            idx.close()
+            idx = DeviceNphdIndex(path)
+            assert idx.size == len(model), (step, idx.size, len(model))
+
+    assert idx.size == len(model)
+    idx.close()
