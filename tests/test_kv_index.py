@@ -109,3 +109,63 @@ def test_persistence(tmp_path):
     assert res.global_matches[0].score == pytest.approx(1.0)
     assert i2.get_asset(make_iscc_id(1)).metadata == {"a": 1}
     i2.close()
+
+
+def test_kv_model_based_fuzz(tmp_path):
+    """Random corpus with deliberately shared prefixes, checked against an
+    independent brute-force mirror of the bidirectional prefix semantics."""
+    import random
+
+    rnd = random.Random(31)
+    idx = KvIndex(tmp_path / "fz")
+
+    def body(nbytes):
+        # Tiny alphabet so prefixes collide often
+        return bytes(rnd.choice([0, 1, 255]) for _ in range(nbytes))
+
+    # corpus: iscc_id -> {unit_type: [bodies]}
+    corpus = {}
+    entries = []
+    for i in range(1, 120):
+        iid = make_iscc_id(i)
+        units, per_type = [], {}
+        for mtype in (ic.MT.DATA, ic.MT.CONTENT):
+            b = body(rnd.choice([8, 16, 24, 32]))
+            units.append(unit_from_body(b, mtype))
+            ut = f"{'DATA_NONE' if mtype == ic.MT.DATA else 'CONTENT_TEXT'}_V0"
+            per_type.setdefault(ut, []).append(b)
+        inst = unit_from_body(body(16), ic.MT.INSTANCE)
+        units.append(inst)
+        per_type.setdefault("INSTANCE_NONE_V0", []).append(ic.decode_base32(inst.split(":")[1])[2:])
+        corpus[iid] = per_type
+        entries.append(IsccEntry(iscc_id=iid, units=units))
+    idx.add_assets(entries)
+
+    def brute_bits(stored, qb):
+        qbits = len(qb) * 8
+        if len(stored) >= len(qb) and stored[: len(qb)] == qb:
+            return qbits
+        if len(stored) * 8 in (64, 128, 192) and len(stored) < len(qb) and qb[: len(stored)] == stored:
+            return len(stored) * 8
+        return 0
+
+    for _trial in range(40):
+        qd, qc = body(rnd.choice([8, 16, 24, 32])), body(rnd.choice([8, 16, 24, 32]))
+        q = IsccQuery(units=[unit_from_body(qd, ic.MT.DATA), unit_from_body(qc, ic.MT.CONTENT)])
+        res = idx.search_assets(q, limit=1000)
+        got = {m.iscc_id: m.score for m in res.global_matches}
+        expected = {}
+        for iid, per_type in corpus.items():
+            total = 0.0
+            matched = False
+            for ut, qb in (("DATA_NONE_V0", qd), ("CONTENT_TEXT_V0", qc)):
+                bits = max((brute_bits(sb, qb) for sb in per_type.get(ut, [])), default=0)
+                if bits:
+                    matched = True
+                total += bits / (len(qb) * 8)
+            if matched:
+                expected[iid] = total / 2
+        assert got.keys() == expected.keys(), (_trial, len(got), len(expected))
+        for iid in got:
+            assert got[iid] == pytest.approx(expected[iid]), (_trial, iid)
+    idx.close()
