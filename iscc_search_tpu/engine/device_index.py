@@ -8,10 +8,11 @@ Design (TPU-first, not a graph translation):
 - Codes live as a bit-packed ``(N, 8) uint32`` lane matrix. Index *build* is
   streaming pack-and-append (no graph construction), so ingest throughput is
   memcpy-bound instead of HNSW-insert-bound.
-- *Search* is an exhaustive XOR+popcount scan with fused top-k
-  (:func:`iscc_search_tpu.ops.topk.topk_scan`), giving exact results
-  (recall 1.0) at HBM bandwidth — the reference's expansion/connectivity
-  quality knobs become unnecessary.
+- *Search* is an exhaustive scan via the ±1 matmul identity
+  (:mod:`iscc_search_tpu.ops.pm1_scan`) with exact two-phase block-max
+  top-k — fused Pallas kernel over the int8 layout where it fits, the XLA
+  packed path beyond — giving exact results (recall 1.0); the reference's
+  expansion/connectivity quality knobs become unnecessary.
 - *Mutability*: updates tombstone the old row and append a new one (mirrors
   the remove-before-add semantics at reference usearch/index.py:417-445);
   a validity bitmap masks tombstones inside the kernel. Compaction reclaims
