@@ -103,6 +103,23 @@ def serve(opts=None):
 
     httpd = make_server(opts.host, opts.port, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
     logger.info(f"Serving on http://{opts.host}:{opts.port} (backend: {opts.index_uri})")
+
+    # Graceful SIGTERM (Docker/k8s stop): drain the server loop, then flush
+    # and close the index in the finally block — parity with the reference's
+    # stop_grace_period guidance (docs/howto/deployment.md). shutdown() must
+    # run off the serving thread, so the handler hands it to a helper thread.
+    import signal
+
+    def _term(_signum, _frame):  # pragma: no cover - signal delivery timing
+        logger.info("SIGTERM received: draining connections and saving state...")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    previous = None
+    try:
+        previous = signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # pragma: no cover - non-main thread (tests/embedding)
+        pass
+
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover
@@ -113,3 +130,8 @@ def serve(opts=None):
             runner.stop()
         index.close()
         httpd.server_close()
+        if previous is not None:
+            try:
+                signal.signal(signal.SIGTERM, previous)
+            except ValueError:  # pragma: no cover
+                pass

@@ -219,3 +219,58 @@ def test_head_request(client):
     assert r.status_code == 200
     assert r.content == b""
     assert int(r.headers.get("Content-Length", 0)) > 0
+
+
+def test_sigterm_graceful_shutdown(tmp_path):
+    """SIGTERM drains the server and closes the index cleanly (derived
+    segments saved), exiting 0 — Docker/k8s stop parity."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    port = 18733
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=os.getcwd(),
+        ISCC_SEARCH_INDEX_URI=f"tpu://{tmp_path}/data",
+        ISCC_SEARCH_HOST="127.0.0.1",
+        ISCC_SEARCH_PORT=str(port),
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "from iscc_search_tpu.server.httpd import serve; serve()"],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        deadline = time.time() + 60
+        while True:
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1)
+                break
+            except Exception:
+                if time.time() > deadline:
+                    proc.kill()
+                    raise TimeoutError(proc.communicate()[0].decode()[-2000:])
+                time.sleep(0.2)
+        # Create an index so shutdown has state to flush
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/indexes",
+            data=b'{"name": "graceful"}',
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out.decode()[-2000:]
+        text = out.decode()
+        assert "SIGTERM received" in text
+        assert "closing index" in text
+        assert (tmp_path / "data" / "graceful").is_dir()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
