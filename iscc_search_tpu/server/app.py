@@ -48,6 +48,15 @@ def _dump(model):
     return model.model_dump(mode="json", exclude_unset=True, exclude_none=True)
 
 
+def _model(cls, data):
+    # type: (type, ...) -> ...
+    """Validate a JSON object into a pydantic model; non-objects are 422
+    (``cls(**data)`` on a list/str/int raises TypeError, not ValidationError)."""
+    if not isinstance(data, dict):
+        raise HTTPError(422, f"Request body must be a JSON object for {cls.__name__}")
+    return cls(**data)
+
+
 def init_sentry(opts):
     # type: (...) -> bool
     """
@@ -166,7 +175,7 @@ def create_app(index=None, opts=None):
     def create_index(request):
         auth.block_if_aggregator(opts)
         auth.verify_api_key(request, opts)
-        index_data = IsccIndex(**(request.json() or {}))
+        index_data = _model(IsccIndex, request.json() or {})
         created = app.state.index.create_index(index_data)
         return Response(_dump(created), status=201)
 
@@ -192,7 +201,7 @@ def create_app(index=None, opts=None):
         body = request.json()
         if not isinstance(body, list):
             raise HTTPError(422, "Request body must be a list of assets")
-        assets = [IsccEntry(**item) for item in body]
+        assets = [_model(IsccEntry, item) for item in body]
         results = app.state.index.add_assets(request.path_params["name"], assets)
         return Response([_dump(r) for r in results], status=201)
 
@@ -216,7 +225,7 @@ def create_app(index=None, opts=None):
     def search_post(request):
         auth.block_foreign_index_if_aggregator(request.path_params["name"], opts)
         auth.verify_api_key(request, opts)
-        query = IsccQuery(**(request.json() or {}))
+        query = _model(IsccQuery, request.json() or {})
         result = app.state.index.search_assets(request.path_params["name"], query, _limit(request))
         return Response(result.model_dump(mode="json", exclude_none=True))
 

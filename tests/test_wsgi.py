@@ -134,3 +134,52 @@ def test_timer_logs(caplog):
         with timer("unit-test op"):
             pass
     assert any("unit-test op" in r.message for r in caplog.records)
+
+
+def test_fuzz_requests_never_500(tmp_path):
+    """Random garbage requests against the live app yield 4xx/2xx, never 500.
+
+    The exception contract maps bad input to 400/404/422; a 500 means an
+    unmapped crash leaked out of a handler.
+    """
+    import random
+
+    from iscc_search_tpu.indexes.memory import MemoryIndex
+    from iscc_search_tpu.options import SearchOptions
+    from iscc_search_tpu.server.app import create_app
+
+    app = create_app(index=MemoryIndex(), opts=SearchOptions(index_uri="memory://"))
+    rnd = random.Random(606)
+
+    paths = [
+        "/", "/healthz", "/indexes", "/indexes/x", "/indexes/x/assets",
+        "/indexes/x/assets/ISCC:GARBAGE", "/indexes/x/search", "/openapi.json",
+        "/static/../etc/passwd", "/static/%2e%2e/secret", "/nope", "/indexes/UPPER",
+        "/indexes/x/search?limit=notanint", "/indexes/x/search?iscc_code=junk",
+    ]
+    methods = ["GET", "POST", "DELETE", "PUT", "PATCH", "HEAD"]
+    bodies = [
+        b"", b"{", b"[]", b"[{]", b'{"units": 3}', b'[{"iscc_id": 5}]',
+        b"\xff\xfe\x00\x01", b'{"iscc_code": "' + b"A" * 5000 + b'"}',
+        b'[{"iscc_id": "ISCC:' + b"Z" * 400 + b'"}]',
+        json.dumps([{"iscc_id": "ISCC:MAIGIIFJRDGEQQAA", "units": ["x", "y"]}]).encode(),
+    ]
+
+    def call(method, full_path, body):
+        path, _, query = full_path.partition("?")
+        env = make_environ(method, path, query=query, body=body)
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+
+        out = b"".join(app(env, start_response))
+        return captured["status"], out
+
+    for _ in range(300):
+        path = rnd.choice(paths)
+        method = rnd.choice(methods)
+        body = rnd.choice(bodies)
+        status, out = call(method, path, body)
+        code = int(status.split()[0])
+        assert code != 500, (method, path, body[:50], status, out[:200])
