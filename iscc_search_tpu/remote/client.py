@@ -45,6 +45,16 @@ class RemoteIndex:
             self._client = httpx.Client(base_url=self.url, headers=headers, timeout=self.timeout)
         return self._client
 
+    def _json(self, response):
+        # type: (httpx.Response) -> ...
+        """Decode a success response; garbage from the server is a RuntimeError
+        (a server fault), never a ValueError (reserved for invalid user input
+        by the protocol's exception contract)."""
+        try:
+            return response.json()
+        except Exception as exc:
+            raise RuntimeError(f"Invalid JSON response from server: {exc}") from None
+
     def _raise_for_status(self, response):
         # type: (httpx.Response) -> None
         if response.is_success:
@@ -65,19 +75,19 @@ class RemoteIndex:
         # type: () -> list[IsccIndex]
         response = self.client.get("/indexes")
         self._raise_for_status(response)
-        return [IsccIndex(**i) for i in response.json()]
+        return [IsccIndex(**i) for i in self._json(response)]
 
     def create_index(self, index):
         # type: (IsccIndex) -> IsccIndex
         response = self.client.post("/indexes", json={"name": index.name})
         self._raise_for_status(response)
-        return IsccIndex(**response.json())
+        return IsccIndex(**self._json(response))
 
     def get_index(self, name):
         # type: (str) -> IsccIndex
         response = self.client.get(f"/indexes/{name}")
         self._raise_for_status(response)
-        return IsccIndex(**response.json())
+        return IsccIndex(**self._json(response))
 
     def delete_index(self, name):
         # type: (str) -> None
@@ -102,7 +112,7 @@ class RemoteIndex:
             try:
                 response = self.client.post(f"/indexes/{index_name}/assets", json=payload)
                 self._raise_for_status(response)
-                return [IsccAddResult(**r) for r in response.json()]
+                return [IsccAddResult(**r) for r in self._json(response)]
             except TRANSIENT_ERRORS as exc:
                 last_error = exc
                 if attempt < MAX_RETRIES:
@@ -117,14 +127,14 @@ class RemoteIndex:
         # type: (str, str) -> IsccEntry
         response = self.client.get(f"/indexes/{index_name}/assets/{iscc_id}")
         self._raise_for_status(response)
-        return IsccEntry(**response.json())
+        return IsccEntry(**self._json(response))
 
     def search_assets(self, index_name, query, limit=100):
         # type: (str, ..., int) -> IsccSearchResult
         payload = query.model_dump(mode="json", exclude_unset=True)
         response = self.client.post(f"/indexes/{index_name}/search", json=payload, params={"limit": limit})
         self._raise_for_status(response)
-        return IsccSearchResult(**response.json())
+        return IsccSearchResult(**self._json(response))
 
     def close(self):
         # type: () -> None

@@ -94,3 +94,21 @@ def test_retry_on_transport_error(entry_factory, monkeypatch):
     results = client.add_assets("idx", [IsccEntry(**entry_factory())])
     assert results[0].status == "created"
     assert calls["n"] >= 2
+
+
+def test_garbage_success_response_is_runtime_error():
+    """A 200 with invalid JSON is a server fault (RuntimeError), not a
+    ValueError — ValueError is reserved for invalid user input."""
+    import httpx
+    import pytest
+
+    from iscc_search_tpu.remote import RemoteIndex
+
+    def handler(request):
+        return httpx.Response(200, text="<html>not json</html>")
+
+    idx = RemoteIndex("https://x.example", "main")
+    idx._client = httpx.Client(transport=httpx.MockTransport(handler), base_url="https://x.example")
+    with pytest.raises(RuntimeError, match="Invalid JSON"):
+        idx.list_indexes()
+    idx.close()
