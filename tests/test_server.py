@@ -274,3 +274,52 @@ def test_sigterm_graceful_shutdown(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+# ------------------------------------------- backend-parametrized HTTP flow
+
+
+@pytest.fixture(params=["memory", "kv", "tpu"])
+def any_backend_client(request, tmp_path):
+    """Full HTTP stack over each backend (reference backend_index strategy
+    wired through the app — SURVEY §4.2)."""
+    if request.param == "memory":
+        backend = MemoryIndex()
+    elif request.param == "kv":
+        from iscc_search_tpu.indexes.kv import KvIndexManager
+
+        backend = KvIndexManager(tmp_path / "kv")
+    else:
+        from iscc_search_tpu.indexes.tpu import TpuIndexManager
+
+        backend = TpuIndexManager(tmp_path / "tpu")
+    app = create_app(index=backend, opts=SearchOptions(index_uri="memory://"))
+    transport = httpx.WSGITransport(app=app)
+    with httpx.Client(transport=transport, base_url="http://testserver") as c:
+        yield c
+    backend.close()
+
+
+def test_http_flow_all_backends(any_backend_client, entry_factory):
+    c = any_backend_client
+    assert c.post("/indexes", json={"name": "flow"}).status_code == 201
+
+    entries = [entry_factory() for _ in range(5)]
+    r = c.post("/indexes/flow/assets", json=entries)
+    assert r.status_code == 201
+    results = r.json()
+    assert len(results) == 5 and all(res["status"] == "created" for res in results)
+
+    # exact self search finds the asset
+    r = c.post("/indexes/flow/search", json={"iscc_code": entries[0]["iscc_code"]})
+    assert r.status_code == 200
+    matches = r.json()["global_matches"]
+    assert entries[0]["iscc_id"] in [m["iscc_id"] for m in matches]
+
+    r = c.get(f"/indexes/flow/assets/{entries[2]['iscc_id']}")
+    assert r.status_code == 200
+    assert r.json()["iscc_id"] == entries[2]["iscc_id"]
+
+    assert c.get("/indexes/flow/assets/ISCC:MAIGIIFJRDGEQQAB").status_code == 404
+    assert c.delete("/indexes/flow").status_code == 204
+    assert c.get("/indexes/flow").status_code == 404
