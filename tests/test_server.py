@@ -323,3 +323,27 @@ def test_http_flow_all_backends(any_backend_client, entry_factory):
     assert c.get("/indexes/flow/assets/ISCC:MAIGIIFJRDGEQQAB").status_code == 404
     assert c.delete("/indexes/flow").status_code == 204
     assert c.get("/indexes/flow").status_code == 404
+
+
+def test_frontend_js_api_surface(client, entry_factory):
+    """The exact API calls static/app.js makes must keep working: /indexes,
+    /status, and POST /indexes/{name}/search?limit=N."""
+    import re
+    from pathlib import Path
+
+    js = (Path("iscc_search_tpu/server/app.py").parent / "static" / "app.js").read_text()
+    called = set(re.findall(r"api\(\s*[`\"']([^`\"']+)", js))
+    assert {"/indexes", "/status"} <= called
+    assert any(p.startswith("/indexes/${") and "/search" in p for p in called)
+
+    assert client.post("/indexes", json={"name": "ui"}).status_code == 201
+    entry = entry_factory()
+    assert client.post("/indexes/ui/assets", json=[entry]).status_code == 201
+    assert client.get("/indexes").status_code == 200
+    assert client.get("/status").status_code == 200
+    r = client.post("/indexes/ui/search?limit=20", json={"iscc_code": entry["iscc_code"]})
+    assert r.status_code == 200
+    assert entry["iscc_id"] in [m["iscc_id"] for m in r.json()["global_matches"]]
+    # Pages and assets the browser loads
+    for page in ("/", "/static/app.js", "/static/style.css", "/docs", "/openapi.json"):
+        assert client.get(page).status_code == 200, page
