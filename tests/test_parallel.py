@@ -65,3 +65,42 @@ def test_shard_database_rejects_uneven(mesh):
     dc, dl = pack_codes(bodies)
     with pytest.raises(ValueError):
         shard_database(mesh, jnp.asarray(dc), jnp.asarray(dl), jnp.asarray(np.ones(100, bool)))
+
+
+def test_init_distributed_single_host_noop(monkeypatch, caplog):
+    """Without coordinator config, init is a logged no-op (single host)."""
+    from iscc_search_tpu.parallel.distributed import init_distributed
+
+    monkeypatch.delenv("ISCC_SEARCH_COORDINATOR", raising=False)
+    monkeypatch.delenv("ISCC_SEARCH_NUM_HOSTS", raising=False)
+    init_distributed()  # must not raise or call jax.distributed.initialize
+
+
+def test_init_distributed_passes_cluster_args(monkeypatch):
+    """Coordinator config reaches jax.distributed.initialize verbatim."""
+    import jax
+
+    from iscc_search_tpu.parallel import distributed
+
+    seen = {}
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        seen.update(addr=coordinator_address, n=num_processes, pid=process_id)
+        raise RuntimeError("stop before real networking")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("ISCC_SEARCH_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("ISCC_SEARCH_NUM_HOSTS", "4")
+    monkeypatch.setenv("ISCC_SEARCH_HOST_ID", "2")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stop before real networking"):
+        distributed.init_distributed()
+    assert seen == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_global_mesh_spans_all_devices():
+    from iscc_search_tpu.parallel.distributed import global_mesh
+
+    mesh = global_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == len(jax.devices())
