@@ -55,9 +55,12 @@ class KvIndexManager:
         # type: (IsccIndex) -> IsccIndex
         common.validate_index_name(index.name)
         path = self._index_path(index.name)
-        if path.exists():
-            raise FileExistsError(f"Index '{index.name}' already exists")
-        self._cache[index.name] = KvIndex(path)
+        # Existence check and cache insert under the lock: two concurrent
+        # creates of the same name must not both construct an instance.
+        with self._cache_lock:
+            if path.exists():
+                raise FileExistsError(f"Index '{index.name}' already exists")
+            self._cache[index.name] = KvIndex(path)
         return IsccIndex(name=index.name, assets=0, size=0)
 
     def get_index(self, name):
@@ -69,9 +72,10 @@ class KvIndexManager:
     def delete_index(self, name):
         # type: (str) -> None
         self._validate_exists(name)
-        if name in self._cache:
-            self._cache[name].close()
-            del self._cache[name]
+        with self._cache_lock:
+            if name in self._cache:
+                self._cache[name].close()
+                del self._cache[name]
         shutil.rmtree(self._index_path(name))
 
     def add_assets(self, index_name, assets):

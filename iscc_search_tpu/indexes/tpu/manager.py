@@ -58,10 +58,13 @@ class TpuIndexManager:
         # type: (IsccIndex) -> IsccIndex
         common.validate_index_name(index.name)
         index_path = self.base_path / index.name
-        if index_path.exists():
-            raise FileExistsError(f"Index '{index.name}' already exists")
-        idx = TpuIndex(index_path, realm_id=None, max_dim=self.max_dim)
-        self._index_cache[index.name] = idx
+        # Existence check and cache insert under the lock: two concurrent
+        # creates of the same name must not both construct an instance.
+        with self._cache_lock:
+            if index_path.exists():
+                raise FileExistsError(f"Index '{index.name}' already exists")
+            idx = TpuIndex(index_path, realm_id=None, max_dim=self.max_dim)
+            self._index_cache[index.name] = idx
         return IsccIndex(name=index.name, assets=0, size=0)
 
     def get_index(self, name):
@@ -74,9 +77,10 @@ class TpuIndexManager:
     def delete_index(self, name):
         # type: (str) -> None
         self._validate_index_exists(name)
-        if name in self._index_cache:
-            self._index_cache[name].close()
-            del self._index_cache[name]
+        with self._cache_lock:
+            if name in self._index_cache:
+                self._index_cache[name].close()
+                del self._index_cache[name]
         shutil.rmtree(self.base_path / name)
 
     def add_assets(self, index_name, assets):
