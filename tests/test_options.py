@@ -86,3 +86,16 @@ def test_factory_rejects_bad_uris(tmp_path):
         get_index(str(tmp_path))  # no scheme
     with pytest.raises(ValueError):
         get_index("postgres://localhost/db")
+
+
+def test_configuration_doc_in_sync():
+    """docs/configuration.md must match what the generator renders from
+    SearchOptions — the doc can't silently drift from the code."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("gen_config_doc", root / "scripts" / "gen_config_doc.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert (root / "docs" / "configuration.md").read_text() == mod.render()
