@@ -515,6 +515,10 @@ void* ts_open(const char* dir) {
         s->ext_min = static_cast<uint32_t>(strtoul(env, nullptr, 10));
     }
 
+    // A crash between snapshot write and rename leaves a stale tmp file;
+    // it was never the committed snapshot, so drop it.
+    ::unlink((s->dir + "/store.snap.tmp").c_str());
+
     std::string snap_path = s->dir + "/store.snap";
     int sfd = ::open(snap_path.c_str(), O_RDONLY);
     if (sfd >= 0) {

@@ -370,3 +370,20 @@ def test_store_model_based_fuzz(tmp_path):
     assert s.entries("p") == len(plain)
     assert s.entries("d") == sum(len(v) for v in dups.values())
     s.close()
+
+
+def test_stale_snapshot_tmp_cleaned_on_open(tmp_path):
+    """A crash between snapshot write and rename leaves store.snap.tmp; open
+    must ignore and remove it (it was never the committed snapshot)."""
+    s = HostStore(tmp_path / "db")
+    s.put("a", b"k", b"v" * 100)
+    s.compact()
+    s.close()
+    stale = tmp_path / "db" / "store.snap.tmp"
+    stale.write_bytes(b"\x01garbage-from-crashed-compaction")
+    s = HostStore(tmp_path / "db")
+    assert s.get("a", b"k") == b"v" * 100
+    assert not stale.exists()
+    s.compact()
+    assert s.get("a", b"k") == b"v" * 100
+    s.close()
