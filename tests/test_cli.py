@@ -226,3 +226,18 @@ def test_datasets_command_empty(runner, monkeypatch):
     res = r.invoke(cli, ["datasets", "--search", "nothing"])
     assert res.exit_code == 0
     assert "No datasets found" in res.output
+
+
+def test_cli_command_surface(runner):
+    """Pin the top-level command surface (reference CLI parity set)."""
+    r, _, _ = runner
+    from iscc_search_tpu.cli import cli
+
+    res = r.invoke(cli, ["--help"])
+    assert res.exit_code == 0
+    for cmd in ("add", "get", "search", "serve", "index", "hub", "datasets", "version"):
+        assert cmd in res.output, cmd
+    res = r.invoke(cli, ["index", "--help"])
+    assert res.exit_code == 0
+    for sub in ("add", "list", "use", "remove", "rebuild"):
+        assert sub in res.output, sub
