@@ -1,16 +1,19 @@
 """
 Log-record -> IsccEntry conversion (pure, Sans-IO).
 
-Parity with reference aggregator/entry.py: discriminate on pinned
-``note.$schema`` URIs, convert declarations to IsccEntry upserts (longest unit
-per unit-type, 256-bit INSTANCE derived from the datahash, gateway
-URI-template expansion), classify skips with a fixed reason vocabulary, and
-never raise (forward-compatibility rule: unknown note types are skipped).
+Behavioral parity with reference aggregator/entry.py: records discriminate on
+pinned ``note.$schema`` URIs; declarations become IsccEntry upserts carrying
+the widest available unit per unit-type (note.units may hold expansions, and
+INSTANCE always re-derives at 256 bits from note.datahash) plus an expanded
+gateway URL as the only metadata. Conversion never raises: every failure maps
+to a skip reason, and unknown note types are skipped for forward
+compatibility.
 """
 
 from __future__ import annotations
 
 import json
+import re
 
 from iscc_search_tpu import codec as ic
 from iscc_search_tpu.aggregator import NETWORKS
@@ -26,25 +29,80 @@ DELETION_SCHEMA = "http://purl.org/iscc/schema/iscc-note-delete-0.8.0.json"
 REASONS = ("ok", "deletion", "unknown_schema", "malformed", "realm_mismatch")
 
 
+class _Skip(Exception):
+    """Internal control flow: abandon conversion with a classified reason."""
+
+    def __init__(self, reason):
+        # type: (str) -> None
+        self.reason = reason
+
+
+# RFC 6570 level-3 subset used by IDP gateway templates: simple, "/" and "."
+# operator forms of the three known variables.
+_TEMPLATE_VAR = re.compile(r"\{([/.]?)(iscc_id|iscc_code|datahash)\}")
+
+
 def expand_gateway(template, iscc_id, iscc_code, datahash):
     # type: (str, str, str, str) -> str
     """
-    Expand IDP gateway URI-template variables to a concrete URL.
+    Expand an IDP gateway URI template to a concrete URL.
 
-    {iscc_id}/{iscc_code} substitute the lowercase prefix-less base32 body,
-    {datahash} the lowercase hex multihash; the {/var} and {.var} operator
-    forms expand to "/value" and ".value". Plain URLs pass through.
+    ``{iscc_id}``/``{iscc_code}`` substitute the lowercase prefix-less base32
+    body, ``{datahash}`` the lowercase hex multihash; ``{/var}`` and
+    ``{.var}`` prepend the operator character. Plain URLs pass through.
     """
     values = {
         "iscc_id": iscc_id.removeprefix("ISCC:").lower(),
         "iscc_code": iscc_code.removeprefix("ISCC:").lower(),
         "datahash": datahash,
     }
-    for var, value in values.items():
-        template = template.replace("{" + var + "}", value)
-        template = template.replace("{/" + var + "}", "/" + value)
-        template = template.replace("{." + var + "}", "." + value)
-    return template
+
+    def substitute(match):
+        operator, name = match.groups()
+        return operator + values[name]
+
+    return _TEMPLATE_VAR.sub(substitute, template)
+
+
+def _instance_from_datahash(datahash):
+    # type: (str) -> str
+    """Full-width INSTANCE unit string from the note's multihash."""
+    digest = bytes.fromhex(datahash)[2:]  # strip the 2-byte multihash prefix
+    return "ISCC:" + ic.encode_component(ic.MT.INSTANCE, ic.ST.NONE, ic.VS.V0, 256, digest)
+
+
+def _widest_per_type(unit_strings):
+    # type: (list[str]) -> list[str]
+    """One unit per unit-type, keeping the longest body (first wins ties)."""
+    best = {}  # type: dict[str, IsccUnit]
+    for text in unit_strings:
+        unit = IsccUnit(text)
+        incumbent = best.get(unit.unit_type)
+        if incumbent is None or len(unit.body) > len(incumbent.body):
+            best[unit.unit_type] = unit
+    return [str(unit) for unit in best.values()]
+
+
+def _declaration_to_entry(doc, note, network):
+    # type: (dict, dict, str) -> IsccEntry
+    iscc_id = doc["iscc_id"]
+    validate_iscc_id(iscc_id)
+    if IsccID(iscc_id).realm_id != NETWORKS[network]["realm"]:
+        raise _Skip("realm_mismatch")
+    iscc_code = note["iscc_code"]
+    datahash = note["datahash"]
+    candidates = (
+        [str(unit) for unit in IsccCode(iscc_code).units]
+        + list(note.get("units", []))
+        + [_instance_from_datahash(datahash)]
+    )
+    gateway = note.get("gateway")
+    return IsccEntry(
+        iscc_id=iscc_id,
+        iscc_code=iscc_code,
+        units=_widest_per_type(candidates),
+        metadata={"gateway": expand_gateway(gateway, iscc_id, iscc_code, datahash)} if gateway else None,
+    )
 
 
 def record_to_entry(record, network):
@@ -52,43 +110,21 @@ def record_to_entry(record, network):
     """
     Convert one log record to an IsccEntry, classifying skips.
 
-    Declarations index one unit per unit-type keeping the longest form
-    (note.units carry expansions; INSTANCE derives from note.datahash). The
-    optional gateway becomes the only metadata field.
-
-    :return: (entry, "ok") or (None, reason)
+    :return: (entry, "ok") or (None, reason) with reason from :data:`REASONS`
     """
     try:
-        parsed = json.loads(record)
-        note = parsed["note"]
-        note_schema = note["$schema"]
+        doc = json.loads(record)
+        note = doc["note"]
+        schema = note["$schema"]
     except (ValueError, KeyError, TypeError):
         return None, "malformed"
-    if note_schema == DELETION_SCHEMA:
-        return None, "deletion"
-    if note_schema != DECLARATION_SCHEMA:
-        return None, "unknown_schema"
     try:
-        iscc_id = parsed["iscc_id"]
-        validate_iscc_id(iscc_id)
-        if IsccID(iscc_id).realm_id != NETWORKS[network]["realm"]:
-            return None, "realm_mismatch"
-        iscc_code = note["iscc_code"]
-        instance = "ISCC:" + ic.encode_component(
-            ic.MT.INSTANCE, ic.ST.NONE, ic.VS.V0, 256, bytes.fromhex(note["datahash"][4:])
-        )
-        candidates = [str(u) for u in IsccCode(iscc_code).units] + list(note.get("units", [])) + [instance]
-        longest = {}  # type: dict[str, IsccUnit]
-        for unit_str in candidates:
-            unit = IsccUnit(unit_str)
-            prev = longest.get(unit.unit_type)
-            if prev is None or len(unit.body) > len(prev.body):
-                longest[unit.unit_type] = unit
-        units = [str(u) for u in longest.values()]
-        metadata = None
-        if note.get("gateway"):
-            metadata = {"gateway": expand_gateway(note["gateway"], iscc_id, iscc_code, note["datahash"])}
-        entry = IsccEntry(iscc_id=iscc_id, iscc_code=iscc_code, units=units, metadata=metadata)
+        if schema == DELETION_SCHEMA:
+            raise _Skip("deletion")
+        if schema != DECLARATION_SCHEMA:
+            raise _Skip("unknown_schema")
+        return _declaration_to_entry(doc, note, network), "ok"
+    except _Skip as skip:
+        return None, skip.reason
     except Exception:
         return None, "malformed"
-    return entry, "ok"

@@ -1,8 +1,10 @@
 """
-Hub-list loading for the IDP aggregator (pure parse + thin I/O shell).
+Authoritative hub-list loading for the IDP aggregator.
 
-Parity with reference aggregator/hublist.py: parse the authoritative
-{network}.yaml and return active hubs; load from http(s) URL or local path.
+Behavioral parity with reference aggregator/hublist.py: the {network}.yaml
+document names the hubs of one network; only entries flagged active are
+polled. Parsing is pure; the async fetch shell accepts http(s) URLs or local
+file paths (the latter mainly for tests and air-gapped deploys).
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ import yaml
 
 @dataclass(frozen=True)
 class Hub:
-    """Active hub entry from the authoritative hub list."""
+    """One pollable hub from the authoritative list."""
 
     hub_id: int
     url: str
@@ -24,26 +26,31 @@ class Hub:
 def parse_hub_list(data, network):
     # type: (bytes | str, str) -> list[Hub]
     """
-    Parse hub-list YAML ({version, network, hubs: [...]}) to active hubs.
+    Active hubs from hub-list YAML ({version, network, hubs: [...]}).
 
-    :raises ValueError: non-mapping YAML or network mismatch
+    :raises ValueError: document is not a mapping, or names another network
     """
-    parsed = yaml.safe_load(data)
-    if not isinstance(parsed, dict):
-        raise ValueError("hub list is not a mapping")
-    if parsed.get("network") != network:
-        raise ValueError(f"hub list network mismatch: expected {network}, got {parsed.get('network')}")
-    hubs = parsed.get("hubs") or []
-    return [Hub(hub_id=hub["hub_id"], url=hub["url"]) for hub in hubs if hub.get("active")]
+    doc = yaml.safe_load(data)
+    if not isinstance(doc, dict):
+        raise ValueError("hub list document must be a YAML mapping")
+    declared = doc.get("network")
+    if declared != network:
+        raise ValueError(f"hub list is for network {declared!r}, this deployment polls {network!r}")
+    return [
+        Hub(hub_id=item["hub_id"], url=item["url"])
+        for item in (doc.get("hubs") or ())
+        if item.get("active")
+    ]
 
 
 async def fetch_hub_list(source, network, client):
     # type: (str, str, ...) -> list[Hub]
-    """Fetch from http(s) or read a local file path, then parse."""
-    if source.startswith(("http://", "https://")):
+    """Load and parse the hub list from an http(s) URL or a local path."""
+    scheme = source.split("://", 1)[0] if "://" in source else ""
+    if scheme in ("http", "https"):
         response = await client.get(source)
         response.raise_for_status()
-        data = response.text
+        text = response.text
     else:
-        data = Path(source).read_text(encoding="utf-8")
-    return parse_hub_list(data, network)
+        text = Path(source).read_text(encoding="utf-8")
+    return parse_hub_list(text, network)

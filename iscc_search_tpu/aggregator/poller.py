@@ -1,19 +1,21 @@
 """
 Transparency-log poller (async I/O shell over the Sans-IO cores).
 
-Parity with reference aggregator/poller.py: plan bundles covering new
-records, poll each hub with per-hub error isolation, handle checkpoint
-regression by re-backfilling from leaf 0, and publish per-hub HubStatus for
-/status. Beyond the reference (which keeps cursors in memory and
-re-backfills on restart), cursors persist next to durable backends via
-aggregator.cursors — add_assets stays an idempotent upsert, so at-least-once
-delivery remains safe either way.
+Behavioral parity with reference aggregator/poller.py — cover new records
+with bundle fetches, isolate per-hub and per-bundle failures, re-backfill
+from leaf 0 on checkpoint regression, publish per-hub status for /status —
+plus two additions: durable per-hub cursors (aggregator.cursors) so restarts
+resume instead of re-backfilling, and a store-durability barrier before each
+cursor advance is persisted (a cursor must never claim records the backend
+could still lose in a crash; add_assets alone only reaches the OS page
+cache). At-least-once delivery with idempotent upserts keeps every path safe.
 """
 
 from __future__ import annotations
 
 import asyncio
 import time
+from collections import Counter
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
@@ -58,131 +60,193 @@ def plan_bundles(last_size, tree_size):
     """
     Entry-bundle fetch plan covering records [last_size, tree_size).
 
-    Returns (bundle_index, width) pairs; width 0 = full bundle, >0 = the
-    in-progress partial bundle (.p/<width>). Empty when the tree has not
-    grown (regression handled by the caller).
+    Walks the cursor bundle by bundle: each step emits (bundle_index, width)
+    where width 0 requests a full bundle and width > 0 the in-progress
+    partial bundle (``.p/<width>``). Empty when the tree has not grown
+    (regression handled by the caller).
     """
-    if tree_size <= last_size:
-        return []
-    first = last_size // tlog.TILE_WIDTH
-    last = (tree_size - 1) // tlog.TILE_WIDTH
-    plans = []
-    for index in range(first, last + 1):
-        if (index + 1) * tlog.TILE_WIDTH <= tree_size:
-            plans.append((index, 0))
+    plan = []
+    cursor = last_size
+    while cursor < tree_size:
+        bundle = cursor // tlog.TILE_WIDTH
+        bundle_end = (bundle + 1) * tlog.TILE_WIDTH
+        if bundle_end <= tree_size:
+            plan.append((bundle, 0))
+            cursor = bundle_end
         else:
-            plans.append((index, tree_size - index * tlog.TILE_WIDTH))
-    return plans
+            plan.append((bundle, tree_size - bundle * tlog.TILE_WIDTH))
+            cursor = tree_size
+    return plan
+
+
+def _convert_bundle(records, skip, network, hub_url, tally):
+    # type: (list[bytes], int, str, str, Counter) -> list
+    """Convert one bundle's records (past the cursor) to entries, tallying reasons."""
+    entries = []
+    for record in records[skip:]:
+        entry, reason = record_to_entry(record, network)
+        tally[reason] += 1
+        if entry is not None:
+            entries.append(entry)
+        elif reason != "deletion":
+            logger.warning(f"aggregator: {hub_url}: skipped record ({reason})")
+    return entries
 
 
 async def poll_hub_once(client, hub, last_size, index, index_name, network, stop_event):
     # type: (httpx.AsyncClient, hublist.Hub, int, ..., str, str, asyncio.Event) -> PollResult
     """
-    One poll of one hub: read the checkpoint, ingest new bundles one at a
-    time (bounded bursts of <=256 records between awaits). A failing bundle
-    keeps the progress made and surfaces PollResult.error; a tree-size
-    regression resets the cursor to 0 for re-backfill.
+    One poll of one hub: read the checkpoint, then ingest the planned bundles
+    one at a time (bounded bursts of <= 256 records between awaits).
+
+    A tree-size regression resets the cursor to 0 for re-backfill. A failing
+    bundle (fetch, short bundle, or indexing error) ends the poll but keeps
+    the cursor progress already made and surfaces the failure via
+    ``PollResult.error``.
     """
-    response = await client.get(f"{hub.url}/log/checkpoint")
-    response.raise_for_status()
-    tree_size = tlog.parse_checkpoint(response.text)
-    counts = dict.fromkeys(REASONS, 0)
+    tally = Counter({reason: 0 for reason in REASONS})
+
+    checkpoint = await client.get(f"{hub.url}/log/checkpoint")
+    checkpoint.raise_for_status()
+    tree_size = tlog.parse_checkpoint(checkpoint.text)
     if tree_size < last_size:
-        logger.warning(f"aggregator: {hub.url}: checkpoint regression {last_size} -> {tree_size}, re-backfilling")
-        return PollResult(last_size=0, counts=counts)
-    processed = last_size
-    for bundle_index, width in plan_bundles(last_size, tree_size):
+        logger.warning(
+            f"aggregator: {hub.url}: checkpoint regression {last_size} -> {tree_size}, re-backfilling"
+        )
+        return PollResult(last_size=0, counts=dict(tally))
+
+    async def ingest(bundle, width):
+        # type: (int, int) -> None
+        """Fetch, validate, convert, and index one bundle."""
+        path = tlog.entries_path(bundle, width)
+        response = await client.get(f"{hub.url}/log/{path}")
+        response.raise_for_status()
+        records = tlog.parse_entry_bundle(response.content)
+        want = width or tlog.TILE_WIDTH
+        if len(records) != want:
+            raise ValueError(f"{path} has {len(records)} records, expected {want}")
+        already_done = max(cursor - bundle * tlog.TILE_WIDTH, 0)
+        entries = _convert_bundle(records, already_done, network, hub.url, tally)
+        await asyncio.to_thread(index.add_assets, index_name, entries)
+
+    cursor = last_size
+    for bundle, width in plan_bundles(last_size, tree_size):
         if stop_event.is_set():
             break
         try:
-            path = tlog.entries_path(bundle_index, width)
-            response = await client.get(f"{hub.url}/log/{path}")
-            response.raise_for_status()
-            records = tlog.parse_entry_bundle(response.content)
-            expected = width or tlog.TILE_WIDTH
-            if len(records) != expected:
-                raise ValueError(f"{path} has {len(records)} records, expected {expected}")
-            bundle_start = bundle_index * tlog.TILE_WIDTH
-            entries = []
-            for record in records[max(last_size - bundle_start, 0):]:
-                converted, reason = record_to_entry(record, network)
-                counts[reason] += 1
-                if converted is not None:
-                    entries.append(converted)
-                elif reason != "deletion":
-                    logger.warning(f"aggregator: {hub.url}: skipped record ({reason})")
-            await asyncio.to_thread(index.add_assets, index_name, entries)
+            await ingest(bundle, width)
         except Exception as exc:
-            logger.warning(f"aggregator: {hub.url}: bundle {bundle_index} failed, retrying next poll: {exc}")
-            return PollResult(last_size=processed, counts=counts, error=f"bundle {bundle_index} failed: {exc}")
-        processed = min((bundle_index + 1) * tlog.TILE_WIDTH, tree_size)
-    return PollResult(last_size=processed, counts=counts)
+            logger.warning(f"aggregator: {hub.url}: bundle {bundle} failed, retrying next poll: {exc}")
+            return PollResult(last_size=cursor, counts=dict(tally), error=f"bundle {bundle} failed: {exc}")
+        cursor = min((bundle + 1) * tlog.TILE_WIDTH, tree_size)
+    return PollResult(last_size=cursor, counts=dict(tally))
+
+
+def _sync_backend(index, index_name):
+    # type: (..., str) -> None
+    """
+    Durability barrier before persisting an advanced cursor: flush + fsync
+    the backend if it exposes a sync hook, so a persisted cursor never points
+    past data the store could lose on power loss (add_assets alone leaves
+    the log in the OS page cache).
+    """
+    sync = getattr(index, "sync", None)
+    if callable(sync):
+        sync(index_name)
+
+
+class _Roster:
+    """Hub list with last-known-good semantics and timed refresh."""
+
+    def __init__(self, opts):
+        # type: (SearchOptions) -> None
+        self._opts = opts
+        self.hubs = []  # type: list[hublist.Hub]
+        self._due = 0.0
+
+    async def refresh(self, client, status):
+        # type: (httpx.AsyncClient, dict[int, HubStatus]) -> None
+        """
+        Refresh when due. A failed fetch keeps the previous list and retries
+        at the short poll interval; an empty list is benign idle; hubs absent
+        from a NON-empty refreshed list are pruned from status (an empty
+        refresh prunes nothing, so cursors survive transient hub outages).
+        """
+        now = time.monotonic()
+        if now < self._due:
+            return
+        opts = self._opts
+        try:
+            self.hubs = await hublist.fetch_hub_list(
+                opts.aggregator_hub_list_source, opts.aggregator_network, client
+            )
+        except Exception as exc:
+            logger.warning(f"aggregator: hub-list refresh failed, keeping previous list: {exc}")
+            self._due = now + opts.aggregator_poll_interval
+            return
+        if not self.hubs:
+            logger.warning("aggregator: hub list is empty, nothing to poll")
+            self._due = now + opts.aggregator_poll_interval
+            return
+        current = {hub.hub_id for hub in self.hubs}
+        for gone in [hub_id for hub_id in status if hub_id not in current]:
+            del status[gone]
+        self._due = now + opts.aggregator_hub_refresh_interval
+
+
+async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, status):
+    # type: (...) -> None
+    """Poll one hub and fold the outcome into its mutable status row."""
+    state.url = hub.url  # a refresh may relocate a hub
+    state.last_poll = time.time()
+    try:
+        result = await poll_hub_once(
+            client, hub, state.cursor, index, opts.aggregator_index_name, opts.aggregator_network, stop_event
+        )
+    except Exception as exc:
+        state.ok = False
+        state.error = str(exc)
+        logger.warning(f"aggregator: poll of {hub.url} failed: {exc}")
+        return
+    advanced = result.last_size != state.cursor
+    state.cursor = result.last_size
+    for reason, count in result.counts.items():
+        state.counts[reason] = state.counts.get(reason, 0) + count
+    state.ok = result.error is None
+    state.error = result.error
+    if advanced and cursor_store is not None:
+        # Barrier first: only durably-stored records may move the saved cursor.
+        await asyncio.to_thread(_sync_backend, index, opts.aggregator_index_name)
+        await asyncio.to_thread(cursor_store.save, {hid: st.cursor for hid, st in status.items()})
+    if result.counts["ok"]:
+        logger.info(
+            f"aggregator: {hub.url}: indexed {result.counts['ok']} records, cursor {result.last_size}"
+        )
 
 
 async def poll_loop(index, opts, stop_event, client, status, cursor_store=None):
     # type: (..., SearchOptions, asyncio.Event, httpx.AsyncClient, dict[int, HubStatus], ...) -> None
     """
-    Refresh the hub list and poll every hub until stopped.
+    Refresh the hub roster and poll every hub until stopped.
 
-    Hub-list refresh failure keeps the last-known-good list (retry at the
-    short poll interval); an empty list is benign idle; hubs leaving a
-    non-empty refreshed list are pruned from status (empty refreshes prune
-    nothing so cursors survive transient outages). With a durable backend,
-    cursors are seeded from and persisted to ``cursor_store`` so restarts
-    resume from the last ingested bundle instead of re-backfilling.
+    With a durable backend, cursors seed from and persist to ``cursor_store``
+    so restarts resume from the last ingested bundle; without one the loop
+    re-backfills from leaf 0 like the reference (idempotent upserts make
+    both safe).
     """
-    network = opts.aggregator_network
-    index_name = opts.aggregator_index_name
-    saved_cursors = cursor_store.load() if cursor_store is not None else {}
-    hubs = []  # type: list[hublist.Hub]
-    next_refresh = 0.0
+    seeded = cursor_store.load() if cursor_store is not None else {}
+    roster = _Roster(opts)
     while not stop_event.is_set():
-        now = time.monotonic()
-        if now >= next_refresh:
-            try:
-                hubs = await hublist.fetch_hub_list(opts.aggregator_hub_list_source, network, client)
-                if not hubs:
-                    logger.warning("aggregator: hub list is empty, nothing to poll")
-                    next_refresh = now + opts.aggregator_poll_interval
-                else:
-                    for stale_id in set(status) - {hub.hub_id for hub in hubs}:
-                        del status[stale_id]
-                    next_refresh = now + opts.aggregator_hub_refresh_interval
-            except Exception as exc:
-                logger.warning(f"aggregator: hub-list refresh failed, keeping previous list: {exc}")
-                next_refresh = now + opts.aggregator_poll_interval
-        for hub in hubs:
+        await roster.refresh(client, status)
+        for hub in roster.hubs:
             if stop_event.is_set():
                 break
-            if hub.hub_id not in status:
-                status[hub.hub_id] = HubStatus(
-                    hub_id=hub.hub_id, url=hub.url, cursor=saved_cursors.get(hub.hub_id, 0)
+            state = status.get(hub.hub_id)
+            if state is None:
+                state = status[hub.hub_id] = HubStatus(
+                    hub_id=hub.hub_id, url=hub.url, cursor=seeded.get(hub.hub_id, 0)
                 )
-            hub_status = status[hub.hub_id]
-            hub_status.url = hub.url  # refresh may relocate a hub
-            hub_status.last_poll = time.time()
-            try:
-                result = await poll_hub_once(
-                    client, hub, hub_status.cursor, index, index_name, network, stop_event
-                )
-                cursor_moved = result.last_size != hub_status.cursor
-                hub_status.cursor = result.last_size
-                for reason, count in result.counts.items():
-                    hub_status.counts[reason] = hub_status.counts.get(reason, 0) + count
-                hub_status.ok = result.error is None
-                hub_status.error = result.error
-                if cursor_moved and cursor_store is not None:
-                    await asyncio.to_thread(
-                        cursor_store.save, {hid: st.cursor for hid, st in status.items()}
-                    )
-                if result.counts["ok"]:
-                    logger.info(
-                        f"aggregator: {hub.url}: indexed {result.counts['ok']} records, cursor {result.last_size}"
-                    )
-            except Exception as exc:
-                hub_status.ok = False
-                hub_status.error = str(exc)
-                logger.warning(f"aggregator: poll of {hub.url} failed: {exc}")
+            await _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, status)
         try:
             await asyncio.wait_for(stop_event.wait(), timeout=opts.aggregator_poll_interval)
         except (TimeoutError, asyncio.TimeoutError):

@@ -93,6 +93,12 @@ class KvIndexManager:
         self._validate_exists(index_name)
         return self._get_or_load(index_name).search_assets(query, limit)
 
+    def sync(self, index_name):
+        # type: (str) -> None
+        """Durability barrier: fdatasync the index's store log (see tpu manager)."""
+        self._validate_exists(index_name)
+        self._get_or_load(index_name).store.sync()
+
     def close(self):
         # type: () -> None
         for name, idx in list(self._cache.items()):

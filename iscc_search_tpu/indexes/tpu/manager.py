@@ -98,6 +98,18 @@ class TpuIndexManager:
         self._validate_index_exists(index_name)
         return self._get_or_load_index(index_name).search_assets(query, limit)
 
+    def sync(self, index_name):
+        # type: (str) -> None
+        """
+        Durability barrier: fdatasync the index's host store log.
+
+        Used by the aggregator before persisting an advanced poll cursor —
+        the cursor must never claim records that only reached the OS page
+        cache (add_assets flushes but does not fsync per batch).
+        """
+        self._validate_index_exists(index_name)
+        self._get_or_load_index(index_name).store.sync()
+
     def rebuild(self, name, unit_types=None, simprint_types=None):
         # type: (str, list[str] | None, list[str] | None) -> dict
         """Rebuild derived indexes (None = all tracked types of that kind)."""
