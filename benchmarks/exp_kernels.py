@@ -71,8 +71,44 @@ def _kernel_trans(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub):
         )
 
 
+def _kernel_dotonly(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub, dtype):
+    """Dot + tiny fixed-slice store: isolates MXU(+DMA) cost, no epilogue."""
+    qv = q_ref[:]
+    if dtype == jnp.bfloat16:
+        qv = qv.astype(jnp.bfloat16)
+    qn = qv.shape[0]
+    acc = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    for t in range(chunk // sub):
+        d = db_ref[t * sub : (t + 1) * sub, :]
+        if dtype == jnp.bfloat16:
+            d = d.astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(qv, d, (((1,), (1,)), ((), ())), preferred_element_type=acc)
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = dot[:, : sub // BLOCK].astype(
+            jnp.float32
+        )
+
+
+def _kernel_consume(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub, acc):
+    """Full-size dot consumed via a second matmul (no epilogue, no DCE)."""
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    for t in range(chunk // sub):
+        dot = jax.lax.dot_general(
+            qv, db_ref[t * sub : (t + 1) * sub, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        )  # (Q, sub)
+        ones = jnp.full((sub // BLOCK, sub), 1, dot.dtype)
+        red = jax.lax.dot_general(
+            dot, ones, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Q, sub//BLOCK) - consumes every dot column
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = red.astype(jnp.float32)
+
+
 def make_variant(name, n, q):
-    nch = n // CHUNK
+    chunk = CHUNK
+    if name.startswith("chunk"):
+        chunk = int(name[5:])
+    nch = n // chunk
     vp = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
     def call(kernel, out_shape, in_specs, out_spec, *arrays):
@@ -81,10 +117,59 @@ def make_variant(name, n, q):
             out_shape=out_shape, compiler_params=vp,
         )(*arrays)
 
-    if name in ("bf16", "bf16_nopen", "sub2048", "sub8192"):
+    if name.startswith("consume") or name == "nodma_full":
+        nodma = "nodma" in name
+        if name == "nodma_full":
+            kern = functools.partial(_kernel_bf16, chunk=chunk, sub=4096, penalty=True)
+        else:
+            acc = jnp.float32 if "f32acc" in name else jnp.int32
+            kern = functools.partial(_kernel_consume, chunk=chunk, sub=4096, acc=acc)
+        db_map = (lambda i: (0, 0)) if nodma else (lambda i: (i, 0))
+
+        @jax.jit
+        def fn(q_i8, qs, db, pen16):
+            return call(
+                kern,
+                jax.ShapeDtypeStruct((q, n // BLOCK), jnp.float32),
+                [
+                    pl.BlockSpec((q, NBITS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk, NBITS), db_map, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                ],
+                pl.BlockSpec((q, chunk // BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                q_i8, qs, db, pen16,
+            )
+
+        return fn, "row"
+
+    if name.startswith("dotonly"):
+        nodma = "nodma" in name
+        dtype = jnp.bfloat16 if "bf16" in name else jnp.int8
+        kern = functools.partial(_kernel_dotonly, chunk=chunk, sub=4096, dtype=dtype)
+        db_map = (lambda i: (0, 0)) if nodma else (lambda i: (i, 0))
+
+        @jax.jit
+        def fn(q_i8, qs, db, pen16):
+            return call(
+                kern,
+                jax.ShapeDtypeStruct((q, n // BLOCK), jnp.float32),
+                [
+                    pl.BlockSpec((q, NBITS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk, NBITS), db_map, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                ],
+                pl.BlockSpec((q, chunk // BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                q_i8, qs, db, pen16,
+            )
+
+        return fn, "row"
+
+    if name in ("bf16", "bf16_nopen", "sub2048", "sub8192") or name.startswith("chunk"):
         sub = {"sub2048": 2048, "sub8192": 8192}.get(name, 4096)
         kern = functools.partial(
-            _kernel_bf16, chunk=CHUNK, sub=sub, penalty=(name != "bf16_nopen")
+            _kernel_bf16, chunk=chunk, sub=sub, penalty=(name != "bf16_nopen")
         )
 
         @jax.jit
@@ -95,10 +180,10 @@ def make_variant(name, n, q):
                 [
                     pl.BlockSpec((q, NBITS), lambda i: (0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((CHUNK, NBITS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk, NBITS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
                 ],
-                pl.BlockSpec((q, CHUNK // BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((q, chunk // BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
                 q_i8, qs, db, pen16,
             )
 

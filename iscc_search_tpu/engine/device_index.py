@@ -21,7 +21,12 @@ Design (TPU-first, not a graph translation):
   rewritable active segment and a global validity bitmap, each written
   atomically (tmp + fsync + rename), mirroring the reference's bounded
   crash-loss model (flush_interval + shard rotation, SURVEY §5). ``dirty``
-  counts unsaved key mutations like the upstream engine.
+  counts unsaved key mutations like the upstream engine. Saves snapshot the
+  arrays under the lock and write on a background worker (the reference's
+  background shard rotation, CHANGELOG 0.2.2: no multi-second ingest stalls
+  at flush boundaries); queued snapshots coalesce so at most one write is
+  pending behind the one in flight, and ``drain_rotations()``/``close()``
+  join the worker.
 
 Keys are fixed-width byte strings: 8 bytes (uint64 ISCC-ID body) for the NPHD
 index, 16 bytes (iscc_id_body + offset + size) for the simprint index.
@@ -39,6 +44,9 @@ import numpy as np
 
 from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
 from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries
+from iscc_search_tpu.utils import get_logger
+
+logger = get_logger(__name__)
 
 _PALLAS_MIN_CHUNK = 16384  # Mosaic output-block constraint (see ops/pallas_scan.py)
 
@@ -194,6 +202,14 @@ class PackedCodeIndex:
         self._synced_rows = 0
         self._valid_dirty = False
         self._closed = False
+        # Background save worker: latest snapshot pending (coalesced) + the
+        # one in flight; drain_rotations()/close() join both.
+        self._save_cv = threading.Condition()
+        self._save_queue = None  # type: dict | None
+        self._save_inflight = False
+        self._save_stop = False
+        self._save_thread = None  # type: threading.Thread | None
+        self._resave_all = False  # a failed write must re-emit sealed files
 
         if (self.path / "state.json").exists():
             self._load()
@@ -417,47 +433,114 @@ class PackedCodeIndex:
             results.append((keys_snapshot[r[order]], s[order].astype(np.float32)))
         return results
 
-    def save(self):
-        # type: () -> None
+    def save(self, wait=True):
+        # type: (bool) -> None
         """
         Persist sealed segments (write-once), the active segment, the validity
         bitmap, and the state manifest. Atomic per file; the manifest rename is
         the commit point. Compacts first when tombstones dominate.
+
+        The arrays are snapshotted under the lock (a memcpy) and written by a
+        background worker, so concurrent ``add``/``search`` never stall on
+        file I/O. ``wait=False`` returns after scheduling; queued snapshots
+        coalesce (a newer snapshot's manifest supersedes an older one), so at
+        most one write queues behind the one in flight.
         """
         with self._lock:
             if self.tombstone_fraction > 0.5 and self._rows > _MIN_DEVICE_ROWS:
                 self._compact_locked()
-            self.path.mkdir(parents=True, exist_ok=True)
-
-            # Seal full segments
-            sealed_rows = self._segments[-1]["start"] + self._segments[-1]["rows"] if self._segments else 0
-            while self._rows - sealed_rows >= self.shard_rows:
-                seg = {
-                    "file": f"seg-{len(self._segments):05d}.npz",
-                    "start": sealed_rows,
-                    "rows": self.shard_rows,
-                }
-                self._write_segment(seg)
-                self._segments.append(seg)
-                sealed_rows += self.shard_rows
-
-            # Active segment (rewritten each save)
-            active_rows = self._rows - sealed_rows
-            active = {"file": "active.npz", "start": sealed_rows, "rows": active_rows}
-            self._write_segment(active)
-
-            _atomic_write(self.path / "valid.npy", _npz_bytes(valid=self._valid[: self._rows]))
-
-            state = {
-                "rows": self._rows,
-                "max_dim": self.max_dim,
-                "ndim": self.ndim,
-                "key_bytes": self.key_bytes,
-                "segments": self._segments,
-                "active": active,
-            }
-            _atomic_write(self.path / "state.json", json.dumps(state).encode())
+            snapshot = self._snapshot_locked()
             self.dirty = 0
+        self._enqueue_save(snapshot, wait=wait)
+
+    def _snapshot_locked(self):
+        # type: () -> dict
+        """Copy everything one save needs; caller holds the lock."""
+        writes = []  # (descriptor, keys, codes, nlanes) per segment file
+        sealed_rows = self._segments[-1]["start"] + self._segments[-1]["rows"] if self._segments else 0
+        if self._resave_all:
+            # A previous write failed after sealing in memory: re-emit every
+            # sealed file so the next manifest never references a missing one.
+            for seg in self._segments:
+                writes.append(self._segment_snapshot(seg))
+            self._resave_all = False
+        while self._rows - sealed_rows >= self.shard_rows:
+            seg = {
+                "file": f"seg-{len(self._segments):05d}.npz",
+                "start": sealed_rows,
+                "rows": self.shard_rows,
+            }
+            self._segments.append(seg)
+            writes.append(self._segment_snapshot(seg))
+            sealed_rows += self.shard_rows
+        active = {"file": "active.npz", "start": sealed_rows, "rows": self._rows - sealed_rows}
+        writes.append(self._segment_snapshot(active))
+        state = {
+            "rows": self._rows,
+            "max_dim": self.max_dim,
+            "ndim": self.ndim,
+            "key_bytes": self.key_bytes,
+            "segments": list(self._segments),
+            "active": active,
+        }
+        return {"writes": writes, "valid": self._valid[: self._rows].copy(), "state": state}
+
+    def _segment_snapshot(self, seg):
+        # type: (dict) -> tuple
+        s, n = seg["start"], seg["rows"]
+        return (
+            seg,
+            self._keys[s : s + n].copy(),
+            self._codes[s : s + n].copy(),
+            self._nlanes[s : s + n].copy(),
+        )
+
+    def _enqueue_save(self, snapshot, wait):
+        # type: (dict, bool) -> None
+        with self._save_cv:
+            if self._save_thread is None or not self._save_thread.is_alive():
+                self._save_stop = False
+                self._save_thread = threading.Thread(
+                    target=self._save_worker, name=f"save-{self.path.name}", daemon=True
+                )
+                self._save_thread.start()
+            self._save_queue = snapshot  # coalesce: newer state supersedes
+            self._save_cv.notify_all()
+            if wait:
+                while self._save_queue is not None or self._save_inflight:
+                    self._save_cv.wait()
+
+    def _save_worker(self):
+        # type: () -> None
+        while True:
+            with self._save_cv:
+                while self._save_queue is None and not self._save_stop:
+                    self._save_cv.wait()
+                if self._save_queue is None:
+                    return
+                snapshot = self._save_queue
+                self._save_queue = None
+                self._save_inflight = True
+            try:
+                self._write_snapshot(snapshot)
+            except Exception:
+                logger.exception(f"background save failed for {self.path}")
+                with self._lock:
+                    self._resave_all = True
+                    self.dirty += 1  # state on disk is stale again
+            finally:
+                with self._save_cv:
+                    self._save_inflight = False
+                    self._save_cv.notify_all()
+
+    def _write_snapshot(self, snapshot):
+        # type: (dict) -> None
+        self.path.mkdir(parents=True, exist_ok=True)
+        for seg, keys, codes, nlanes in snapshot["writes"]:
+            payload = _npz_bytes(keys=keys, codes=codes, nlanes=nlanes)
+            _atomic_write(self.path / seg["file"], payload)
+        _atomic_write(self.path / "valid.npy", _npz_bytes(valid=snapshot["valid"]))
+        _atomic_write(self.path / "state.json", json.dumps(snapshot["state"]).encode())
 
     def compact(self):
         # type: () -> None
@@ -485,18 +568,29 @@ class PackedCodeIndex:
 
     def drain_rotations(self):
         # type: () -> None
-        """Interface parity no-op: saves are cheap, nothing rotates in background."""
+        """Block until every queued/in-flight background save is on disk."""
+        with self._save_cv:
+            while self._save_queue is not None or self._save_inflight:
+                self._save_cv.wait()
 
     def close(self):
         # type: () -> None
-        """Save if dirty and release device memory. Idempotent."""
+        """Drain background saves, save if dirty, release device memory. Idempotent."""
         with self._lock:
             if self._closed:
                 return
-            if self.dirty:
-                self.save()
-            self._partitions = None
             self._closed = True
+            dirty = self.dirty
+        self.drain_rotations()
+        if dirty:
+            self.save(wait=True)
+        with self._save_cv:
+            self._save_stop = True
+            self._save_cv.notify_all()
+        if self._save_thread is not None:
+            self._save_thread.join(timeout=60)
+        with self._lock:
+            self._partitions = None
 
     # -- internals ------------------------------------------------------------
 
@@ -658,16 +752,6 @@ class PackedCodeIndex:
         except Exception:  # pragma: no cover - no devices
             return False
         return platform not in ("cpu", "gpu")
-
-    def _write_segment(self, seg):
-        # type: (dict) -> None
-        s, n = seg["start"], seg["rows"]
-        payload = _npz_bytes(
-            keys=self._keys[s : s + n],
-            codes=self._codes[s : s + n],
-            nlanes=self._nlanes[s : s + n],
-        )
-        _atomic_write(self.path / seg["file"], payload)
 
     def _compact_locked(self):
         # type: () -> None

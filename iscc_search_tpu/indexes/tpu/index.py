@@ -270,16 +270,19 @@ class TpuIndex:
                 self._set_count(b"sp_count:", sp_type, sp_index.size)
             t_sp = time.perf_counter() - t_sp
 
-            # Auto-flush derived indexes past the mutation threshold
+            # Auto-flush derived indexes past the mutation threshold. The
+            # snapshot happens here (cheap memcpy); the file I/O runs on the
+            # index's background save worker so ingest never stalls at flush
+            # boundaries (reference CHANGELOG 0.2.2 background rotation).
             t_flush = time.perf_counter()
             interval = self._opts.flush_interval
             if interval > 0:
                 for nphd_index in self._nphd_indexes.values():
                     if nphd_index.dirty >= interval:
-                        nphd_index.save()
+                        nphd_index.save(wait=False)
                 for sp_index in self._simprint_indexes.values():
                     if sp_index.dirty >= interval:
-                        sp_index.save()
+                        sp_index.save(wait=False)
             t_flush = time.perf_counter() - t_flush
 
             logger.debug(

@@ -31,7 +31,8 @@ def test_flush_interval_autosaves(tmp_path, rng):
     nphd = idx._nphd_indexes["DATA_NONE_V0"]
     assert nphd.dirty == 3  # below threshold: no auto-save yet
     idx.add_assets(entries(rng, 10, 3))
-    assert nphd.dirty == 0  # crossed threshold: auto-saved
+    assert nphd.dirty == 0  # crossed threshold: snapshot taken for auto-save
+    nphd.drain_rotations()  # auto-save file I/O runs on the background worker
     assert (tmp_path / "i" / "DATA_NONE_V0" / "state.json").exists()
     idx.close()
 
@@ -117,4 +118,83 @@ def test_store_log_replay_after_kill(tmp_path, rng):
     assert len(idx2) == 3
     fetched = idx2.get_asset(batch[2].iscc_id)
     assert fetched.units == batch[2].units
+    idx2.close()
+
+
+# ------------------------------------------------- background segment saves
+
+
+def test_background_save_does_not_block_mutations(tmp_path, rng, monkeypatch):
+    """add() proceeds while a save's file I/O is still in flight (no ingest stall)."""
+    import time as _time
+
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    gate = {"slow": True}
+    real_write = di._atomic_write
+
+    def slow_write(path, data):
+        if gate["slow"]:
+            _time.sleep(0.5)
+        real_write(path, data)
+
+    monkeypatch.setattr(di, "_atomic_write", slow_write)
+    idx = DeviceNphdIndex(tmp_path / "bg")
+    idx.add([1, 2, 3], [bytes([i]) * 8 for i in range(3)])
+    t0 = _time.perf_counter()
+    idx.save(wait=False)  # schedules; worker sleeps inside _atomic_write
+    scheduled = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    idx.add([4], [b"\x07" * 8])  # must not wait for the 0.5s write
+    mutated = _time.perf_counter() - t0
+    assert scheduled < 0.3, f"save(wait=False) blocked for {scheduled:.2f}s"
+    assert mutated < 0.3, f"add blocked for {mutated:.2f}s behind background save"
+    idx.drain_rotations()
+    gate["slow"] = False
+    idx.close()
+    idx2 = DeviceNphdIndex(tmp_path / "bg")
+    assert idx2.size == 4 and 4 in idx2
+    idx2.close()
+
+
+def test_background_save_coalesces_and_drains(tmp_path, rng):
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    idx = DeviceNphdIndex(tmp_path / "co")
+    for burst in range(5):
+        idx.add([burst * 10 + j for j in range(10)], [bytes([burst, j]) * 4 for j in range(10)])
+        idx.save(wait=False)
+    idx.drain_rotations()
+    assert idx.dirty == 0
+    assert (tmp_path / "co" / "state.json").exists()
+    idx.close()
+    idx2 = DeviceNphdIndex(tmp_path / "co")
+    assert idx2.size == 50
+    idx2.close()
+
+
+def test_background_save_failure_marks_dirty_and_recovers(tmp_path, rng, monkeypatch):
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    real_write = di._atomic_write
+    boom = {"on": True}
+
+    def failing_write(path, data):
+        if boom["on"]:
+            raise OSError("disk on fire")
+        real_write(path, data)
+
+    monkeypatch.setattr(di, "_atomic_write", failing_write)
+    idx = DeviceNphdIndex(tmp_path / "fail")
+    idx.add([1, 2], [b"\x01" * 8, b"\x02" * 8])
+    idx.save(wait=True)  # write fails on the worker
+    assert idx.dirty > 0  # failure re-marks unsaved state
+    boom["on"] = False
+    idx.save(wait=True)
+    assert idx.dirty == 0
+    idx.close()
+    idx2 = DeviceNphdIndex(tmp_path / "fail")
+    assert idx2.size == 2
     idx2.close()
