@@ -72,10 +72,11 @@ def main():
     from iscc_search_tpu.ops.pallas_scan import build_unpacked_db, pallas_blockmax_topk
 
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-    db_unpacked = None
+    db_unpacked = db_perm = None
     if on_tpu:
         t0 = time.perf_counter()
         db_unpacked = build_unpacked_db(db_d, 256)
+        db_perm = build_unpacked_db(db_d, 256, permute=True)
         _ = np.asarray(db_unpacked[:1, :1])
         details["unpacked_build_s"] = round(time.perf_counter() - t0, 2)
 
@@ -83,7 +84,7 @@ def main():
         if mode == "exact_pallas":
             return pallas_blockmax_topk(
                 q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk,
-                db_unpacked=db_unpacked, unpacked=True,
+                db_unpacked=db_unpacked, unpacked=True, db_perm=db_perm,
             )
         if mode == "exact":
             return pm1_blockmax_topk(q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk)

@@ -29,12 +29,12 @@ from iscc_search_tpu.ops.pallas_scan import BLOCK, build_unpacked_db, pallas_blo
 from iscc_search_tpu.ops.pm1_scan import prepare_queries
 
 N = int(float(sys.argv[sys.argv.index("--n") + 1])) if "--n" in sys.argv else 10 * 1024 * 1024
-Q = 256
+Q = int(sys.argv[sys.argv.index("--q") + 1]) if "--q" in sys.argv else 256
 NBITS = 256
 CHUNK = 16384
 REPEAT = 30
 
-names = [a for i, a in enumerate(sys.argv[1:]) if not a.startswith("--") and (i == 0 or sys.argv[i] != "--n")]
+names = [a for i, a in enumerate(sys.argv[1:]) if not a.startswith("--") and (i == 0 or sys.argv[i] not in ("--n", "--q"))]
 if not names:
     names = ["base", "bf16", "bf16_nopen", "trans", "sub2048", "sub8192"]
 
@@ -97,11 +97,107 @@ def _kernel_consume(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub, acc)
             qv, db_ref[t * sub : (t + 1) * sub, :], (((1,), (1,)), ((), ())),
             preferred_element_type=acc,
         )  # (Q, sub)
-        ones = jnp.full((sub // BLOCK, sub), 1, dot.dtype)
+        d16 = dot.astype(jnp.bfloat16)
+        ones = jnp.full((sub // BLOCK, sub), 1, jnp.bfloat16)
         red = jax.lax.dot_general(
-            dot, ones, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            d16, ones, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Q, sub//BLOCK) - consumes every dot column
         out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = red.astype(jnp.float32)
+
+
+def _kernel_tree(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub):
+    """bf16 epilogue with an explicit halving maximum tree over lane groups."""
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    for t in range(chunk // sub):
+        dot = jax.lax.dot_general(
+            qv, db_ref[t * sub : (t + 1) * sub, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        x = dot.astype(jnp.bfloat16) + pen_ref[0:1, t * sub : (t + 1) * sub]
+        x = x.reshape(qn, (sub // BLOCK) * 2, BLOCK // 2)  # pre-split in halves
+        w = BLOCK // 2
+        x = jnp.maximum(x[:, 0::2, :], x[:, 1::2, :])  # (qn, nb, 64)
+        while w > 1:
+            x = jnp.maximum(x[..., : w // 2], x[..., w // 2 : w])
+            w //= 2
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = (
+            0.5 + x[..., 0].astype(jnp.float32) * qs_ref[:]
+        )
+
+
+def _kernel_tree_trans(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub):
+    """Transposed dot + explicit halving maximum tree over sublane groups."""
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    for t in range(chunk // sub):
+        dot = jax.lax.dot_general(
+            db_ref[t * sub : (t + 1) * sub, :], qv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (sub, Q)
+        x = dot.astype(jnp.bfloat16) + pen_ref[t * sub : (t + 1) * sub, 0:1]
+        w = BLOCK
+        while w > 1:
+            half = x.reshape(-1, w, qn)
+            x = jnp.maximum(half[:, : w // 2, :], half[:, w // 2 :, :])
+            w //= 2
+        m = x.reshape(sub // BLOCK, qn)
+        out_ref[t * (sub // BLOCK) : (t + 1) * (sub // BLOCK), :] = (
+            0.5 + m.astype(jnp.float32) * qs_ref[:].reshape(1, qn)
+        )
+
+
+def _kernel_u8max(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub):
+    """u8-domain epilogue: dot is always even, so dot/2+127 is exact in u8
+    (except dot=256 -> 255+... clamped; see analysis), max at 4x VPU rate."""
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    for t in range(chunk // sub):
+        dot = jax.lax.dot_general(
+            qv, db_ref[t * sub : (t + 1) * sub, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = jnp.clip((dot >> 1) + 127, 0, 255).astype(jnp.uint8)
+        # validity as a 0/1 u8 multiply (invalid rows -> 0 = floor)
+        y = y * pen_ref[0:1, t * sub : (t + 1) * sub]
+        m = jnp.max(y.reshape(qn, sub // BLOCK, BLOCK), axis=2)
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = (
+            (m.astype(jnp.float32) - 127.0) * 2.0
+        )
+
+
+def _kernel_tree2d(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub):
+    """2D full-width halving tree (TIMING PROBE: maxes stride classes, not
+    consecutive blocks — grouping is wrong, cost is representative)."""
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    for t in range(chunk // sub):
+        dot = jax.lax.dot_general(
+            qv, db_ref[t * sub : (t + 1) * sub, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        x = dot.astype(jnp.bfloat16) + pen_ref[0:1, t * sub : (t + 1) * sub]
+        w = sub
+        while w > sub // BLOCK:
+            x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
+            w //= 2
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = (
+            0.5 + x.astype(jnp.float32) * qs_ref[:]
+        )
+
+
+def _kernel_bf16dot(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, sub):
+    """Explicit int8 -> bf16 convert + bf16 MXU dot (f32 accum), f32 epilogue."""
+    qv = q_ref[:].astype(jnp.bfloat16)
+    qn = qv.shape[0]
+    for t in range(chunk // sub):
+        d = db_ref[t * sub : (t + 1) * sub, :].astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(
+            qv, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dot = dot + pen_ref[0:1, t * sub : (t + 1) * sub]
+        m = jnp.max(dot.reshape(qn, sub // BLOCK, BLOCK), axis=2)
+        out_ref[:, t * (sub // BLOCK) : (t + 1) * (sub // BLOCK)] = 0.5 + m * qs_ref[:]
 
 
 def make_variant(name, n, q):
@@ -117,10 +213,12 @@ def make_variant(name, n, q):
             out_shape=out_shape, compiler_params=vp,
         )(*arrays)
 
-    if name.startswith("consume") or name == "nodma_full":
+    if name.startswith("consume") or name in ("nodma_full", "bf16dot"):
         nodma = "nodma" in name
         if name == "nodma_full":
             kern = functools.partial(_kernel_bf16, chunk=chunk, sub=4096, penalty=True)
+        elif name == "bf16dot":
+            kern = functools.partial(_kernel_bf16dot, chunk=chunk, sub=4096)
         else:
             acc = jnp.float32 if "f32acc" in name else jnp.int32
             kern = functools.partial(_kernel_consume, chunk=chunk, sub=4096, acc=acc)
@@ -166,11 +264,18 @@ def make_variant(name, n, q):
 
         return fn, "row"
 
-    if name in ("bf16", "bf16_nopen", "sub2048", "sub8192") or name.startswith("chunk"):
+    if name in ("bf16", "bf16_nopen", "sub2048", "sub8192", "tree", "tree2d", "u8max") or name.startswith("chunk"):
         sub = {"sub2048": 2048, "sub8192": 8192}.get(name, 4096)
-        kern = functools.partial(
-            _kernel_bf16, chunk=chunk, sub=sub, penalty=(name != "bf16_nopen")
-        )
+        if name == "tree":
+            kern = functools.partial(_kernel_tree, chunk=chunk, sub=sub)
+        elif name == "tree2d":
+            kern = functools.partial(_kernel_tree2d, chunk=chunk, sub=sub)
+        elif name == "u8max":
+            kern = functools.partial(_kernel_u8max, chunk=chunk, sub=sub)
+        else:
+            kern = functools.partial(
+                _kernel_bf16, chunk=chunk, sub=sub, penalty=(name != "bf16_nopen")
+            )
 
         @jax.jit
         def fn(q_i8, qs, db, pen16):
@@ -189,8 +294,10 @@ def make_variant(name, n, q):
 
         return fn, "row"
 
-    if name == "trans":
-        kern = functools.partial(_kernel_trans, chunk=CHUNK, sub=4096)
+    if name in ("trans", "tree_trans"):
+        kern = functools.partial(
+            _kernel_tree_trans if name == "tree_trans" else _kernel_trans, chunk=CHUNK, sub=4096
+        )
 
         @jax.jit
         def fn(q_i8, qs, db, pen16_t):
@@ -232,6 +339,7 @@ def main():
     db_valid = jnp.asarray(valid)
     pen16 = jnp.where(db_valid, 0, -65536).astype(jnp.bfloat16)[None, :]
     pen16_t = pen16.reshape(N, 1)
+    pen_u8 = db_valid.astype(jnp.uint8)[None, :]
 
     def bench(fn, *args):
         t0 = time.perf_counter()
@@ -260,7 +368,8 @@ def main():
             else:
                 fn, orient = make_variant(name, N, Q)
                 if orient == "row":
-                    ms, cs, out = bench(fn, q_i8, qs32, db_unpacked, pen16)
+                    pen_arg = pen_u8 if name == "u8max" else pen16
+                    ms, cs, out = bench(fn, q_i8, qs32, db_unpacked, pen_arg)
                     got = np.asarray(out)
                 else:
                     ms, cs, out = bench(fn, q_i8, qs32, db_unpacked, pen16_t)

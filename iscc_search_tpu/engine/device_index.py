@@ -81,15 +81,42 @@ def _unpacked_budget_bytes():
 class _Partition:
     """Device mirror of one code-length partition."""
 
-    __slots__ = ("packed_dev", "valid_dev", "unpacked_dev", "row_map", "cap", "count")
+    __slots__ = ("packed_dev", "valid_dev", "unpacked_dev", "perm_dev", "row_map", "cap", "count")
 
-    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count):
+    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count, perm_dev=None):
         self.packed_dev = packed_dev
         self.valid_dev = valid_dev
-        self.unpacked_dev = unpacked_dev
+        self.unpacked_dev = unpacked_dev  # plain ±1 int8 (phase-3 gather)
+        self.perm_dev = perm_dev  # permute_rows() twin (fast phase-1 tree kernel)
         self.row_map = row_map  # (cap,) int32 global row per device row (junk rows -> 0, invalid)
         self.cap = cap
         self.count = count  # real rows uploaded
+
+
+def _perm_group_rewrite(perm_dev, packed_dev, nbits, start, end):
+    # type: (..., ..., int, int, int) -> ...
+    """
+    Refresh the permuted ±1 int8 layout for rows [start, end): unpack the
+    covering 4096-row groups from the packed mirror, re-interleave, and write
+    them back (functional update — concurrent search snapshots stay valid).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, permute_rows
+    from iscc_search_tpu.ops.pm1_scan import unpack_pm1
+
+    g0 = (start // PERM_GROUP) * PERM_GROUP
+    g1 = -(-end // PERM_GROUP) * PERM_GROUP
+    if not hasattr(_perm_group_rewrite, "_fn"):
+
+        def _rewrite(perm, packed_slice, offset, nb):
+            rows = permute_rows(unpack_pm1(packed_slice, nb, jnp.int8))
+            return jax.lax.dynamic_update_slice(perm, rows, (offset, 0))
+
+        _perm_group_rewrite._fn = jax.jit(_rewrite, static_argnums=(3,))
+    packed_slice = jax.lax.dynamic_slice_in_dim(packed_dev, g0, g1 - g0, axis=0)
+    return _perm_group_rewrite._fn(perm_dev, packed_slice, g0, nbits)
 
 
 def _device_append(buf, new, start):
@@ -331,7 +358,7 @@ class PackedCodeIndex:
             # rebind partition attributes, and a consistent (buffer, validity,
             # row_map) triple must be used per partition.
             partitions = {
-                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev)
+                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev)
                 for lanes, p in synced.items()
             }
             # Reference snapshot is race-safe: rows are append-only (keys of
@@ -352,14 +379,37 @@ class PackedCodeIndex:
         # instead of one per partition).
         pending = []  # type: list[tuple[np.ndarray, object, object]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev) in partitions.items():
+        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
             # trigger a fresh kernel compile; trim to `count` below.
             k = min(_pow2ceil(max(1, count)), chunk)
             q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
-            if self.mesh is not None:
+            if self.mesh is not None and self.recall_target is None and unpacked_dev is not None:
+                # Exact: the fused Pallas kernel per shard + ICI merge — the
+                # mesh keeps the single-chip fast path instead of regressing
+                # to the XLA packed scan.
+                from iscc_search_tpu.parallel.pallas_sharded import sharded_pallas_topk
+
+                per_shard = cap // n_shards
+                # Mosaic needs chunks >= 16384 unless the chunk IS the whole
+                # per-shard array (per_shard is a pow2, so both divide).
+                pchunk = per_shard if per_shard < _PALLAS_MIN_CHUNK else max(chunk, _PALLAS_MIN_CHUNK)
+                scores, idx = sharded_pallas_topk(
+                    self.mesh,
+                    jnp.asarray(q_pm1),
+                    jnp.asarray(q_scale),
+                    packed_dev,
+                    unpacked_dev,
+                    valid_dev,
+                    k,
+                    nbits,
+                    chunk_size=pchunk,
+                    interpret=self._pallas_interpret(),
+                    db_perm=perm_dev,
+                )
+            elif self.mesh is not None:
                 from iscc_search_tpu.parallel.pm1_sharded import sharded_pm1_topk
 
                 scores, idx = sharded_pm1_topk(
@@ -387,6 +437,8 @@ class PackedCodeIndex:
                     chunk_size=max(chunk, _PALLAS_MIN_CHUNK),
                     db_unpacked=unpacked_dev,
                     unpacked=True,
+                    db_perm=perm_dev,
+                    interpret=self._pallas_interpret(),
                 )
             elif self.recall_target is None:
                 # Exact: two-phase block-max selection (no per-chunk sort)
@@ -693,24 +745,39 @@ class PackedCodeIndex:
         valid[:n] = self._valid[row_map]
         full_map = np.zeros((cap,), np.int32)
         full_map[:n] = row_map
+        unpacked_dev = perm_dev = None
         if self.mesh is not None:
             from iscc_search_tpu.parallel.pm1_sharded import shard_pm1_database
 
             packed_dev, valid_dev = shard_pm1_database(self.mesh, jnp.asarray(packed), jnp.asarray(valid))
+            # The ±1 int8 layouts shard row-wise too, so the per-chip HBM
+            # budget applies to the per-shard slice. Per-shard rows are a
+            # pow2 >= 8192, so both the Mosaic chunk sizing and the 4096-row
+            # permutation groups always fit.
+            per_shard_bytes = cap // n_shards * lanes * 32
+            if self._use_pallas() and per_shard_bytes <= _unpacked_budget_bytes():
+                from iscc_search_tpu.parallel.pallas_sharded import shard_unpacked_db
+
+                unpacked_dev = shard_unpacked_db(self.mesh, packed_dev, lanes * 32)
+                if 2 * per_shard_bytes <= _unpacked_budget_bytes():
+                    perm_dev = shard_unpacked_db(self.mesh, packed_dev, lanes * 32, permute=True)
         else:
             packed_dev = jax.device_put(jnp.asarray(packed))
             valid_dev = jax.device_put(jnp.asarray(valid))
-        unpacked_dev = None
-        if (
-            self._use_pallas()
-            and self.mesh is None
-            and cap >= _PALLAS_MIN_CHUNK
-            and cap * lanes * 32 <= _unpacked_budget_bytes()
-        ):
-            from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
+            layout_bytes = cap * lanes * 32
+            if (
+                self._use_pallas()
+                and cap >= _PALLAS_MIN_CHUNK
+                and layout_bytes <= _unpacked_budget_bytes()
+            ):
+                from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
 
-            unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
-        return _Partition(packed_dev, valid_dev, unpacked_dev, full_map, cap, n)
+                unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
+                # The permuted twin buys a ~2.5x faster phase 1 for another
+                # 1x int8 footprint; past the budget the plain kernel serves.
+                if 2 * layout_bytes <= _unpacked_budget_bytes():
+                    perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
+        return _Partition(packed_dev, valid_dev, unpacked_dev, full_map, cap, n, perm_dev=perm_dev)
 
     def _append_to_partition(self, part, lanes, new_rows):
         # type: (_Partition, int, np.ndarray) -> None
@@ -737,6 +804,13 @@ class PackedCodeIndex:
 
             new_unpacked = build_unpacked_db(new_packed, lanes * 32)
             part.unpacked_dev = _device_append(part.unpacked_dev, new_unpacked, start)
+        if part.perm_dev is not None:
+            # The permuted twin interleaves rows within 4096-row groups, so an
+            # append rewrites every touched group from the (already updated)
+            # packed mirror instead of appending rows.
+            part.perm_dev = _perm_group_rewrite(
+                part.perm_dev, part.packed_dev, lanes * 32, start, part.count
+            )
 
     def _use_pallas(self):
         # type: () -> bool
@@ -745,13 +819,18 @@ class PackedCodeIndex:
             return True
         if self.scan_kernel != "auto":
             return False
+        return not self._pallas_interpret()
+
+    def _pallas_interpret(self):
+        # type: () -> bool
+        """Pallas interpreter mode on CPU/GPU backends (tests, CPU meshes)."""
         import jax
 
         try:
             platform = jax.devices()[0].platform
         except Exception:  # pragma: no cover - no devices
-            return False
-        return platform not in ("cpu", "gpu")
+            return True
+        return platform in ("cpu", "gpu")
 
     def _compact_locked(self):
         # type: () -> None

@@ -1,0 +1,128 @@
+"""
+Sharded fused-Pallas top-k: the fast single-chip kernel, per shard.
+
+Row-shards the ±1 int8 layout over the 1-D mesh axis and runs the fused
+Pallas phase-1 + hierarchical block select + Pallas gather rescore on every
+device (the same path the single-chip engine uses), then merges per-shard
+candidates with an all_gather over ICI — so multi-chip deployments keep the
+fast kernel instead of regressing to the XLA packed scan
+(engine/device_index.py routing).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, unpack_pm1
+from iscc_search_tpu.parallel.mesh import SHARD_AXIS
+
+
+def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chunk_rows=65536, permute=False):
+    # type: (...) -> jnp.ndarray
+    """
+    Build the row-sharded ±1 int8 layout from a row-sharded packed database.
+
+    Each device unpacks its own rows chunk-wise (lax.map bounds the transient
+    unpack intermediates to one chunk), so peak per-chip HBM is the local
+    int8 output plus one chunk. ``permute=True`` builds the permute_rows()
+    twin for the fast tree-epilogue kernel (per-shard rows % 4096 == 0).
+    """
+    from iscc_search_tpu.ops.pallas_scan import permute_rows
+
+    def local(packed):
+        n, lanes = packed.shape
+        c = chunk_rows if n % chunk_rows == 0 else n
+        c = min(c, n)
+        if permute and c % 4096:
+            c = n
+        out = jax.lax.map(
+            lambda ch: permute_rows(unpack_pm1(ch, nbits, jnp.int8)) if permute
+            else unpack_pm1(ch, nbits, jnp.int8),
+            packed.reshape(n // c, c, lanes),
+        )
+        return out.reshape(n, nbits)
+
+    kwargs = dict(mesh=mesh, in_specs=P(axis_name, None), out_specs=P(axis_name, None))
+    try:
+        mapped = shard_map(local, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        mapped = shard_map(local, check_rep=False, **kwargs)
+    return jax.jit(mapped)(db_packed_sharded)
+
+
+def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_perm):
+    from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
+
+    def local_step(q_pm1, q_scale, db_packed, db_unpacked, db_valid, *maybe_perm):
+        scores, idx = pallas_blockmax_topk_impl(
+            q_pm1,
+            q_scale,
+            db_packed,
+            db_valid,
+            k,
+            nbits,
+            chunk_size=chunk_size,
+            interpret=interpret,
+            db_unpacked=db_unpacked,
+            unpacked=True,
+            db_perm=maybe_perm[0] if with_perm else None,
+        )
+        shard = jax.lax.axis_index(axis_name)
+        idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
+        all_s = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
+        top_s, pos = jax.lax.top_k(all_s, k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, jnp.where(top_s > NEG_SCORE, top_i, -1)
+
+    in_specs = [P(), P(), P(axis_name, None), P(axis_name, None), P(axis_name)]
+    if with_perm:
+        in_specs.append(P(axis_name, None))
+    kwargs = dict(mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()))
+    try:
+        mapped = shard_map(local_step, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        mapped = shard_map(local_step, check_rep=False, **kwargs)
+    return jax.jit(mapped)
+
+
+def sharded_pallas_topk(
+    mesh,
+    q_pm1,
+    q_scale,
+    db_packed,
+    db_unpacked,
+    db_valid,
+    k,
+    nbits,
+    chunk_size=16384,
+    interpret=False,
+    db_perm=None,
+    axis_name=SHARD_AXIS,
+):
+    # type: (...) -> tuple
+    """
+    Global exact top-k over a row-sharded ±1 int8 layout via the fused
+    Pallas kernel per shard + ICI all-gather merge.
+
+    :param q_pm1: (Q, nbits) ±1 queries, prefix-masked (replicated)
+    :param q_scale: (Q,) per-query scale 1/(2*min_bits)
+    :param db_packed/db_unpacked/db_valid: row-sharded arrays
+    :param interpret: run the Pallas kernels in interpreter mode (CPU meshes)
+    :param db_perm: optional row-sharded permute_rows() twin — routes phase 1
+        through the fast tree-epilogue kernel per shard
+    :return: replicated (scores (Q, k), global row indices (Q, k))
+    """
+    fn = _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, db_perm is not None)
+    args = (q_pm1, q_scale, db_packed, db_unpacked, db_valid)
+    if db_perm is not None:
+        args = args + (db_perm,)
+    return fn(*args)

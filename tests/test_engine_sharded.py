@@ -68,3 +68,39 @@ def test_tpu_index_with_mesh_option(tmp_path, entry_factory):
     assert res.global_matches[0].iscc_id == entries[7].iscc_id
     assert res.global_matches[0].score == pytest.approx(1.0, abs=1e-3)
     idx.close()
+
+
+def test_sharded_engine_keeps_pallas_fast_path(tmp_path, mesh):
+    """With the kernel forced on, a meshed index builds the sharded ±1 int8
+    layout and routes search through the per-shard fused Pallas path
+    (VERDICT r1 item 5: multi-chip must not regress to the XLA packed scan)."""
+    rng = np.random.default_rng(83)
+    bodies = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(700)]
+    keys = list(range(700))
+
+    ref = DeviceNphdIndex(tmp_path / "ref")
+    ref.add(keys, bodies)
+    fast = DeviceNphdIndex(tmp_path / "fast", mesh=mesh, scan_kernel="pallas")
+    fast.add(keys, bodies)
+
+    res = fast.search([bodies[9], bodies[123]], 5)
+    # The partition carries the sharded unpacked layout (fast path taken)
+    parts = fast._partitions
+    assert parts and all(p.unpacked_dev is not None for p in parts.values())
+    expected = ref.search([bodies[9], bodies[123]], 5)
+    for (k1, s1), (k2, s2) in zip(expected, res):
+        assert np.allclose(np.sort(s1)[::-1], np.sort(s2)[::-1], atol=2e-3)
+        assert k1[0].tobytes() == k2[0].tobytes()
+    ref.close()
+    fast.close()
+
+
+def test_sharded_engine_tombstones_respected_on_pallas_path(tmp_path, mesh):
+    rng = np.random.default_rng(84)
+    bodies = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(300)]
+    idx = DeviceNphdIndex(tmp_path / "t", mesh=mesh, scan_kernel="pallas")
+    idx.add(list(range(300)), bodies)
+    idx.remove([7])
+    (keys, scores), = idx.search([bodies[7]], 3)
+    assert 7 not in [int.from_bytes(k.tobytes(), "big") for k in keys]
+    idx.close()

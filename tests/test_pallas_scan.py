@@ -109,3 +109,93 @@ def test_pallas_narrow_widths(nbits, lanes):
         idx = np.asarray(idx)
         assert list(idx[:, 0]) == [0, 1, 2, 3]
         assert np.allclose(np.asarray(scores)[:, 0], 1.0, atol=1e-3)
+
+
+# --------------------------------------------------- permuted fast layout
+
+
+def test_permute_rows_roundtrip_geometry():
+    from iscc_search_tpu.ops.pallas_scan import PERM_CLASSES, PERM_GROUP, permute_rows
+
+    n = 2 * PERM_GROUP
+    x = jnp.arange(n, dtype=jnp.int32)[:, None]
+    p = np.asarray(permute_rows(x))[:, 0]
+    for pos in [0, 1, 31, 32, 4095, 4096, 5000]:
+        g, r = divmod(pos, PERM_GROUP)
+        i, b = divmod(r, PERM_CLASSES)
+        assert p[pos] == g * PERM_GROUP + b * (PERM_GROUP // PERM_CLASSES) + i
+
+
+def test_permuted_blockmax_matches_plain():
+    rng = np.random.default_rng(91)
+    from iscc_search_tpu.ops.pallas_scan import build_unpacked_db, pallas_blockmax
+
+    n = 8192
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 100)] = False
+    q_pm1, q_scale = prepare_queries(packed[:4], np.full(4, 8, np.int32), 256)
+    dbp = jnp.asarray(packed)
+    plain = build_unpacked_db(dbp, 256)
+    perm = build_unpacked_db(dbp, 256, permute=True)
+    bm_plain = pallas_blockmax(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), plain, jnp.asarray(valid), 256,
+        chunk_size=4096, interpret=True, unpacked=True,
+    )
+    bm_perm = pallas_blockmax(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), perm, jnp.asarray(valid), 256,
+        chunk_size=4096, interpret=True, unpacked=True, permuted=True,
+    )
+    assert np.allclose(np.asarray(bm_perm), np.asarray(bm_plain), atol=1e-3)
+
+
+def test_permuted_topk_exact_vs_brute_force():
+    rng = np.random.default_rng(92)
+    from iscc_search_tpu.ops.pallas_scan import build_unpacked_db, pallas_blockmax_topk
+
+    n, k = 8192, 7
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    lanes = np.full(n, 8, np.int32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 64)] = False
+    q_pm1, q_scale = prepare_queries(packed[:5], lanes[:5], 256)
+    dbp = jnp.asarray(packed)
+    plain = build_unpacked_db(dbp, 256)
+    perm = build_unpacked_db(dbp, 256, permute=True)
+    fs, fi = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), dbp, jnp.asarray(valid), k, 256,
+        chunk_size=4096, interpret=True, db_unpacked=plain, unpacked=True, db_perm=perm,
+    )
+    fs, fi = np.asarray(fs), np.asarray(fi)
+    ref = np.array(nphd_scores(jnp.asarray(packed[:5]), jnp.asarray(lanes[:5]), dbp, jnp.asarray(lanes)))
+    ref[:, ~valid] = -1.0
+    for qi in range(5):
+        expected = np.sort(ref[qi])[::-1][:k]
+        assert np.allclose(np.sort(fs[qi])[::-1], expected, atol=1e-3)
+        for r in range(k):
+            if fi[qi, r] >= 0:
+                assert abs(ref[qi, fi[qi, r]] - fs[qi, r]) < 1e-3
+
+
+def test_engine_perm_twin_incremental_append(tmp_path, monkeypatch):
+    """Forced-pallas engine builds the permuted twin and keeps it in sync
+    through incremental device appends (_perm_group_rewrite path)."""
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    rng = np.random.default_rng(93)
+    monkeypatch.setattr(di, "_PALLAS_MIN_CHUNK", 4096)
+    idx = DeviceNphdIndex(tmp_path / "p", scan_kernel="pallas")
+    bodies = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(600)]
+    idx.add(list(range(500)), bodies[:500])
+    (k0, s0), = idx.search([bodies[42]], 3)
+    part = next(iter(idx._partitions.values()))
+    assert part.perm_dev is not None
+    # incremental append into the existing partition, then search again
+    idx.add(list(range(500, 600)), bodies[500:])
+    (k1, s1), = idx.search([bodies[550]], 3)
+    assert int.from_bytes(k1[0].tobytes(), "big") == 550
+    assert s1[0] == pytest.approx(1.0, abs=1e-3)
+    (k2, s2), = idx.search([bodies[42]], 3)
+    assert int.from_bytes(k2[0].tobytes(), "big") == 42
+    idx.close()
