@@ -107,9 +107,13 @@ def count_doc_freq(store, db, simprint_key, dup_limit=DOC_FREQ_CAP):
 
 def read_asset_simprints(store, db, iscc_id_body):
     # type: (HostStore, str, bytes) -> set[tuple[bytes, int, int]]
-    """All (simprint, offset, size) triples stored for one asset (full scan)."""
+    """All (simprint, offset, size) triples stored for one asset.
+
+    Streams the database in bounded pages — a whole-db range_scan would
+    materialize every chunk pointer (~5 GB at 100M-chunk scale) in one buffer.
+    """
     triples = set()
-    for key, val in store.range_scan(db):
+    for key, val in store.iter_range(db):
         if val[:8] == iscc_id_body:
             _, offset, size = unpack_chunk_pointer(val)
             triples.add((key, offset, size))
@@ -118,13 +122,19 @@ def read_asset_simprints(store, db, iscc_id_body):
 
 def delete_asset_simprints(store, db, iscc_id_body):
     # type: (HostStore, str, bytes) -> list[bytes]
-    """Remove all of an asset's chunk pointers; returns deleted pointers."""
+    """Remove all of an asset's chunk pointers; returns deleted pointers.
+
+    Deletions are collected per streamed page and applied between pages (the
+    page continuation key/value is captured before its page is consumed, so
+    deleting already-yielded pairs cannot skip entries).
+    """
     deleted = []
-    for key, val in store.range_scan(db):
+    for key, val in store.iter_range(db):
         if val[:8] == iscc_id_body:
-            store.dup_delete(db, key, val)
-            deleted.append(val)
-    return deleted
+            deleted.append((key, val))
+    for key, val in deleted:
+        store.dup_delete(db, key, val)
+    return [val for _, val in deleted]
 
 
 def coverage_quality_score(matches, doc_frequencies, num_queried):
@@ -199,9 +209,12 @@ def search_simprints_exact(store, db, query_simprints, total_assets, limit, thre
 
 def iter_simprint_vectors(store, db, batch_size=100_000):
     # type: (HostStore, str, int) -> ...
-    """Yield (composite_keys, vectors) batches for derived-index rebuild."""
+    """Yield (composite_keys, vectors) batches for derived-index rebuild.
+
+    Streamed in bounded pages; peak memory is one batch, not the database.
+    """
     keys, vectors = [], []
-    for sp_bytes, chunk_ptr in store.range_scan(db):
+    for sp_bytes, chunk_ptr in store.iter_range(db, batch=batch_size):
         keys.append(chunk_ptr)
         vectors.append(sp_bytes)
         if len(keys) >= batch_size:

@@ -199,6 +199,9 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
     Db& db = s.dbs[dbname];
     switch (op) {
         case OP_PUT: {
+            // Reject kind flips instead of silently corrupting the entry and
+            // byte accounting (LMDB would raise MDB_INCOMPATIBLE here).
+            if (db.dupsort && db.entries > 0) return false;
             db.dupsort = false;
             size_t new_len = ref ? ref->len : val.size();
             auto it = db.data.find(key);
@@ -240,6 +243,7 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
             return true;
         }
         case OP_DUP_PUT: {
+            if (!db.dupsort && db.entries > 0) return false;  // kind mismatch
             db.dupsort = true;
             auto& vec = db.data[key].vals;
             auto pos = std::lower_bound(vec.begin(), vec.end(), val);
@@ -273,6 +277,10 @@ bool apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, co
 // above ext_min are applied as a reference into the log bytes just encoded.
 bool log_and_apply(Store& s, uint8_t op, const std::string& dbname, const Bytes& key, const Bytes& val) {
     if (op == OP_PUT && s.ext_min && val.size() >= s.ext_min) {
+        {   // kind precheck BEFORE logging (this path logs unconditionally)
+            Db& db = s.dbs[dbname];
+            if (db.dupsort && db.entries > 0) return false;
+        }
         uint64_t rec_off = s.log_bytes + s.wbuf.size();
         encode_record(s.wbuf, op, dbname, key, val);
         ValRef ref{value_off(rec_off, dbname.size(), key.size()), static_cast<uint32_t>(val.size()), SRC_LOG};
@@ -435,6 +443,18 @@ struct PendingRef {
     ValRef ref;
 };
 
+bool sync_dir(Store& s) {
+    int dfd = ::open(s.dir.c_str(), O_DIRECTORY | O_RDONLY);
+    if (dfd < 0) {
+        s.last_error = std::string("dir open failed: ") + strerror(errno);
+        return false;
+    }
+    bool ok = fsync(dfd) == 0;
+    ::close(dfd);
+    if (!ok) s.last_error = std::string("dir fsync failed: ") + strerror(errno);
+    return ok;
+}
+
 bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
     std::string tmp_path = s.dir + "/store.snap.tmp";
     std::string snap_path = s.dir + "/store.snap";
@@ -492,6 +512,10 @@ bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
         s.last_error = std::string("snapshot rename failed: ") + strerror(errno);
         return false;
     }
+    // Make the rename itself durable before the caller truncates the log:
+    // on strict-POSIX/non-journaled filesystems a crash could otherwise
+    // persist the truncation while losing the rename, dropping committed data.
+    if (!sync_dir(s)) return false;
     return true;
 }
 
@@ -529,14 +553,22 @@ void* ts_open(const char* dir) {
 
     std::string log_path = s->dir + "/store.log";
     size_t valid = 0;
+    bool log_existed = false;
     int lfd = ::open(log_path.c_str(), O_RDONLY);
     if (lfd >= 0) {
+        log_existed = true;
         valid = replay_fd(*s, lfd, SRC_LOG);
         ::close(lfd);
     }
 
     s->log_fd = ::open(log_path.c_str(), O_WRONLY | O_CREAT, 0644);
     if (s->log_fd < 0) return nullptr;
+    // First creation: fsync the directory so the log's directory entry (and
+    // the freshly created store dir) survive a crash before the first sync.
+    if (!log_existed && !sync_dir(*s)) {
+        ::close(s->log_fd);
+        return nullptr;
+    }
     // Truncate any torn tail so new appends start at the last valid record.
     if (ftruncate(s->log_fd, static_cast<off_t>(valid)) != 0) {
         ::close(s->log_fd);
@@ -772,6 +804,41 @@ uint8_t* ts_range_scan(void* h, const char* db, const uint8_t* start, uint32_t s
         Bytes st(reinterpret_cast<const char*>(start), slen);
         for (auto it = dbit->second.data.lower_bound(st); it != dbit->second.data.end(); ++it) {
             if (!append_entry(*s, sb, dbit->second, it->first, it->second, limit)) break;
+        }
+    }
+    return finish_scan(sb, out_len, out_count);
+}
+
+// Pairs strictly AFTER (after_key, after_val), in (key, value) order — the
+// continuation primitive for bounded paged scans over dupsort databases
+// (a key-successor restart would skip or repeat a dup run that straddles a
+// page boundary). limit==0 means unlimited.
+uint8_t* ts_range_scan_after(void* h, const char* db, const uint8_t* akey, uint32_t aklen, const uint8_t* aval,
+                             uint32_t avlen, uint64_t limit, uint64_t* out_len, uint64_t* out_count) {
+    Store* s = static_cast<Store*>(h);
+    std::shared_lock lock(s->mtx);
+    ScanBuf sb;
+    auto dbit = s->dbs.find(db);
+    if (dbit != s->dbs.end()) {
+        Db& d = dbit->second;
+        Bytes ak(reinterpret_cast<const char*>(akey), aklen);
+        auto it = d.data.lower_bound(ak);
+        bool more = true;
+        if (it != d.data.end() && it->first == ak) {
+            if (d.dupsort) {
+                Bytes av(reinterpret_cast<const char*>(aval), avlen);
+                auto vit = std::upper_bound(it->second.vals.begin(), it->second.vals.end(), av);
+                for (; vit != it->second.vals.end(); ++vit) {
+                    append_pair(sb, it->first, *vit);
+                    if (limit && sb.count >= limit) { more = false; break; }
+                }
+            }
+            ++it;  // plain: the key itself was already emitted by the caller
+        }
+        if (more) {
+            for (; it != d.data.end(); ++it) {
+                if (!append_entry(*s, sb, d, it->first, it->second, limit)) break;
+            }
         }
     }
     return finish_scan(sb, out_len, out_count);

@@ -77,6 +77,18 @@ def _load_library():
         lib.ts_get.restype = ctypes.c_int
         lib.ts_putmulti.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_u8p, ctypes.c_uint64]
         lib.ts_putmulti.restype = ctypes.c_int64
+        lib.ts_range_scan_after.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            c_u8p,
+            ctypes.c_uint32,
+            c_u8p,
+            ctypes.c_uint32,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.ts_range_scan_after.restype = ctypes.POINTER(ctypes.c_uint8)
         for name in ("ts_prefix_scan", "ts_get_dups", "ts_range_scan"):
             fn = getattr(lib, name)
             fn.argtypes = [
@@ -260,6 +272,48 @@ class HostStore:
         # type: (str, bytes, int) -> list[tuple[bytes, bytes]]
         """All (key, value) pairs from start key onward."""
         return self._scan(self._lib.ts_range_scan, db, start, limit)
+
+    def range_scan_after(self, db, after_key, after_val, limit=0):
+        # type: (str, bytes, bytes, int) -> list[tuple[bytes, bytes]]
+        """(key, value) pairs strictly after (after_key, after_val)."""
+        out_len = ctypes.c_uint64()
+        out_count = ctypes.c_uint64()
+        ptr = self._lib.ts_range_scan_after(
+            self._h,
+            db.encode(),
+            _buf(after_key),
+            len(after_key),
+            _buf(after_val),
+            len(after_val),
+            limit,
+            ctypes.byref(out_len),
+            ctypes.byref(out_count),
+        )
+        if not ptr or out_len.value == 0:
+            return []
+        try:
+            return _parse_pairs(ptr, out_len.value)
+        finally:
+            self._lib.ts_free(ptr)
+
+    def iter_range(self, db, start=b"", batch=8192):
+        # type: (str, bytes, int) -> ...
+        """
+        Stream (key, value) pairs in bounded pages.
+
+        Unlike ``range_scan`` (which serializes the WHOLE database into one
+        buffer — an OOM hazard at 100M-chunk simprint scale), this holds at
+        most ``batch`` pairs at a time. Page continuation is exclusive on the
+        full (key, value) pair, so dupsort runs that straddle a page boundary
+        neither repeat nor skip.
+        """
+        page = self.range_scan(db, start=start, limit=batch)
+        while page:
+            yield from page
+            if len(page) < batch:
+                return
+            last_key, last_val = page[-1]
+            page = self.range_scan_after(db, last_key, last_val, limit=batch)
 
     def get_dups(self, db, key, limit=0):
         # type: (str, bytes, int) -> list[bytes]

@@ -387,3 +387,84 @@ def test_stale_snapshot_tmp_cleaned_on_open(tmp_path):
     s.compact()
     assert s.get("a", b"k") == b"v" * 100
     s.close()
+
+
+# ----------------------------------------------------- paged streaming scan
+
+
+def test_iter_range_pages_match_full_scan(tmp_path):
+    store = HostStore(tmp_path / "pg")
+    # dupsort runs of varied length so page boundaries split runs
+    import random
+
+    r = random.Random(5)
+    expected = []
+    for ki in range(40):
+        key = bytes([ki]) * 3
+        for vi in range(r.randint(1, 23)):
+            val = bytes([vi]) + key
+            store.dup_put("d", key, val)
+    full = store.range_scan("d")
+    for batch in (1, 2, 3, 7, 16, 1000):
+        paged = list(store.iter_range("d", batch=batch))
+        assert paged == full, f"batch={batch}"
+    store.close()
+
+
+def test_iter_range_plain_db_and_start(tmp_path):
+    store = HostStore(tmp_path / "pg2")
+    for i in range(30):
+        store.put("p", bytes([i]), bytes([i]) * 2)
+    full = store.range_scan("p")
+    assert list(store.iter_range("p", batch=4)) == full
+    assert list(store.iter_range("p", start=bytes([10]), batch=4)) == full[10:]
+    assert list(store.iter_range("p", batch=7)) == full
+    store.close()
+
+
+def test_range_scan_after_semantics(tmp_path):
+    store = HostStore(tmp_path / "pg3")
+    store.dup_put("d", b"a", b"1")
+    store.dup_put("d", b"a", b"2")
+    store.dup_put("d", b"b", b"9")
+    assert store.range_scan_after("d", b"a", b"1") == [(b"a", b"2"), (b"b", b"9")]
+    assert store.range_scan_after("d", b"a", b"2") == [(b"b", b"9")]
+    assert store.range_scan_after("d", b"b", b"9") == []
+    # after a pair that was deleted: resumes at the next surviving pair
+    store.dup_delete("d", b"a", b"2")
+    assert store.range_scan_after("d", b"a", b"1") == [(b"b", b"9")]
+    store.close()
+
+
+# ---------------------------------------------------------- db-kind safety
+
+
+def test_db_kind_flip_rejected(tmp_path):
+    store = HostStore(tmp_path / "kind")
+    assert store.put("p", b"k", b"v")
+    assert not store.dup_put("p", b"k", b"v2")  # dup op on plain db: rejected
+    assert store.get("p", b"k") == b"v"
+    assert store.entries("p") == 1
+
+    assert store.dup_put("d", b"k", b"v1")
+    assert not store.put("d", b"k", b"boom")  # plain op on dupsort db: rejected
+    assert store.get_dups("d", b"k") == [b"v1"]
+    assert store.entries("d") == 1
+    # an emptied db may change kind
+    store.dup_delete("d", b"k", b"v1")
+    store.delete("d", b"k")
+    assert store.put("d", b"k", b"now-plain") or store.get("d", b"k") == b"now-plain"
+    store.close()
+
+
+def test_db_kind_flip_rejected_externalized(tmp_path, monkeypatch):
+    monkeypatch.setenv("TRUCTSTORE_EXT_MIN", "8")
+    store = HostStore(tmp_path / "kindext")
+    assert store.dup_put("d", b"k", b"v1")
+    # externalized plain put on a dupsort db must be rejected BEFORE logging
+    assert not store.put("d", b"k", b"x" * 100)
+    assert store.get_dups("d", b"k") == [b"v1"]
+    store.close()
+    reopened = HostStore(tmp_path / "kindext")  # replay must agree
+    assert reopened.get_dups("d", b"k") == [b"v1"]
+    reopened.close()
