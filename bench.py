@@ -93,8 +93,9 @@ def main():
     # The harness reaches the TPU through a tunnel with tens of ms of fixed
     # dispatch+readback latency per call; amortize it by queueing REPEAT async
     # dispatches and forcing one readback at the end (single-device program
-    # order serializes them).
-    repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 10))
+    # order serializes them). 30 reps leave <= ~2ms of residual readback bias
+    # per sweep (was 10 in round 1, which inflated sweeps by ~3ms).
+    repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 30))
     results = {}
     modes = ["exact", "recall_0.99"] + (["exact_pallas"] if on_tpu else [])
     for label in modes:

@@ -332,9 +332,15 @@ def test_frontend_js_api_surface(client, entry_factory):
     from pathlib import Path
 
     js = (Path("iscc_search_tpu/server/app.py").parent / "static" / "app.js").read_text()
-    called = set(re.findall(r"api\(\s*[`\"']([^`\"']+)", js))
+    called = set(re.findall(r"(?:call|fetch)\(\s*[`\"']([^`\"']+)", js))
     assert {"/indexes", "/status"} <= called
     assert any(p.startswith("/indexes/${") and "/search" in p for p in called)
+    assert any(p.startswith("/indexes/${") and "/assets/" in p for p in called)
+    # XSS-safety invariant: response data only enters the DOM via createElement/
+    # textContent — no innerHTML assignments anywhere (reference parity).
+    assert ".innerHTML" not in js
+    # API key is session-scoped and sent as the X-API-Key header
+    assert "sessionStorage" in js and "X-API-Key" in js
 
     assert client.post("/indexes", json={"name": "ui"}).status_code == 201
     entry = entry_factory()
@@ -347,3 +353,29 @@ def test_frontend_js_api_surface(client, entry_factory):
     # Pages and assets the browser loads
     for page in ("/", "/static/app.js", "/static/style.css", "/docs", "/openapi.json"):
         assert client.get(page).status_code == 200, page
+
+
+def test_frontend_dom_contract():
+    """Every element id the JS renders into must exist in the page that runs
+    that mode, and the aggregator dashboard carries the stat cards + hub table."""
+    import re
+    from pathlib import Path
+
+    static = Path("iscc_search_tpu/server/app.py").parent / "static"
+    js = (static / "app.js").read_text()
+    index_html = (static / "index.html").read_text()
+    agg_html = (static / "aggregator.html").read_text()
+
+    for el_id in ("indexRows", "lookupForm", "lookupInput", "results", "keyPanel", "keyInput", "rawPanel", "rawBody", "versionLabel"):
+        assert f'id="{el_id}"' in index_html, el_id
+    for el_id in (
+        "modeBadge", "statAssets", "assetsDelta", "sparkline", "statSize",
+        "statHubs", "hubsDetail", "statSeq", "hubRows", "liveAge", "lookupForm",
+    ):
+        assert f'id="{el_id}"' in agg_html, el_id
+    # pages declare their mode for the shared script
+    assert 'data-mode="standard"' in index_html
+    assert 'data-mode="aggregator"' in agg_html
+    # the JS references each dashboard id it renders into
+    for el_id in ("statAssets", "sparkline", "hubRows", "statSeq"):
+        assert re.search(rf'["\']({el_id})["\']', js), el_id
