@@ -344,3 +344,41 @@ def test_simprint_near_match_soft_boundary(idx, rng):
     # The exact (hard-boundary) path does NOT match the noisy query
     res_exact = idx.search_assets(q, limit=5, exact=True)
     assert res_exact.chunk_matches == []
+
+
+def test_instance_cut_points_reference_parity(idx):
+    """KATs pinning _search_instance_unit's reverse-cut semantics to the
+    reference usearch backend (reference indexes/usearch/index.py:1989-2020):
+    a 256-bit query probes the 128- and 64-bit cuts; a 128-bit query probes
+    only the 64-bit cut; and NO query probes a 192-bit (24-byte) cut — the
+    reference's INSTANCE model is 64/128/256-bit, so a 24-byte stored code is
+    reachable only through forward matching from a <= 24-byte query."""
+    rng = np.random.default_rng(16)
+    full = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+    inst = lambda b: unit_from_body(ic.MT.INSTANCE, 0, b)
+    data64 = make_unit(ic.MT.DATA, 0, 64)
+
+    idx.add_assets(
+        [
+            entry(1, [data64, inst(full[:8])]),   # 64-bit stored
+            entry(2, [data64, inst(full[:16])]),  # 128-bit stored
+            entry(3, [data64, inst(full[:24])]),  # 192-bit stored
+            entry(4, [data64, inst(full)]),       # 256-bit stored
+        ]
+    )
+
+    def hits(query_body):
+        res = idx.search_assets(IsccQuery(units=[inst(query_body)]), limit=10)
+        return {m.iscc_id for m in res.global_matches}
+
+    # 256-bit query: forward finds 256; reverse cuts find 128 and 64 — the
+    # 192-bit stored code is NOT probed (reference parity, no 24-byte cut).
+    assert hits(full) == {make_iscc_id(1), make_iscc_id(2), make_iscc_id(4)}
+    # 192-bit query: forward finds 192 and 256 (extensions); the only reverse
+    # cut is 64-bit (qlen != 32 -> no 128-bit cut), so 128-bit stored is NOT
+    # probed — byte-for-byte the reference's behavior.
+    assert hits(full[:24]) == {make_iscc_id(1), make_iscc_id(3), make_iscc_id(4)}
+    # 128-bit query: forward finds 128/192/256; reverse cut 8 finds 64.
+    assert hits(full[:16]) == {make_iscc_id(i) for i in (1, 2, 3, 4)}
+    # 64-bit query: forward finds everything sharing the prefix.
+    assert hits(full[:8]) == {make_iscc_id(i) for i in (1, 2, 3, 4)}
