@@ -76,7 +76,11 @@ def main():
     batch = []
     for i, body in enumerate(bodies):
         iscc_id = ic.gen_iscc_id_v1(timestamp_us=i + 1, server_id=i % 4096, realm_id=0)["iscc"]
-        batch.append(IsccEntry(iscc_id=iscc_id, units=[unit(ic.MT.DATA, body)]))
+        # IsccEntry requires >= 2 units (reference schema parity); the DATA
+        # unit carries the searched body, the CONTENT unit is filler.
+        batch.append(
+            IsccEntry(iscc_id=iscc_id, units=[unit(ic.MT.DATA, body), unit(ic.MT.CONTENT, body)])
+        )
         if len(batch) == 2000:
             index.add_assets("lat", batch)
             batch = []

@@ -464,6 +464,16 @@ class PackedCodeIndex:
                 )
             pending.append((row_map, scores, idx))
 
+        # Start every device->host copy before blocking on any of them: the
+        # transfers overlap each other and the tail of the device work, so the
+        # whole collect pays ONE link round-trip instead of 2 x partitions
+        # serial ones (dominant when the device link has fixed latency).
+        for _, scores_dev, idx_dev in pending:
+            for arr in (scores_dev, idx_dev):
+                copy_async = getattr(arr, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
+
         cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         for row_map, scores_dev, idx_dev in pending:
