@@ -1,4 +1,4 @@
-"""Regenerate docs/configuration.md from SearchOptions (the source of truth).
+"""Regenerate docs/reference/configuration.md from SearchOptions (the source of truth).
 
 Run: PYTHONPATH=. python scripts/gen_config_doc.py
 """
@@ -44,6 +44,6 @@ def render():
 
 
 if __name__ == "__main__":
-    out = Path(__file__).resolve().parent.parent / "docs" / "configuration.md"
+    out = Path(__file__).resolve().parent.parent / "docs" / "reference" / "configuration.md"
     out.write_text(render())
     print(f"wrote {out}")

@@ -89,7 +89,7 @@ def test_factory_rejects_bad_uris(tmp_path):
 
 
 def test_configuration_doc_in_sync():
-    """docs/configuration.md must match what the generator renders from
+    """docs/reference/configuration.md must match what the generator renders from
     SearchOptions — the doc can't silently drift from the code."""
     import importlib.util
     from pathlib import Path
@@ -98,4 +98,4 @@ def test_configuration_doc_in_sync():
     spec = importlib.util.spec_from_file_location("gen_config_doc", root / "scripts" / "gen_config_doc.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    assert (root / "docs" / "configuration.md").read_text() == mod.render()
+    assert (root / "docs" / "reference" / "configuration.md").read_text() == mod.render()

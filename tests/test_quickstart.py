@@ -1,4 +1,4 @@
-"""The quickstart tutorial (docs/quickstart.md) must stay runnable end-to-end:
+"""The quickstart tutorial (docs/tutorials/getting-started.md) must stay runnable end-to-end:
 create index -> add NDJSON -> search -> get -> rebuild, via the real CLI."""
 
 import json
