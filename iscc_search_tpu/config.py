@@ -18,7 +18,11 @@ from pydantic import BaseModel, Field
 
 import iscc_search_tpu
 
-DEFAULT_CONFIG_DIR = Path.home() / ".iscc-search-tpu"
+def default_config_dir():
+    # type: () -> Path
+    """Resolved at call time (not import) so HOME changes take effect —
+    required for test isolation and matches shell-tool expectations."""
+    return Path.home() / ".iscc-search-tpu"
 
 
 class LocalIndexConfig(BaseModel):
@@ -51,7 +55,7 @@ class ConfigManager:
 
     def __init__(self, config_dir=None):
         # type: (str | Path | None) -> None
-        self.config_dir = Path(config_dir) if config_dir else DEFAULT_CONFIG_DIR
+        self.config_dir = Path(config_dir) if config_dir else default_config_dir()
         self.config_path = self.config_dir / "config.json"
         self._config = None  # type: Config | None
 

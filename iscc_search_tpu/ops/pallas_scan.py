@@ -322,7 +322,13 @@ def pallas_blockmax_topk_impl(
 
     rows = top_blocks[:, :, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
     rows = rows.reshape(q, kk * BLOCK)
-    cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, kk * BLOCK)
+    # Validity per BLOCK row-gather ((N/128, 128) view, kk descriptors/query)
+    # instead of kk*128 scattered element takes from the flat (N,) array —
+    # the element-wise lowering measured ~2.5 ms of the 9.5 ms sweep at
+    # 10M rows / Q=256 (same random-access pathology as the old phase-3).
+    cand_valid = jnp.take(
+        db_valid.reshape(n // BLOCK, BLOCK), top_blocks.reshape(-1), axis=0
+    ).reshape(q, kk * BLOCK)
     if unpacked:
         # Rescore straight from the ±1 int8 layout inside a Pallas kernel:
         # the block ids drive a scalar-prefetched BlockSpec gather (32 KB
@@ -333,7 +339,11 @@ def pallas_blockmax_topk_impl(
             q_pm1.astype(jnp.int8), top_blocks, db_unpacked, kk, interpret=interpret
         )
     else:
-        cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)
+        cand_packed = jnp.take(
+            db_packed.reshape(n // BLOCK, BLOCK * db_packed.shape[1]),
+            top_blocks.reshape(-1),
+            axis=0,
+        ).reshape(q * kk * BLOCK, db_packed.shape[1])
         cand_pm1 = unpack_pm1(cand_packed, nbits, jnp.bfloat16).reshape(q, kk * BLOCK, nbits)
         dots = jax.lax.dot_general(
             q_pm1.astype(jnp.bfloat16)[:, None, :],

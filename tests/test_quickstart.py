@@ -12,7 +12,12 @@ CODE2 = "ISCC:KACT4EBWK27737D2AYCJRAL5Z36G76RFRMO4554RU26HZ4ORJGIVHDI"
 
 
 def test_quickstart_flow(tmp_path, monkeypatch):
+    from iscc_search_tpu.cli import common as cli_common
+
     monkeypatch.setenv("HOME", str(tmp_path))
+    # Drop any manager another test left cached so the tutorial resolves
+    # its config from the (patched) HOME, exactly as a fresh shell would.
+    cli_common.set_config_manager(None)
     r = CliRunner()
 
     def run(*args):
