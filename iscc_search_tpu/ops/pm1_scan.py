@@ -267,16 +267,12 @@ def pm1_blockmax_topk_impl(
     # Gather candidate rows and rescore exactly
     rows = top_blocks[:, :, None] * block + jnp.arange(block, dtype=jnp.int32)[None, None, :]
     rows = rows.reshape(q, k * block)  # (Q, k*block) global row ids
-    # Gather per BLOCK (one contiguous descriptor per candidate block) rather
-    # than per row/element: the scattered element-wise take lowering measured
-    # ~2.5 ms extra at 10M rows / Q=256 (random-access pathology).
-    lanes_w = db_packed.shape[1]
-    cand_packed = jnp.take(
-        db_packed.reshape(total_blocks, block * lanes_w), top_blocks.reshape(-1), axis=0
-    ).reshape(q * k * block, lanes_w)
-    cand_valid = jnp.take(
-        db_valid.reshape(total_blocks, block), top_blocks.reshape(-1), axis=0
-    ).reshape(q, k * block)
+    # Per-row/per-element takes, NOT per-block: on this XLA path the row
+    # takes fuse into the unpack+dot consumer and measure 38.9 ms vs 45.3 ms
+    # for blocked gathers (benchmarks/exp_pm1_gather.py) — the opposite of
+    # the Pallas path, where blocked validity gathers won 2.6 ms.
+    cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)  # (Q*k*block, L)
+    cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, k * block)
     cand_pm1 = unpack_pm1(cand_packed, nbits, dtype).reshape(q, k * block, nbits)
     acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
     dots = jax.lax.dot_general(
