@@ -445,6 +445,99 @@ def pallas_gather_rescore(q_int8, block_ids, db_unpacked, k, interpret=False):
     return out[:total].reshape(q, k * BLOCK)
 
 
+def _gather_rescore_packed_kernel(ids_ref, q_ref, db_ref, out_ref, *, k, nbits, interpret):
+    """Packed-block rescore: gather one (L, 128)-u32 tile (= one 128-row
+    packed block viewed as 16-rows-per-view-row), unpack it IN KERNEL, and
+    dot against all queries.
+
+    Unpack without any sublane expand: for column group g (db rows with
+    row % 16 == g... specifically view col j belongs to db row j // 8), the
+    static slice T[:, 8g:8g+8] is a (L, 8)-u32 code matrix whose rows are db
+    rows {v*16 + g}, which _unpack_pm1_2d handles with lane ops only. The
+    concatenated output rows therefore come out in the STATIC permutation
+    r' = g*8 + v  <->  db row offset (r' % 8) * 16 + r' // 8; the caller
+    compensates in the returned row-id arithmetic (exactness unaffected).
+    """
+    i = pl.program_id(0)
+    nq = q_ref.shape[0]
+    qi = i // k
+    tile = db_ref[:]  # (nbits//32, 128) uint32
+    lanes = nbits // 32
+    pieces = [
+        _unpack_pm1_2d(tile[:, 8 * g : 8 * g + 8][:, :lanes], nbits, jnp.bfloat16, interpret)
+        for g in range(16)
+    ]
+    d = jnp.concatenate(pieces, axis=0)  # (128, nbits) ±1, permuted row order
+    dots = jax.lax.dot_general(
+        q_ref[:].astype(jnp.bfloat16), d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, BLOCK) — exact small integers in f32
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1) == qi
+    row = jax.lax.dot_general(
+        jnp.where(sel, 1.0, 0.0).astype(jnp.float32),
+        dots,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, BLOCK)
+    own = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == (i % 8)
+    out_ref[:] = jnp.where(own, row, out_ref[:])
+
+
+def gather_perm_offsets(block=BLOCK):
+    # type: (int) -> np.ndarray
+    """Row offsets matching _gather_rescore_packed_kernel's output order:
+    candidate position r' holds db row offset (r' % 8) * 16 + r' // 8."""
+    rp = np.arange(block)
+    return ((rp % 8) * 16 + rp // 8).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nbits", "interpret"))
+def pallas_gather_rescore_packed(q_pm1, block_ids, db_packed, k, nbits, interpret=False):
+    # type: (...) -> jnp.ndarray
+    """
+    Phase-3 candidate rescore straight from the PACKED layout (no int8 twin
+    needed): gathers 128-row packed blocks as (nbits//32, 128)-u32 tiles and
+    unpacks them in kernel (~4 KB DMA + ~32K VPU ops per step).
+
+    Requires nbits == 256 (the (8, 128) tile is exactly one Mosaic u32 tile;
+    narrower partitions keep the int8-twin path — their twins are small).
+
+    :param q_pm1: (Q, nbits) ±1/0 prefix-masked queries (any float/int dtype)
+    :param block_ids: (Q, k) int32 block ids from phase 2
+    :param db_packed: (N, nbits//32) uint32, N % 128 == 0
+    :return: (Q, k * 128) float32 raw dots; candidate c corresponds to db row
+        ``block_ids[q, c // 128] * 128 + gather_perm_offsets()[c % 128]``
+    """
+    q, _ = q_pm1.shape
+    lanes = nbits // 32
+    if lanes != 8:
+        raise ValueError("packed gather-rescore requires 256-bit partitions")
+    n = db_packed.shape[0]
+    view = db_packed.reshape(n // 16, 128)  # row v = db rows [16v, 16v+16)
+    total = q * k
+    pad = (-total) % 8
+    ids_flat = block_ids.reshape(total).astype(jnp.int32)
+    if pad:
+        ids_flat = jnp.pad(ids_flat, (0, pad))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total + pad,),
+        in_specs=[
+            pl.BlockSpec((q, nbits), lambda i, ids: (0, 0), memory_space=_vmem()),
+            pl.BlockSpec((lanes, 128), lambda i, ids: (ids[i], 0), memory_space=_vmem()),
+        ],
+        out_specs=pl.BlockSpec((8, BLOCK), lambda i, ids: (i // 8, 0), memory_space=_vmem()),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_rescore_packed_kernel, k=k, nbits=nbits, interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((total + pad, BLOCK), jnp.float32),
+        interpret=interpret,
+    )(ids_flat, q_pm1.astype(jnp.bfloat16), view)
+    return out[:total].reshape(q, k * BLOCK)
+
+
 _UNPACK_APPEND = None
 
 

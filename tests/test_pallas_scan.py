@@ -199,3 +199,38 @@ def test_engine_perm_twin_incremental_append(tmp_path, monkeypatch):
     (k2, s2), = idx.search([bodies[42]], 3)
     assert int.from_bytes(k2[0].tobytes(), "big") == 42
     idx.close()
+
+
+def test_packed_gather_rescore_matches_unpacked(data):
+    """In-kernel packed unpack (no int8 twin) must produce the same dots as
+    the int8-layout gather, modulo its documented static row permutation."""
+    from iscc_search_tpu.ops.pallas_scan import (
+        gather_perm_offsets,
+        pallas_gather_rescore,
+        pallas_gather_rescore_packed,
+    )
+
+    packed, valid, q_packed, q_lanes = data
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    db_unpacked = build_unpacked_db(jnp.asarray(packed), 256)
+    k = 3
+    rng = np.random.default_rng(5)
+    block_ids = jnp.asarray(rng.integers(0, packed.shape[0] // 128, (8, k)), jnp.int32)
+
+    ref = np.asarray(
+        pallas_gather_rescore(jnp.asarray(q_pm1.astype(np.int8)), block_ids, db_unpacked, k, interpret=True)
+    ).reshape(8, k, 128)
+    got = np.asarray(
+        pallas_gather_rescore_packed(jnp.asarray(q_pm1), block_ids, jnp.asarray(packed), k, 256, interpret=True)
+    ).reshape(8, k, 128)
+    perm = gather_perm_offsets()
+    assert np.array_equal(got, ref[:, :, perm])
+
+
+def test_packed_gather_rescore_rejects_narrow():
+    from iscc_search_tpu.ops.pallas_scan import pallas_gather_rescore_packed
+
+    with pytest.raises(ValueError):
+        pallas_gather_rescore_packed(
+            jnp.zeros((8, 64)), jnp.zeros((8, 1), jnp.int32), jnp.zeros((128, 2), jnp.uint32), 1, 64,
+        )
