@@ -386,7 +386,9 @@ class PackedCodeIndex:
             # trigger a fresh kernel compile; trim to `count` below.
             k = min(_pow2ceil(max(1, count)), chunk)
             q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
-            if self.mesh is not None and self.recall_target is None and unpacked_dev is not None:
+            if self.mesh is not None and self.recall_target is None and (
+                unpacked_dev is not None or perm_dev is not None
+            ):
                 # Exact: the fused Pallas kernel per shard + ICI merge — the
                 # mesh keeps the single-chip fast path instead of regressing
                 # to the XLA packed scan.
@@ -423,7 +425,7 @@ class PackedCodeIndex:
                     chunk_size=chunk,
                     recall_target=self.recall_target,
                 )
-            elif self.recall_target is None and unpacked_dev is not None:
+            elif self.recall_target is None and (unpacked_dev is not None or perm_dev is not None):
                 # Exact: fused Pallas kernel over the ±1 int8 layout
                 from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk
 
@@ -768,9 +770,11 @@ class PackedCodeIndex:
             if self._use_pallas() and per_shard_bytes <= _unpacked_budget_bytes():
                 from iscc_search_tpu.parallel.pallas_sharded import shard_unpacked_db
 
-                unpacked_dev = shard_unpacked_db(self.mesh, packed_dev, lanes * 32)
+                # Same preference as the single-device branch: perm twin
+                # first (fast phase 1); plain twin only when both fit.
                 if 2 * per_shard_bytes <= _unpacked_budget_bytes():
-                    perm_dev = shard_unpacked_db(self.mesh, packed_dev, lanes * 32, permute=True)
+                    unpacked_dev = shard_unpacked_db(self.mesh, packed_dev, lanes * 32)
+                perm_dev = shard_unpacked_db(self.mesh, packed_dev, lanes * 32, permute=True)
         else:
             packed_dev = jax.device_put(jnp.asarray(packed))
             valid_dev = jax.device_put(jnp.asarray(valid))
@@ -782,10 +786,18 @@ class PackedCodeIndex:
             ):
                 from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
 
-                unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
-                # The permuted twin buys a ~2.5x faster phase 1 for another
-                # 1x int8 footprint; past the budget the plain kernel serves.
-                if 2 * layout_bytes <= _unpacked_budget_bytes():
+                # Budget for both int8 twins: permuted (fast tree-epilogue
+                # phase 1) + plain (Pallas gather phase 3). With room for only
+                # ONE layout, prefer the PERM twin — phase 1 dominates the
+                # sweep and phase 3 falls back to packed takes + XLA unpack,
+                # which beats forfeiting the tree epilogue (in-kernel packed
+                # unpack was measured 9x slower; see exp_packed_gather.py).
+                from iscc_search_tpu.ops.pallas_scan import PERM_GROUP
+
+                perm_ok = cap % PERM_GROUP == 0
+                if 2 * layout_bytes <= _unpacked_budget_bytes() or not perm_ok:
+                    unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
+                if perm_ok:
                     perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
         return _Partition(packed_dev, valid_dev, unpacked_dev, full_map, cap, n, perm_dev=perm_dev)
 

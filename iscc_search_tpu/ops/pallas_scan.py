@@ -295,14 +295,18 @@ def pallas_blockmax_topk_impl(
     Same contract as ops.pm1_scan.pm1_blockmax_topk. ``db_packed`` is always
     required (phase-3 rescoring gathers packed rows); pass ``db_unpacked``
     with ``unpacked=True`` to run phase 1 from the ±1 int8 layout. Pass
-    ``db_perm`` (the permute_rows() twin of db_unpacked) to run phase 1
-    through the ~2.5x-faster tree-epilogue kernel; phase 3 keeps gathering
-    from the plain layout and all returned indices are in ORIGINAL row order.
+    ``db_perm`` (the permute_rows() int8 twin) to run phase 1 through the
+    ~2.5x-faster tree-epilogue kernel; all returned indices are in ORIGINAL
+    row order. Phase 3 gathers from ``db_unpacked`` when present (fastest),
+    else falls back to packed-row takes + XLA unpack — so a perm-only twin
+    (HBM budget for one int8 layout) still gets the fast phase 1.
     """
     n = db_packed.shape[0]
     q = q_pm1.shape[0]
     total_blocks = n // BLOCK
 
+    if unpacked and db_unpacked is None and db_perm is None:
+        raise ValueError("unpacked=True requires db_unpacked and/or db_perm")
     permuted = db_perm is not None
     phase1_db = db_perm if permuted else (db_unpacked if unpacked else db_packed)
     block_max = pallas_blockmax(
@@ -329,7 +333,7 @@ def pallas_blockmax_topk_impl(
     cand_valid = jnp.take(
         db_valid.reshape(n // BLOCK, BLOCK), top_blocks.reshape(-1), axis=0
     ).reshape(q, kk * BLOCK)
-    if unpacked:
+    if db_unpacked is not None:
         # Rescore straight from the ±1 int8 layout inside a Pallas kernel:
         # the block ids drive a scalar-prefetched BlockSpec gather (32 KB
         # contiguous DMAs double-buffered against the dots). The previous XLA
@@ -339,11 +343,11 @@ def pallas_blockmax_topk_impl(
             q_pm1.astype(jnp.int8), top_blocks, db_unpacked, kk, interpret=interpret
         )
     else:
-        cand_packed = jnp.take(
-            db_packed.reshape(n // BLOCK, BLOCK * db_packed.shape[1]),
-            top_blocks.reshape(-1),
-            axis=0,
-        ).reshape(q * kk * BLOCK, db_packed.shape[1])
+        # Per-ROW takes, deliberately: XLA fuses them into the unpack+dot
+        # consumer, while a blocked take of a reshaped (N/128, 128*L) view
+        # materializes a full physical copy of db_packed (layout change) —
+        # measured slower in exp_pm1_gather.py and an OOM at 33M rows.
+        cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)
         cand_pm1 = unpack_pm1(cand_packed, nbits, jnp.bfloat16).reshape(q, kk * BLOCK, nbits)
         dots = jax.lax.dot_general(
             q_pm1.astype(jnp.bfloat16)[:, None, :],

@@ -58,10 +58,12 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
     return jax.jit(mapped)(db_packed_sharded)
 
 
-def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_perm):
+def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm):
     from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
 
-    def local_step(q_pm1, q_scale, db_packed, db_unpacked, db_valid, *maybe_perm):
+    def local_step(q_pm1, q_scale, db_packed, db_valid, *twins):
+        db_unpacked = twins[0] if with_unpacked else None
+        db_perm = twins[-1] if with_perm else None
         scores, idx = pallas_blockmax_topk_impl(
             q_pm1,
             q_scale,
@@ -73,7 +75,7 @@ def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_perm):
             interpret=interpret,
             db_unpacked=db_unpacked,
             unpacked=True,
-            db_perm=maybe_perm[0] if with_perm else None,
+            db_perm=db_perm,
         )
         shard = jax.lax.axis_index(axis_name)
         idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
@@ -83,9 +85,8 @@ def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_perm):
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, jnp.where(top_s > NEG_SCORE, top_i, -1)
 
-    in_specs = [P(), P(), P(axis_name, None), P(axis_name, None), P(axis_name)]
-    if with_perm:
-        in_specs.append(P(axis_name, None))
+    in_specs = [P(), P(), P(axis_name, None), P(axis_name)]
+    in_specs += [P(axis_name, None)] * (int(with_unpacked) + int(with_perm))
     kwargs = dict(mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()))
     try:
         mapped = shard_map(local_step, check_vma=False, **kwargs)
@@ -115,14 +116,23 @@ def sharded_pallas_topk(
 
     :param q_pm1: (Q, nbits) ±1 queries, prefix-masked (replicated)
     :param q_scale: (Q,) per-query scale 1/(2*min_bits)
-    :param db_packed/db_unpacked/db_valid: row-sharded arrays
+    :param db_packed/db_valid: row-sharded arrays
+    :param db_unpacked: optional row-sharded ±1 int8 twin (fast Pallas
+        phase-3 gather); None falls back to packed takes + XLA unpack
     :param interpret: run the Pallas kernels in interpreter mode (CPU meshes)
     :param db_perm: optional row-sharded permute_rows() twin — routes phase 1
         through the fast tree-epilogue kernel per shard
     :return: replicated (scores (Q, k), global row indices (Q, k))
     """
-    fn = _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, db_perm is not None)
-    args = (q_pm1, q_scale, db_packed, db_unpacked, db_valid)
+    if db_unpacked is None and db_perm is None:
+        raise ValueError("sharded_pallas_topk needs at least one int8 twin")
+    fn = _make_fn(
+        mesh, k, nbits, chunk_size, interpret, axis_name,
+        db_unpacked is not None, db_perm is not None,
+    )
+    args = (q_pm1, q_scale, db_packed, db_valid)
+    if db_unpacked is not None:
+        args = args + (db_unpacked,)
     if db_perm is not None:
         args = args + (db_perm,)
     return fn(*args)

@@ -234,3 +234,64 @@ def test_packed_gather_rescore_rejects_narrow():
         pallas_gather_rescore_packed(
             jnp.zeros((8, 64)), jnp.zeros((8, 1), jnp.int32), jnp.zeros((128, 2), jnp.uint32), 1, 64,
         )
+
+
+def test_perm_only_topk_matches_brute_force():
+    """HBM budget for one twin: perm-only phase 1 + packed XLA phase 3 must
+    stay exact (db_unpacked=None)."""
+    rng = np.random.default_rng(93)
+    from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk
+
+    n, k = 8192, 7
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    lanes = np.full(n, 8, np.int32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 64)] = False
+    q_pm1, q_scale = prepare_queries(packed[:5], lanes[:5], 256)
+    dbp = jnp.asarray(packed)
+    perm = build_unpacked_db(dbp, 256, permute=True)
+    fs, fi = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), dbp, jnp.asarray(valid), k, 256,
+        chunk_size=4096, interpret=True, db_unpacked=None, unpacked=True, db_perm=perm,
+    )
+    fs, fi = np.asarray(fs), np.asarray(fi)
+    ref = np.array(nphd_scores(jnp.asarray(packed[:5]), jnp.asarray(lanes[:5]), dbp, jnp.asarray(lanes)))
+    ref[:, ~valid] = -1.0
+    for qi in range(5):
+        assert np.allclose(np.sort(fs[qi])[::-1], np.sort(ref[qi])[::-1][:k], atol=1e-3)
+        for r in range(k):
+            if fi[qi, r] >= 0:
+                assert abs(ref[qi, fi[qi, r]] - fs[qi, r]) < 1e-3
+
+
+def test_unpacked_flag_requires_a_twin():
+    from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
+
+    with pytest.raises(ValueError):
+        pallas_blockmax_topk_impl(
+            jnp.zeros((8, 256)), jnp.zeros(8), jnp.zeros((256, 8), jnp.uint32),
+            jnp.ones(256, bool), 5, 256, chunk_size=256, interpret=True, unpacked=True,
+        )
+
+
+def test_engine_perm_only_budget(tmp_path, monkeypatch):
+    """With HBM budget for exactly one int8 layout the engine prefers the
+    PERM twin (fast phase 1) and searches exactly without the plain twin."""
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    rng = np.random.default_rng(94)
+    monkeypatch.setattr(di, "_PALLAS_MIN_CHUNK", 4096)
+    # partition cap will be 8192 rows -> one int8 layout = 8192*256 bytes;
+    # budget fits exactly one, not two
+    monkeypatch.setenv("ISCC_SEARCH_UNPACKED_MAX_BYTES", str(8192 * 256))
+    idx = DeviceNphdIndex(tmp_path / "p", scan_kernel="pallas")
+    bodies = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(700)]
+    idx.add(list(range(700)), bodies)
+    (k1, s1), = idx.search([bodies[611]], 3)  # triggers the device sync
+    part = next(iter(idx._partitions.values()))
+    assert part.perm_dev is not None
+    assert part.unpacked_dev is None
+    assert int.from_bytes(k1[0].tobytes(), "big") == 611
+    assert s1[0] == pytest.approx(1.0, abs=1e-3)
+    idx.close()

@@ -93,3 +93,78 @@ def test_remove_and_contains(engine, rng):
     engine.remove([k])
     assert k not in engine
     assert not engine.search_raw([v], limit=5, threshold=0.9, total_assets=1)
+
+
+def test_empty_search_and_add(engine, rng):
+    assert engine.search_raw([], limit=5, total_assets=0) == []
+    engine.add_raw([], [])  # no-op, no error
+    assert engine.search_raw([vec(rng)], limit=5, total_assets=1) == []
+
+
+def test_add_raw_in_batch_key_dedup(engine, rng):
+    """The same composite key twice in one batch must index once, FIRST
+    occurrence winning (reference add_raw dedup semantics)."""
+    v1, v2 = vec(rng), vec(rng)
+    k = key(1, 0)
+    engine.add_raw([k, k], [v1, v2])
+    assert engine._index.size == 1
+    res = engine.search_raw([v1], limit=5, threshold=0.8, total_assets=1)
+    assert res and res[0].score == pytest.approx(1.0, abs=1e-6)
+
+
+def test_multi_type_chunk_query(tmp_path, rng):
+    """Two simprint types in one query produce per-type results on the same
+    asset (reference multi-type approximate search)."""
+    from iscc_search_tpu import codec as ic
+    from iscc_search_tpu.indexes.tpu import TpuIndex
+    from iscc_search_tpu.schema import IsccEntry, IsccQuery
+    from tests.conftest import make_iscc_id, make_unit
+    import random
+
+    prng = random.Random(5)
+    sp_a = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    sp_b = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    idx = TpuIndex(tmp_path / "mt")
+    e = IsccEntry(
+        iscc_id=make_iscc_id(1),
+        units=[
+            make_unit(ic.MT.DATA, ic.ST.NONE, 64, rng=prng),
+            make_unit(ic.MT.INSTANCE, ic.ST.NONE, 64, rng=prng),
+        ],
+        simprints={
+            "CONTENT_TEXT_V0": [{"simprint": ic.encode_base64(sp_a), "offset": 0, "size": 10}],
+            "SEMANTIC_TEXT_V0": [{"simprint": ic.encode_base64(sp_b), "offset": 0, "size": 10}],
+        },
+    )
+    idx.add_assets([e])
+    res = idx.search_assets(
+        IsccQuery(simprints={
+            "CONTENT_TEXT_V0": [ic.encode_base64(sp_a)],
+            "SEMANTIC_TEXT_V0": [ic.encode_base64(sp_b)],
+        }),
+        limit=5,
+    )
+    assert res.chunk_matches
+    m = res.chunk_matches[0]
+    assert m.iscc_id == e.iscc_id
+    assert set(m.types) == {"CONTENT_TEXT_V0", "SEMANTIC_TEXT_V0"}
+    for tr in m.types.values():
+        assert tr.score == pytest.approx(1.0, abs=1e-6)
+        assert tr.matches == 1 and tr.queried == 1
+    idx.close()
+
+
+def test_unknown_simprint_type_query(tmp_path, rng):
+    """Querying a simprint type the index has never seen returns empty, not
+    an error."""
+    from iscc_search_tpu import codec as ic
+    from iscc_search_tpu.indexes.tpu import TpuIndex
+    from iscc_search_tpu.schema import IsccQuery
+
+    idx = TpuIndex(tmp_path / "ut")
+    res = idx.search_assets(
+        IsccQuery(simprints={"CONTENT_AUDIO_V0": [ic.encode_base64(b"\xaa" * 16)]}),
+        limit=5,
+    )
+    assert res.chunk_matches == [] and res.global_matches == []
+    idx.close()
