@@ -112,3 +112,84 @@ def test_garbage_success_response_is_runtime_error():
     with pytest.raises(RuntimeError, match="Invalid JSON"):
         idx.list_indexes()
     idx.close()
+
+
+def test_url_normalization_and_lazy_client():
+    idx = RemoteIndex("https://api.example.com/", "main", api_key="sekrit")
+    assert idx.url == "https://api.example.com"
+    assert idx._client is None  # lazy — no connection at construction
+    c = idx.client
+    assert c is idx.client  # cached
+    assert c.headers["X-API-Key"] == "sekrit"
+    idx.close()
+
+
+def test_close_idempotent(remote):
+    remote.close()
+    remote.close()  # second close must not raise
+
+
+def test_retry_exhausted_raises(entry_factory, monkeypatch):
+    """Permanent transport failure surfaces after MAX_RETRIES attempts."""
+
+    calls = {"n": 0}
+
+    class DeadTransport(httpx.BaseTransport):
+        def handle_request(self, request):
+            calls["n"] += 1
+            raise httpx.ConnectError("down")
+
+    client = RemoteIndex("http://t", "idx")
+    client._client = httpx.Client(transport=DeadTransport(), base_url="http://t")
+    import iscc_search_tpu.remote.client as rc
+
+    monkeypatch.setattr(rc, "RETRY_BASE_DELAY", 0.0)
+    with pytest.raises(httpx.ConnectError):
+        client.add_assets("idx", [IsccEntry(**entry_factory())])
+    assert calls["n"] == rc.MAX_RETRIES
+
+
+def test_no_retry_on_app_error(remote, entry_factory, monkeypatch):
+    """HTTP-level application errors (404) must NOT be retried."""
+    calls = {"n": 0}
+    orig = remote._client.send
+
+    def counting_send(request, **kw):
+        if request.url.path.endswith("/assets"):
+            calls["n"] += 1
+        return orig(request, **kw)
+
+    monkeypatch.setattr(remote._client, "send", counting_send)
+    with pytest.raises(FileNotFoundError):
+        remote.add_assets("nosuchindex", [IsccEntry(**entry_factory())])
+    assert calls["n"] == 1
+
+
+def test_http_500_maps_to_runtime_error():
+    def handler(request):
+        return httpx.Response(503, json={"detail": "overloaded"})
+
+    idx = RemoteIndex("https://x.example", "main")
+    idx._client = httpx.Client(transport=httpx.MockTransport(handler), base_url="https://x.example")
+    with pytest.raises(RuntimeError, match="503"):
+        idx.list_indexes()
+    idx.close()
+
+
+def test_chunked_add_batches(remote, entry_factory):
+    """chunk_size=3 splits a 7-entry add into 3 HTTP calls, results concatenated
+    in order."""
+    remote.create_index(IsccIndex(name="idx"))
+    calls = {"n": 0}
+    orig = remote._client.send
+
+    def counting_send(request, **kw):
+        if request.url.path.endswith("/assets"):
+            calls["n"] += 1
+        return orig(request, **kw)
+
+    remote._client.send = counting_send
+    entries = [IsccEntry(**entry_factory()) for _ in range(7)]
+    results = remote.add_assets("idx", entries)
+    assert calls["n"] == 3
+    assert [r.iscc_id for r in results] == [e.iscc_id for e in entries]
