@@ -43,7 +43,7 @@ from pathlib import Path
 import numpy as np
 
 from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
-from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries
+from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries, prepare_queries_device
 from iscc_search_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -372,6 +372,11 @@ class PackedCodeIndex:
         if q_pad > nq:
             q_codes = np.pad(q_codes, ((0, q_pad - nq), (0, 0)))
             q_lanes = np.pad(q_lanes, (0, q_pad - nq), constant_values=1)
+        # One upload of the 32 B/query packed codes; per-partition unpack +
+        # prefix-mask + scale run on device (prepare_queries_device) instead
+        # of shipping a host-built (Q, nbits) float matrix per partition.
+        q_codes_dev = jnp.asarray(q_codes)
+        q_lanes_dev = jnp.asarray(q_lanes)
 
         # Scan every partition: dispatch all sweeps asynchronously first, then
         # collect — device work on later partitions overlaps the readback
@@ -385,7 +390,10 @@ class PackedCodeIndex:
             # Bucket k to a power of two so user-supplied limits don't each
             # trigger a fresh kernel compile; trim to `count` below.
             k = min(_pow2ceil(max(1, count)), chunk)
-            q_pm1, q_scale = prepare_queries(q_codes, q_lanes, nbits)
+            if self.mesh is not None:
+                # Mesh paths take prepared queries (replicated); prep runs as
+                # its own device program.
+                q_pm1, q_scale = prepare_queries_device(q_codes_dev, q_lanes_dev, nbits)
             if self.mesh is not None and self.recall_target is None and (
                 unpacked_dev is not None or perm_dev is not None
             ):
@@ -426,12 +434,13 @@ class PackedCodeIndex:
                     recall_target=self.recall_target,
                 )
             elif self.recall_target is None and (unpacked_dev is not None or perm_dev is not None):
-                # Exact: fused Pallas kernel over the ±1 int8 layout
-                from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk
+                # Exact: fused device query prep + Pallas kernel over the ±1
+                # int8 layout, one upload + one dispatch per partition
+                from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_packedq
 
-                scores, idx = pallas_blockmax_topk(
-                    jnp.asarray(q_pm1),
-                    jnp.asarray(q_scale),
+                scores, idx = pallas_blockmax_topk_packedq(
+                    q_codes_dev,
+                    q_lanes_dev,
                     packed_dev,
                     valid_dev,
                     k,
@@ -444,9 +453,11 @@ class PackedCodeIndex:
                 )
             elif self.recall_target is None:
                 # Exact: two-phase block-max selection (no per-chunk sort)
-                scores, idx = pm1_blockmax_topk(
-                    jnp.asarray(q_pm1),
-                    jnp.asarray(q_scale),
+                from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk_packedq
+
+                scores, idx = pm1_blockmax_topk_packedq(
+                    q_codes_dev,
+                    q_lanes_dev,
                     packed_dev,
                     valid_dev,
                     k,
@@ -454,9 +465,11 @@ class PackedCodeIndex:
                     chunk_size=chunk,
                 )
             else:
-                scores, idx = pm1_topk(
-                    jnp.asarray(q_pm1),
-                    jnp.asarray(q_scale),
+                from iscc_search_tpu.ops.pm1_scan import pm1_topk_packedq
+
+                scores, idx = pm1_topk_packedq(
+                    q_codes_dev,
+                    q_lanes_dev,
                     packed_dev,
                     valid_dev,
                     k,

@@ -374,6 +374,21 @@ pallas_blockmax_topk = jax.jit(
 )
 
 
+def pallas_blockmax_topk_packedq_impl(q_packed, q_lanes, db_packed, db_valid, k, nbits, **kw):
+    """Fused packed-query variant: device query prep + the full scan in ONE
+    jitted program (one upload, one dispatch — the serving path)."""
+    from iscc_search_tpu.ops.pm1_scan import prepare_queries_impl
+
+    q_pm1, q_scale = prepare_queries_impl(q_packed, q_lanes, nbits)
+    return pallas_blockmax_topk_impl(q_pm1, q_scale, db_packed, db_valid, k, nbits, **kw)
+
+
+pallas_blockmax_topk_packedq = jax.jit(
+    pallas_blockmax_topk_packedq_impl,
+    static_argnames=("k", "nbits", "chunk_size", "interpret", "unpacked"),
+)
+
+
 def _gather_rescore_kernel(ids_ref, q_ref, db_ref, out_ref, *, k):
     """One grid step: exact rescore of one query against one candidate block.
 

@@ -296,6 +296,49 @@ pm1_blockmax_topk = jax.jit(
 )
 
 
+def prepare_queries_impl(q_packed, q_lanes, partition_bits):
+    # type: (jnp.ndarray, jnp.ndarray, int) -> tuple[jnp.ndarray, jnp.ndarray]
+    """
+    Traceable twin of :func:`prepare_queries`: unpack + prefix-mask + scale
+    from the 32 B/query packed codes, composable INSIDE the jitted search
+    programs — so serving uploads packed queries and pays ONE dispatch (a
+    separate prep dispatch measurably regressed closed-loop latency on
+    fixed-latency links).
+
+    Bit-exact vs the host version (same unpack order, f32 arithmetic).
+    """
+    q_pm1 = unpack_pm1(q_packed[:, : partition_bits // 32], partition_bits, jnp.float32)
+    min_bits = jnp.minimum(q_lanes.astype(jnp.int32) * 32, partition_bits)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, partition_bits), 1)
+    q_pm1 = jnp.where(col < min_bits[:, None], q_pm1, 0.0)
+    q_scale = 1.0 / (2.0 * jnp.maximum(min_bits, 1).astype(jnp.float32))
+    return q_pm1, q_scale
+
+
+prepare_queries_device = jax.jit(prepare_queries_impl, static_argnames="partition_bits")
+
+
+def pm1_topk_packedq_impl(q_packed, q_lanes, db_packed, db_valid, k, nbits, **kw):
+    q_pm1, q_scale = prepare_queries_impl(q_packed, q_lanes, nbits)
+    return pm1_topk_impl(q_pm1, q_scale, db_packed, db_valid, k, nbits, **kw)
+
+
+def pm1_blockmax_topk_packedq_impl(q_packed, q_lanes, db_packed, db_valid, k, nbits, **kw):
+    q_pm1, q_scale = prepare_queries_impl(q_packed, q_lanes, nbits)
+    return pm1_blockmax_topk_impl(q_pm1, q_scale, db_packed, db_valid, k, nbits, **kw)
+
+
+pm1_topk_packedq = jax.jit(
+    pm1_topk_packedq_impl,
+    static_argnames=("k", "nbits", "chunk_size", "dtype", "recall_target", "pvary_axes"),
+)
+
+pm1_blockmax_topk_packedq = jax.jit(
+    pm1_blockmax_topk_packedq_impl,
+    static_argnames=("k", "nbits", "chunk_size", "dtype", "block", "pvary_axes"),
+)
+
+
 def prepare_queries(q_packed, q_lanes, partition_bits):
     # type: (np.ndarray, np.ndarray, int) -> tuple[np.ndarray, np.ndarray]
     """

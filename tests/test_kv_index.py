@@ -169,3 +169,71 @@ def test_kv_model_based_fuzz(tmp_path):
         for iid in got:
             assert got[iid] == pytest.approx(expected[iid]), (_trial, iid)
     idx.close()
+
+
+def test_kv_lifecycle_and_errors(tmp_path, entry_factory):
+    """Created/updated statuses, realm inference + mismatch, error paths,
+    count, reopen (reference lmdb index suite behaviors)."""
+    from iscc_search_tpu.indexes.kv.index import KvIndex
+    from tests.conftest import make_iscc_id
+
+    idx = KvIndex(tmp_path / "kv")
+    e = IsccEntry(**entry_factory())
+    assert [r.status for r in idx.add_assets([e])] == ["created"]
+    assert [r.status for r in idx.add_assets([e])] == ["updated"]
+    assert idx.add_assets([]) == []
+
+    # Realm inferred from first asset -> realm-1 asset rejected
+    bad = IsccEntry(**entry_factory())
+    bad.iscc_id = make_iscc_id(999, realm_id=1)
+    with pytest.raises(ValueError):
+        idx.add_assets([bad])
+    with pytest.raises(ValueError):
+        idx.get_asset(make_iscc_id(5, realm_id=1))
+    with pytest.raises(FileNotFoundError):
+        idx.get_asset(make_iscc_id(424242))
+    with pytest.raises(ValueError):
+        idx.get_asset("not-an-iscc")
+
+    # Missing iscc_id rejected
+    no_id = IsccEntry(**entry_factory())
+    no_id.iscc_id = None
+    with pytest.raises(ValueError):
+        idx.add_assets([no_id])
+
+    assert idx.get_asset_count() == 1
+    assert idx.get_realm_id() == 0
+    idx.close()
+    idx2 = KvIndex(tmp_path / "kv")
+    assert idx2.get_asset_count() == 1
+    assert idx2.get_realm_id() == 0
+    assert idx2.get_asset(e.iscc_id).units == e.units
+    idx2.close()
+
+
+def test_kv_search_limit_and_empty(tmp_path, entry_factory):
+    from iscc_search_tpu.indexes.kv.index import KvIndex
+
+    idx = KvIndex(tmp_path / "kv")
+    q = IsccQuery(units=IsccEntry(**entry_factory()).units)
+    assert idx.search_assets(q, limit=5).global_matches == []
+
+    entries = [IsccEntry(**entry_factory()) for _ in range(8)]
+    idx.add_assets(entries)
+    # All 8 share no unit bodies, so query one entry's units: only it matches
+    res = idx.search_assets(IsccQuery(units=entries[2].units), limit=5)
+    assert res.global_matches[0].iscc_id == entries[2].iscc_id
+    # limit respected even when many weak matches exist
+    shared = entries[0].units
+    clones = []
+    for i in range(120, 130):
+        c = IsccEntry(**entry_factory())
+        c.units = shared
+        from tests.conftest import make_iscc_id
+
+        c.iscc_id = make_iscc_id(i)
+        clones.append(c)
+    idx.add_assets(clones)
+    res = idx.search_assets(IsccQuery(units=shared), limit=3)
+    assert len(res.global_matches) == 3
+    idx.close()
