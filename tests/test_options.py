@@ -99,3 +99,30 @@ def test_configuration_doc_in_sync():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert (root / "docs" / "reference" / "configuration.md").read_text() == mod.render()
+
+
+def test_cors_origins_parsing():
+    opts = SearchOptions(cors_origins="*")
+    assert opts.cors_origins_list == ["*"]
+    opts = SearchOptions(cors_origins="https://a.example, https://b.example")
+    assert opts.cors_origins_list == ["https://a.example", "https://b.example"]
+
+
+def test_override_none_and_empty():
+    from iscc_search_tpu.options import search_opts
+
+    base = SearchOptions(port=1234)
+    assert base.override(None).port == 1234
+    assert base.override({}).port == 1234
+    multi = base.override({"port": 9}).override({"host": "1.2.3.4"})
+    assert (multi.port, multi.host) == (9, "1.2.3.4")
+
+
+def test_extra_env_fields_ignored(monkeypatch):
+    monkeypatch.setenv("ISCC_SEARCH_NO_SUCH_OPTION", "x")
+    assert SearchOptions().index_uri  # construction unaffected
+
+
+def test_aggregator_network_empty_disables():
+    opts = SearchOptions(aggregator_network="")
+    assert not opts.aggregator_mode
