@@ -178,6 +178,19 @@ class TestAuth:
         assert secure_client.get("/healthz").status_code == 200
         assert secure_client.get("/status").status_code == 200
 
+    def test_mutations_require_key(self, secure_client):
+        r = secure_client.post("/indexes", json={"name": "locked"})
+        assert r.status_code == 401
+        r = secure_client.post(
+            "/indexes", json={"name": "locked"}, headers={"X-API-Key": "topsecret"}
+        )
+        assert r.status_code == 201
+
+    def test_frontend_public_with_auth_enabled(self, secure_client):
+        # The landing page and docs stay reachable; only the API is gated
+        assert secure_client.get("/").status_code == 200
+        assert secure_client.get("/docs").status_code == 200
+
 
 class TestAggregatorMode:
     @pytest.fixture
@@ -190,6 +203,27 @@ class TestAggregatorMode:
         app = create_app(index=index, opts=opts)
         with httpx.Client(transport=httpx.WSGITransport(app=app), base_url="http://t") as c:
             yield c
+
+    def test_suppressed_routes_match_unknown_404(self, agg_client):
+        """Hidden management routes are indistinguishable from unknown routes
+        (no information leak about aggregator internals)."""
+        hidden = agg_client.post("/indexes", json={"name": "x"})
+        unknown = agg_client.post("/nosuchroute", json={})
+        assert hidden.status_code == unknown.status_code == 404
+
+    def test_suppression_applies_before_auth(self):
+        """In aggregator mode WITH an api key, suppressed routes 404 rather
+        than 401 — suppression must not reveal that a route exists."""
+        opts = SearchOptions(
+            index_uri="memory://", aggregator_network="testnet", api_secret="k"
+        )
+        index = MemoryIndex()
+        from iscc_search_tpu.schema import IsccIndex
+
+        index.create_index(IsccIndex(name="idptest"))
+        app = create_app(index=index, opts=opts)
+        with httpx.Client(transport=httpx.WSGITransport(app=app), base_url="http://t") as c:
+            assert c.post("/indexes", json={"name": "x"}).status_code == 404
 
     def test_management_routes_hidden(self, agg_client):
         assert agg_client.get("/indexes").status_code == 404
