@@ -375,3 +375,96 @@ def test_poll_loop_persists_and_resumes_cursor(agg_setup, tmp_path):
     cycle(status2)
     assert status2[0].cursor == 49
     assert index.get_index("idptest").assets == before
+
+
+TWO_HUBS_YAML = """
+version: 1
+network: testnet
+hubs:
+  - hub_id: 0
+    url: https://hub0.example
+    active: true
+  - hub_id: 1
+    url: https://hub1.example
+    active: true
+"""
+
+
+class TwoHubLog:
+    """Two active hubs; hub1's checkpoint endpoint can be broken."""
+
+    def __init__(self, records, hub1_down=True, hubs_yaml=None):
+        self.records = records
+        self.hub1_down = hub1_down
+        self.hubs_yaml = hubs_yaml or TWO_HUBS_YAML
+        self.fail_hub_list = False
+        self.inner = FakeLog(records)
+
+    def handler(self, request):
+        if request.url.path == "/hubs.yaml":
+            if self.fail_hub_list:
+                return httpx.Response(503, text="unavailable")
+            return httpx.Response(200, text=self.hubs_yaml)
+        if request.url.host == "hub1.example" and self.hub1_down:
+            return httpx.Response(500, text="hub down")
+        return self.inner.handler(request)
+
+
+def test_poll_loop_hub_failure_isolated(agg_setup):
+    """One hub failing must not stop ingestion from the healthy hub; the
+    failed hub's status row reports not-ok."""
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 20)]
+    fake = TwoHubLog(records, hub1_down=True)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    status = {}
+
+    async def go():
+        stop = asyncio.Event()
+
+        async def stopper():
+            for _ in range(500):
+                await asyncio.sleep(0.01)
+                if status.get(0) and status[0].counts.get("ok") and 1 in status:
+                    break
+            stop.set()
+
+        await asyncio.gather(poller.poll_loop(index, opts, stop, client, status), stopper())
+
+    run_async(go())
+    assert status[0].ok is True and status[0].counts["ok"] == 19
+    assert status[1].ok is False
+    assert index.get_index("idptest").assets == 19
+
+
+def test_roster_refresh_failure_keeps_previous_list(agg_setup):
+    """A failed hub-list refresh keeps the last-known-good hubs."""
+    _, opts = agg_setup
+    fake = TwoHubLog([], hub1_down=False)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    roster = poller._Roster(opts)
+    status = {}
+    run_async(roster.refresh(client, status))
+    assert [h.hub_id for h in roster.hubs] == [0, 1]
+    fake.fail_hub_list = True
+    roster._due = 0.0
+    run_async(roster.refresh(client, status))
+    assert [h.hub_id for h in roster.hubs] == [0, 1]  # kept
+
+
+def test_roster_prunes_hubs_absent_from_refresh(agg_setup):
+    """A hub removed from a NON-empty refreshed list loses its status row;
+    an empty refresh prunes nothing (cursors survive transient outages)."""
+    _, opts = agg_setup
+    fake = TwoHubLog([], hub1_down=False)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    roster = poller._Roster(opts)
+    status = {0: poller.HubStatus(0, "https://hub0.example"), 1: poller.HubStatus(1, "https://hub1.example")}
+    fake.hubs_yaml = HUBS_YAML  # hub 1 now inactive -> absent
+    run_async(roster.refresh(client, status))
+    assert list(status) == [0]
+    # Empty list refresh: keep remaining rows
+    fake.hubs_yaml = "version: 1\nnetwork: testnet\nhubs: []\n"
+    roster._due = 0.0
+    run_async(roster.refresh(client, status))
+    assert list(status) == [0]
