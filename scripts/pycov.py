@@ -50,7 +50,9 @@ def start():
 
 def _code_lines(code):
     # type: (...) -> set[int]
-    lines = {line for _, _, line in code.co_lines() if line is not None}
+    # line 0 is the synthetic RESUME line of module code objects on 3.12 —
+    # never reported by the LINE event, so counting it miscounts every file
+    lines = {line for _, _, line in code.co_lines() if line}
     for const in code.co_consts:
         if hasattr(const, "co_lines"):
             lines |= _code_lines(const)
@@ -79,11 +81,31 @@ def _excluded_lines(path, text):
     return excluded
 
 
+def _omit_patterns():
+    # type: () -> list[str]
+    """[tool.pycov] omit globs (relative to the package parent). Mirrors the
+    reference gate's omission of the typing-only protocol module
+    (reference pyproject.toml:106-113 omits protocols from measurement)."""
+    try:
+        import tomllib
+
+        cfg = tomllib.loads((PKG_ROOT.parent / "pyproject.toml").read_text())
+        return list(cfg.get("tool", {}).get("pycov", {}).get("omit", []))
+    except Exception:  # pragma: no cover
+        return []
+
+
 def report(out_path="COVERAGE.json"):
     # type: (str) -> dict
+    import fnmatch
+
+    omit = _omit_patterns()
     files = {}
     total_exec = total_hit = 0
     for path in sorted(PKG_ROOT.rglob("*.py")):
+        rel = str(path.relative_to(PKG_ROOT.parent))
+        if any(fnmatch.fnmatch(rel, pat) for pat in omit):
+            continue
         text = path.read_text()
         try:
             code = compile(text, str(path), "exec")
