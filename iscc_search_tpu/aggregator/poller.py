@@ -215,9 +215,15 @@ async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_stor
     state.ok = result.error is None
     state.error = result.error
     if advanced and cursor_store is not None:
-        # Barrier first: only durably-stored records may move the saved cursor.
-        await asyncio.to_thread(_sync_backend, index, opts.aggregator_index_name)
-        await asyncio.to_thread(cursor_store.save, {hid: st.cursor for hid, st in status.items()})
+        try:
+            # Barrier first: only durably-stored records may move the saved cursor.
+            await asyncio.to_thread(_sync_backend, index, opts.aggregator_index_name)
+            await asyncio.to_thread(cursor_store.save, {hid: st.cursor for hid, st in status.items()})
+        except Exception as exc:
+            # A failed barrier/save must not kill the poll loop: the in-memory
+            # cursor stays ahead, the persisted one stays behind — safe with
+            # idempotent upserts (restart re-backfills the gap). Retry next poll.
+            logger.warning(f"aggregator: cursor persistence failed for {hub.url}: {exc}")
     if result.counts["ok"]:
         logger.info(
             f"aggregator: {hub.url}: indexed {result.counts['ok']} records, cursor {result.last_size}"

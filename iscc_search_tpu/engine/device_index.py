@@ -237,6 +237,9 @@ class PackedCodeIndex:
         self._save_stop = False
         self._save_thread = None  # type: threading.Thread | None
         self._resave_all = False  # a failed write must re-emit sealed files
+        # Sealed segments not yet confirmed written (queued snapshots can be
+        # coalesced away; their seals must ride the NEXT snapshot instead).
+        self._unconfirmed_seals = set()  # type: set[str]
 
         if (self.path / "state.json").exists():
             self._load()
@@ -532,15 +535,28 @@ class PackedCodeIndex:
 
     def _snapshot_locked(self):
         # type: () -> dict
-        """Copy everything one save needs; caller holds the lock."""
+        """Copy everything one save needs; caller holds the lock.
+
+        Every sealed segment whose write has not been CONFIRMED on disk is
+        (re-)included: a queued snapshot may be superseded by a newer one
+        before the worker writes it (coalescing), and a manifest must never
+        reference a seg file that only a dropped or failed snapshot carried.
+        """
         writes = []  # (descriptor, keys, codes, nlanes) per segment file
+        emitted = set()
         sealed_rows = self._segments[-1]["start"] + self._segments[-1]["rows"] if self._segments else 0
         if self._resave_all:
             # A previous write failed after sealing in memory: re-emit every
             # sealed file so the next manifest never references a missing one.
             for seg in self._segments:
                 writes.append(self._segment_snapshot(seg))
+                emitted.add(seg["file"])
             self._resave_all = False
+        else:
+            for seg in self._segments:
+                if seg["file"] in self._unconfirmed_seals and seg["file"] not in emitted:
+                    writes.append(self._segment_snapshot(seg))
+                    emitted.add(seg["file"])
         while self._rows - sealed_rows >= self.shard_rows:
             seg = {
                 "file": f"seg-{len(self._segments):05d}.npz",
@@ -549,7 +565,9 @@ class PackedCodeIndex:
             }
             self._segments.append(seg)
             writes.append(self._segment_snapshot(seg))
+            emitted.add(seg["file"])
             sealed_rows += self.shard_rows
+        self._unconfirmed_seals.update(emitted)
         active = {"file": "active.npz", "start": sealed_rows, "rows": self._rows - sealed_rows}
         writes.append(self._segment_snapshot(active))
         state = {
@@ -560,7 +578,12 @@ class PackedCodeIndex:
             "segments": list(self._segments),
             "active": active,
         }
-        return {"writes": writes, "valid": self._valid[: self._rows].copy(), "state": state}
+        return {
+            "writes": writes,
+            "valid": self._valid[: self._rows].copy(),
+            "state": state,
+            "sealed_files": sorted(emitted),
+        }
 
     def _segment_snapshot(self, seg):
         # type: (dict) -> tuple
@@ -600,6 +623,9 @@ class PackedCodeIndex:
                 self._save_inflight = True
             try:
                 self._write_snapshot(snapshot)
+                if snapshot.get("sealed_files"):
+                    with self._lock:
+                        self._unconfirmed_seals.difference_update(snapshot["sealed_files"])
             except Exception:
                 logger.exception(f"background save failed for {self.path}")
                 with self._lock:
@@ -637,6 +663,7 @@ class PackedCodeIndex:
             self._rows = 0
             self._key_to_row = {}
             self._segments = []
+            self._unconfirmed_seals = set()
             self._partitions = None
             self._device_stale = True
             self._synced_rows = 0
@@ -890,6 +917,7 @@ class PackedCodeIndex:
             except OSError:
                 pass
         self._segments = []
+        self._unconfirmed_seals = set()
         self._partitions = None  # row space rewritten: full device rebuild
         self._synced_rows = 0
         self._valid_dirty = False

@@ -173,9 +173,11 @@ class SimprintEngine:
         disk = sum(f.stat().st_size for f in self.path.glob("*") if f.is_file()) if self.path.exists() else 0
         return max(disk, self._index.serialized_length)
 
-    def save(self):
-        # type: () -> None
-        self._index.save()
+    def save(self, wait=True):
+        # type: (bool) -> None
+        """Persist derived state; ``wait=False`` queues the write on the
+        underlying index's background save worker (auto-flush path)."""
+        self._index.save(wait=wait)
 
     def reset(self):
         # type: () -> None

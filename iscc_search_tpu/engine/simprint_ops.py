@@ -124,9 +124,11 @@ def delete_asset_simprints(store, db, iscc_id_body):
     # type: (HostStore, str, bytes) -> list[bytes]
     """Remove all of an asset's chunk pointers; returns deleted pointers.
 
-    Deletions are collected per streamed page and applied between pages (the
-    page continuation key/value is captured before its page is consumed, so
-    deleting already-yielded pairs cannot skip entries).
+    Collect-then-delete, deliberately: every matching pair is gathered from
+    the paged stream FIRST and deleted only after the iteration finishes —
+    deleting during a paged scan would invalidate the (key, value)
+    continuation and could skip entries. Memory is bounded by the asset's
+    own pointer count, not the database size.
     """
     deleted = []
     for key, val in store.iter_range(db):

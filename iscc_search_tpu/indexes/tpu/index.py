@@ -632,7 +632,7 @@ class TpuIndex:
         logger.info(f"Rebuilding NPHD index for unit_type '{unit_type}'...")
         # Collect the longest body per key for this type from stored assets
         best = {}  # type: dict[int, bytes]
-        for key_bytes, asset_bytes in self.store.range_scan(DB_ASSETS):
+        for key_bytes, asset_bytes in self.store.iter_range(DB_ASSETS):
             asset = common.deserialize_asset(asset_bytes)
             for unit_str in asset.units or []:
                 unit = IsccUnit(unit_str)

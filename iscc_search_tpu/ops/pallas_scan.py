@@ -465,7 +465,13 @@ def pallas_gather_rescore(q_int8, block_ids, db_unpacked, k, interpret=False):
 
 
 def _gather_rescore_packed_kernel(ids_ref, q_ref, db_ref, out_ref, *, k, nbits, interpret):
-    """Packed-block rescore: gather one (L, 128)-u32 tile (= one 128-row
+    """EXPERIMENTAL — measured and NOT wired into any engine path: this
+    in-kernel unpack runs ~9x slower than the int8-twin gather at 10M rows
+    (benchmarks/exp_packed_gather.py); it stays in-tree, with its exactness
+    test, as the recorded negative result for the 'reclaim the int8 twin'
+    idea (docs/ROADMAP.md).
+
+    Packed-block rescore: gather one (L, 128)-u32 tile (= one 128-row
     packed block viewed as 16-rows-per-view-row), unpack it IN KERNEL, and
     dot against all queries.
 

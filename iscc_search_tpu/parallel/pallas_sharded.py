@@ -11,6 +11,8 @@ fast kernel instead of regressing to the XLA packed scan
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding
@@ -58,6 +60,7 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
     return jax.jit(mapped)(db_packed_sharded)
 
 
+@functools.lru_cache(maxsize=64)
 def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm):
     from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
 

@@ -9,6 +9,8 @@ query — latency-bound, not bandwidth-bound).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding
@@ -35,6 +37,7 @@ def shard_pm1_database(mesh, db_packed, db_valid, axis_name=SHARD_AXIS):
     )
 
 
+@functools.lru_cache(maxsize=64)
 def _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name):
     def local_step(q_pm1, q_scale, db_packed, db_valid):
         if recall_target is None:
