@@ -43,7 +43,6 @@ from pathlib import Path
 import numpy as np
 
 from iscc_search_tpu.ops.packing import MAX_LANES, pack_codes, unpack_code
-from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk, pm1_topk, prepare_queries, prepare_queries_device
 from iscc_search_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -295,17 +294,24 @@ class PackedCodeIndex:
             n = len(kbs)
             self._ensure_capacity(self._rows + n)
             start = self._rows
+            batch_dup_rows = []  # rows within THIS batch superseded by a later duplicate key
             for i, kb in enumerate(kbs):
                 old = self._key_to_row.get(kb)
                 if old is not None:
                     self._valid[old] = False
                     self._valid_dirty = True  # tombstone must reach the device mirror
+                    if old >= start:
+                        # Intra-batch duplicate: the blanket validity assignment
+                        # below would resurrect this row — re-tombstone it after.
+                        batch_dup_rows.append(old)
                 row = start + i
                 self._keys[row] = np.frombuffer(kb, dtype=np.uint8)
                 self._key_to_row[kb] = row
             self._codes[start : start + n] = packed
             self._nlanes[start : start + n] = nlanes
             self._valid[start : start + n] = True
+            for row in batch_dup_rows:
+                self._valid[row] = False
             self._rows += n
             self.dirty += n
             self._device_stale = True
@@ -396,6 +402,8 @@ class PackedCodeIndex:
             if self.mesh is not None:
                 # Mesh paths take prepared queries (replicated); prep runs as
                 # its own device program.
+                from iscc_search_tpu.ops.pm1_scan import prepare_queries_device
+
                 q_pm1, q_scale = prepare_queries_device(q_codes_dev, q_lanes_dev, nbits)
             if self.mesh is not None and self.recall_target is None and (
                 unpacked_dev is not None or perm_dev is not None
@@ -684,8 +692,12 @@ class PackedCodeIndex:
             if self._closed:
                 return
             self._closed = True
-            dirty = self.dirty
         self.drain_rotations()
+        # Read dirty only AFTER the drain: a background write that failed
+        # during the drain re-marks the index dirty (_resave_all), and that
+        # state must not be lost at shutdown.
+        with self._lock:
+            dirty = self.dirty
         if dirty:
             self.save(wait=True)
         with self._save_cv:

@@ -105,37 +105,64 @@ def count_doc_freq(store, db, simprint_key, dup_limit=DOC_FREQ_CAP):
     return len({v[:8] for v in values})
 
 
-def read_asset_simprints(store, db, iscc_id_body):
-    # type: (HostStore, str, bytes) -> set[tuple[bytes, int, int]]
-    """All (simprint, offset, size) triples stored for one asset.
+def pack_inverse_entry(sp_bytes, offset, size):
+    # type: (bytes, int, int) -> bytes
+    """Per-asset inverse row: simprint bytes + offset(4) + size(4)."""
+    return sp_bytes + struct.pack("!II", offset, size)
 
-    Streams the database in bounded pages — a whole-db range_scan would
-    materialize every chunk pointer (~5 GB at 100M-chunk scale) in one buffer.
+
+def unpack_inverse_entry(data):
+    # type: (bytes) -> tuple[bytes, int, int]
+    """Inverse of pack_inverse_entry (simprint length = len - 8)."""
+    offset, size = struct.unpack("!II", data[-8:])
+    return data[:-8], offset, size
+
+
+def _asset_pairs(store, db, iscc_id_body, inv_db=None):
+    # type: (HostStore, str, bytes, str | None) -> list[tuple[bytes, bytes]]
     """
+    All (simprint_key, chunk_pointer) pairs of one asset.
+
+    Fast path: the per-asset inverse db (``inv_db``) holds the asset's own
+    rows under one dupsort key, making the lookup O(asset's chunks). Stores
+    written before the inverse db existed fall back to a bounded-page stream
+    over the whole forward db (never one giant buffer).
+    """
+    if inv_db is not None:
+        entries = store.get_dups(inv_db, iscc_id_body)
+        if entries:
+            pairs = []
+            for entry in entries:
+                sp, offset, size = unpack_inverse_entry(entry)
+                pairs.append((sp, pack_chunk_pointer(iscc_id_body, offset, size)))
+            return pairs
+    return [(key, val) for key, val in store.iter_range(db) if val[:8] == iscc_id_body]
+
+
+def read_asset_simprints(store, db, iscc_id_body, inv_db=None):
+    # type: (HostStore, str, bytes, str | None) -> set[tuple[bytes, int, int]]
+    """All (simprint, offset, size) triples stored for one asset."""
     triples = set()
-    for key, val in store.iter_range(db):
-        if val[:8] == iscc_id_body:
-            _, offset, size = unpack_chunk_pointer(val)
-            triples.add((key, offset, size))
+    for key, val in _asset_pairs(store, db, iscc_id_body, inv_db):
+        _, offset, size = unpack_chunk_pointer(val)
+        triples.add((key, offset, size))
     return triples
 
 
-def delete_asset_simprints(store, db, iscc_id_body):
-    # type: (HostStore, str, bytes) -> list[bytes]
+def delete_asset_simprints(store, db, iscc_id_body, inv_db=None):
+    # type: (HostStore, str, bytes, str | None) -> list[bytes]
     """Remove all of an asset's chunk pointers; returns deleted pointers.
 
-    Collect-then-delete, deliberately: every matching pair is gathered from
-    the paged stream FIRST and deleted only after the iteration finishes —
-    deleting during a paged scan would invalidate the (key, value)
-    continuation and could skip entries. Memory is bounded by the asset's
-    own pointer count, not the database size.
+    Collect-then-delete, deliberately: every matching pair is gathered FIRST
+    and deleted only after collection finishes — deleting during a paged scan
+    would invalidate the (key, value) continuation and could skip entries.
+    Memory is bounded by the asset's own pointer count, not the database size.
     """
-    deleted = []
-    for key, val in store.iter_range(db):
-        if val[:8] == iscc_id_body:
-            deleted.append((key, val))
+    deleted = _asset_pairs(store, db, iscc_id_body, inv_db)
     for key, val in deleted:
         store.dup_delete(db, key, val)
+    if inv_db is not None:
+        store.delete(inv_db, iscc_id_body)
     return [val for _, val in deleted]
 
 
@@ -168,8 +195,8 @@ def coverage_quality_score(matches, doc_frequencies, num_queried):
     return coverage * quality
 
 
-def search_simprints_exact(store, db, query_simprints, total_assets, limit, threshold, detailed, dup_limit=DOC_FREQ_CAP):
-    # type: (HostStore, str, list[bytes], int, int, float, bool, int) -> list[SimprintMatchRaw]
+def search_simprints_exact(store, db, query_simprints, limit, threshold, detailed, dup_limit=DOC_FREQ_CAP):
+    # type: (HostStore, str, list[bytes], int, float, bool, int) -> list[SimprintMatchRaw]
     """
     Hard-boundary exact search: collision lookup per query simprint, grouped
     by asset, scored coverage x quality, sorted (-score, asset id).

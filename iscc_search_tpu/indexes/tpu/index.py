@@ -80,6 +80,15 @@ def _spa_db(sp_type):
     return f"spa:{sp_type}"
 
 
+def _spi_db(sp_type):
+    # type: (str) -> str
+    """Per-asset inverse simprint db: iscc_id_body -> simprint+offset+size.
+
+    Makes per-asset simprint reads/deletes O(the asset's own chunks) instead
+    of a scan over the whole forward db (advisory finding, round 2)."""
+    return f"spi:{sp_type}"
+
+
 class TpuIndex:
     """Single TPU-scan index over a HostStore source of truth."""
 
@@ -145,8 +154,10 @@ class TpuIndex:
 
             nphd_batches = {}  # type: dict[str, tuple[list[int], list[bytes]]]
             nphd_updated_keys = set()  # type: set[int]
+            nphd_dropped = {}  # type: dict[str, set[int]]
             sp_batches = {}  # type: dict[str, tuple[list[bytes], list[bytes]]]
             sp_deleted_keys = {}  # type: dict[str, list[bytes]]
+            sp_inv_pairs = {}  # type: dict[str, list[tuple[bytes, bytes]]]
             sp_store_pairs = {}  # type: dict[str, list[tuple[bytes, bytes]]]
 
             # Within-batch dedup: keep the LAST occurrence of each ISCC-ID;
@@ -197,15 +208,22 @@ class TpuIndex:
 
                 if existing is not None:
                     nphd_updated_keys.add(key)
-                    # Drop INSTANCE rows the update no longer carries (a stale
-                    # shorter body would keep prefix-matching as identity).
+                    # Drop rows the update no longer carries: INSTANCE bodies
+                    # (a stale shorter body would keep prefix-matching as
+                    # identity) and whole similarity types (a stale vector
+                    # would keep returning the asset for content it no longer
+                    # claims — the reference leaves these until rebuild;
+                    # removing eagerly is strictly more correct).
                     new_units = set(asset.units or [])
+                    new_types = {IsccUnit(u).unit_type for u in new_units}
                     for old_unit_str in common.deserialize_asset(existing).units or []:
                         if old_unit_str in new_units:
                             continue
                         old_unit = IsccUnit(old_unit_str)
                         if old_unit.unit_type.startswith("INSTANCE_"):
                             self.store.dup_delete(DB_INSTANCE, old_unit.body, key_bytes)
+                        elif old_unit.unit_type not in new_types:
+                            nphd_dropped.setdefault(old_unit.unit_type, set()).add(key)
 
                 self.store.put(DB_ASSETS, key_bytes, asset_bytes)
 
@@ -223,13 +241,18 @@ class TpuIndex:
                     for sp_type, sp_list in asset.simprints.items():
                         self._register_sp_type(sp_type)
                         if self.store.get(_spa_db(sp_type), iscc_id_body) is not None:
-                            deleted = sp_ops.delete_asset_simprints(self.store, _sp_db(sp_type), iscc_id_body)
+                            deleted = sp_ops.delete_asset_simprints(
+                                self.store, _sp_db(sp_type), iscc_id_body, inv_db=_spi_db(sp_type)
+                            )
                             sp_deleted_keys.setdefault(sp_type, []).extend(deleted)
                         self.store.put(_spa_db(sp_type), iscc_id_body, sp_fingerprints[sp_type])
                         for sp_obj in sp_list:
                             sp_bytes = ic.decode_base64(sp_obj.simprint)
                             chunk_ptr = sp_ops.pack_chunk_pointer(iscc_id_body, sp_obj.offset, sp_obj.size)
                             sp_store_pairs.setdefault(sp_type, []).append((sp_bytes, chunk_ptr))
+                            sp_inv_pairs.setdefault(sp_type, []).append(
+                                (iscc_id_body, sp_ops.pack_inverse_entry(sp_bytes, sp_obj.offset, sp_obj.size))
+                            )
                             sp_batches.setdefault(sp_type, ([], []))
                             sp_batches[sp_type][0].append(chunk_ptr)
                             sp_batches[sp_type][1].append(sp_bytes)
@@ -238,6 +261,8 @@ class TpuIndex:
 
             for sp_type, pairs in sp_store_pairs.items():
                 self.store.dup_putmulti(_sp_db(sp_type), pairs)
+            for sp_type, pairs in sp_inv_pairs.items():
+                self.store.dup_putmulti(_spi_db(sp_type), pairs)
             self.store.flush()  # push the batch to the OS (commit point parity)
             t_store = time.perf_counter() - t_store
 
@@ -247,9 +272,13 @@ class TpuIndex:
             for unit_type, (keys, vectors) in nphd_batches.items():
                 nphd_index = self._get_or_create_nphd_index(unit_type)
                 if len(keys) != len(set(keys)):
-                    unique = {}  # keep last vector per key (same-type dual-length units)
+                    # Keep the LONGEST vector per key (same-type dual-length
+                    # units) — the same rule _rebuild_nphd_index applies, so a
+                    # rebuilt index always matches the live one.
+                    unique = {}  # type: dict[int, bytes]
                     for k, v in zip(keys, vectors):
-                        unique[k] = v
+                        if k not in unique or len(v) > len(unique[k]):
+                            unique[k] = v
                     keys, vectors = list(unique.keys()), list(unique.values())
                 to_remove = [k for k in keys if k in nphd_updated_keys]
                 if to_remove:
@@ -257,6 +286,14 @@ class TpuIndex:
                 nphd_index.add(keys, vectors)
                 n_nphd += len(keys)
                 self._set_count(b"nphd_count:", unit_type, nphd_index.size)
+            # Updates that dropped a whole similarity type: remove the stale
+            # vectors from that type's derived index (no add follows).
+            for unit_type, dropped in nphd_dropped.items():
+                nphd_index = self._nphd_indexes.get(unit_type)
+                if nphd_index is None:
+                    continue
+                if nphd_index.remove(list(dropped)):
+                    self._set_count(b"nphd_count:", unit_type, nphd_index.size)
             t_nphd = time.perf_counter() - t_nphd
 
             t_sp = time.perf_counter()
@@ -267,6 +304,17 @@ class TpuIndex:
                     sp_index.remove(sp_deleted_keys[sp_type])
                 sp_index.add_raw(composite_keys, sp_vectors)
                 n_sp += len(composite_keys)
+                self._set_count(b"sp_count:", sp_type, sp_index.size)
+            # Types with deletions but no additions this batch (an update
+            # shrank a type to an empty list): the removal must still reach
+            # the derived index or deleted chunks would keep matching.
+            for sp_type, deleted in sp_deleted_keys.items():
+                if sp_type in sp_batches:
+                    continue
+                sp_index = self._simprint_indexes.get(sp_type)
+                if sp_index is None:
+                    continue
+                sp_index.remove(deleted)
                 self._set_count(b"sp_count:", sp_type, sp_index.size)
             t_sp = time.perf_counter() - t_sp
 
@@ -398,7 +446,11 @@ class TpuIndex:
         NPHD scan for one query unit, routed through the per-type request
         batcher when enabled (concurrent API calls fuse into one sweep).
         """
-        nphd_index = self._nphd_indexes[unit_type]
+        # .get(): a concurrent rebuild may pop the entry between the caller's
+        # membership check and this lookup — treat as no matches, not KeyError.
+        nphd_index = self._nphd_indexes.get(unit_type)
+        if nphd_index is None:
+            return {}
         if self._opts.search_batching:
             batcher = self._batchers.get(unit_type)
             if batcher is None:
@@ -454,7 +506,6 @@ class TpuIndex:
                     self.store,
                     _sp_db(sp_type),
                     query_sp_bytes,
-                    total_assets=self.store.entries(_spa_db(sp_type)),
                     limit=limit * 2,
                     threshold=threshold,
                     detailed=True,
@@ -621,10 +672,16 @@ class TpuIndex:
 
     def rebuild(self, unit_types, simprint_types):
         # type: (list[str], list[str]) -> dict[str, list[str]]
-        """Rebuild derived indexes from the source-of-truth store."""
-        rebuilt_units = [ut for ut in unit_types if self._rebuild_nphd_index(ut)]
-        rebuilt_sp = [st for st in simprint_types if self._rebuild_simprint_index(st)]
-        return {"unit_types": rebuilt_units, "simprint_types": rebuilt_sp}
+        """Rebuild derived indexes from the source-of-truth store.
+
+        Runs under the write lock: a rebuild pops/resets live indexes and
+        deletes their segment dirs, which must not interleave with a
+        concurrent add_assets batch (adds would land in an orphaned index).
+        """
+        with self._write_lock:
+            rebuilt_units = [ut for ut in unit_types if self._rebuild_nphd_index(ut)]
+            rebuilt_sp = [st for st in simprint_types if self._rebuild_simprint_index(st)]
+            return {"unit_types": rebuilt_units, "simprint_types": rebuilt_sp}
 
     def _rebuild_nphd_index(self, unit_type):
         # type: (str) -> bool

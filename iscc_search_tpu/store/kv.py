@@ -182,24 +182,35 @@ class HostStore:
             raise OSError(f"failed to open store at {self.path}")
         self._closed = False
 
+    @property
+    def _handle(self):
+        # type: () -> int
+        """Native handle, guarded: a call after close() must raise instead of
+        passing NULL into the C library (which would segfault the process —
+        reachable when delete_index races an in-flight request)."""
+        h = self._h
+        if h is None:
+            raise RuntimeError(f"HostStore at {self.path} is closed")
+        return h
+
     # -- mutations ----------------------------------------------------------
 
     def put(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
-        return bool(self._lib.ts_put(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+        return bool(self._lib.ts_put(self._handle, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     def delete(self, db, key):
         # type: (str, bytes) -> bool
-        return bool(self._lib.ts_del(self._h, db.encode(), _buf(key), len(key)))
+        return bool(self._lib.ts_del(self._handle, db.encode(), _buf(key), len(key)))
 
     def dup_put(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
         """Insert (key, val) into a dupsort db; duplicate pairs are no-ops."""
-        return bool(self._lib.ts_dup_put(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+        return bool(self._lib.ts_dup_put(self._handle, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     def dup_delete(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
-        return bool(self._lib.ts_dup_del(self._h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+        return bool(self._lib.ts_dup_del(self._handle, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     @staticmethod
     def _encode_pairs(pairs):
@@ -218,7 +229,7 @@ class HostStore:
         if not pairs:
             return 0
         blob = self._encode_pairs(pairs)
-        n = self._lib.ts_dup_putmulti(self._h, db.encode(), _buf(blob), len(blob))
+        n = self._lib.ts_dup_putmulti(self._handle, db.encode(), _buf(blob), len(blob))
         if n < 0:  # pragma: no cover - encoding is internal
             raise ValueError("malformed putmulti buffer")
         return int(n)
@@ -229,14 +240,14 @@ class HostStore:
         if not pairs:
             return 0
         blob = self._encode_pairs(pairs)
-        n = self._lib.ts_putmulti(self._h, db.encode(), _buf(blob), len(blob))
+        n = self._lib.ts_putmulti(self._handle, db.encode(), _buf(blob), len(blob))
         if n < 0:  # pragma: no cover - encoding is internal
             raise ValueError("malformed putmulti buffer")
         return int(n)
 
     def drop_db(self, db):
         # type: (str) -> bool
-        return bool(self._lib.ts_drop_db(self._h, db.encode()))
+        return bool(self._lib.ts_drop_db(self._handle, db.encode()))
 
     # -- reads ---------------------------------------------------------------
 
@@ -244,7 +255,7 @@ class HostStore:
         # type: (str, bytes) -> bytes | None
         val_p = ctypes.POINTER(ctypes.c_uint8)()
         vlen = ctypes.c_uint32()
-        ok = self._lib.ts_get(self._h, db.encode(), _buf(key), len(key), ctypes.byref(val_p), ctypes.byref(vlen))
+        ok = self._lib.ts_get(self._handle, db.encode(), _buf(key), len(key), ctypes.byref(val_p), ctypes.byref(vlen))
         if not ok:
             return None
         try:
@@ -255,7 +266,7 @@ class HostStore:
     def _scan(self, fn, db, arg, limit):
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
-        ptr = fn(self._h, db.encode(), _buf(arg), len(arg), limit, ctypes.byref(out_len), ctypes.byref(out_count))
+        ptr = fn(self._handle, db.encode(), _buf(arg), len(arg), limit, ctypes.byref(out_len), ctypes.byref(out_count))
         if not ptr or out_len.value == 0:
             return []
         try:
@@ -279,7 +290,7 @@ class HostStore:
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
         ptr = self._lib.ts_range_scan_after(
-            self._h,
+            self._handle,
             db.encode(),
             _buf(after_key),
             len(after_key),
@@ -321,7 +332,7 @@ class HostStore:
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
         ptr = self._lib.ts_get_dups(
-            self._h, db.encode(), _buf(key), len(key), limit, ctypes.byref(out_len), ctypes.byref(out_count)
+            self._handle, db.encode(), _buf(key), len(key), limit, ctypes.byref(out_len), ctypes.byref(out_count)
         )
         if not ptr or out_len.value == 0:
             return []
@@ -333,17 +344,17 @@ class HostStore:
     def entries(self, db):
         # type: (str) -> int
         """Entry count (dup pairs counted individually, like LMDB stat)."""
-        return int(self._lib.ts_entries(self._h, db.encode()))
+        return int(self._lib.ts_entries(self._handle, db.encode()))
 
     def key_count(self, db):
         # type: (str) -> int
-        return int(self._lib.ts_key_count(self._h, db.encode()))
+        return int(self._lib.ts_key_count(self._handle, db.encode()))
 
     def list_dbs(self):
         # type: () -> list[str]
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
-        ptr = self._lib.ts_list_dbs(self._h, ctypes.byref(out_len), ctypes.byref(out_count))
+        ptr = self._lib.ts_list_dbs(self._handle, ctypes.byref(out_len), ctypes.byref(out_count))
         if not ptr or out_len.value == 0:
             return []
         try:
@@ -354,28 +365,28 @@ class HostStore:
     def used_bytes(self):
         # type: () -> int
         """Approximate live payload bytes (disk-usage reporting parity)."""
-        return int(self._lib.ts_used_bytes(self._h))
+        return int(self._lib.ts_used_bytes(self._handle))
 
     # -- durability ----------------------------------------------------------
 
     def flush(self):
         # type: () -> None
         """Push buffered appends to the OS; auto-compact oversized logs."""
-        if not self._lib.ts_flush(self._h):  # pragma: no cover
+        if not self._lib.ts_flush(self._handle):  # pragma: no cover
             raise OSError("store flush failed")
-        if self._lib.ts_log_bytes(self._h) > self.AUTO_COMPACT_BYTES:  # pragma: no cover
+        if self._lib.ts_log_bytes(self._handle) > self.AUTO_COMPACT_BYTES:  # pragma: no cover
             self.compact()
 
     def sync(self):
         # type: () -> None
         """Flush + fdatasync (durability point)."""
-        if not self._lib.ts_sync(self._h):  # pragma: no cover
+        if not self._lib.ts_sync(self._handle):  # pragma: no cover
             raise OSError("store sync failed")
 
     def compact(self):
         # type: () -> None
         """Rewrite the snapshot and truncate the log (atomic via rename)."""
-        if not self._lib.ts_compact(self._h):  # pragma: no cover
+        if not self._lib.ts_compact(self._handle):  # pragma: no cover
             raise OSError("store compact failed")
 
     def close(self):

@@ -96,7 +96,7 @@ def test_read_and_delete_asset_simprints(store):
 def test_search_simprints_exact(store):
     a, b, s1, s2, s3 = fill_store(store)
     results = ops.search_simprints_exact(
-        store, "sp", [s1, s2], total_assets=2, limit=10, threshold=0.0, detailed=True
+        store, "sp", [s1, s2], limit=10, threshold=0.0, detailed=True
     )
     # A covers 2/2 but its freq spread halves quality (coverage 1.0 x quality
     # 0.5); B covers 1/2 with uniform quality (0.5 x 1.0) — a formula-level
@@ -112,15 +112,15 @@ def test_search_simprints_exact(store):
 def test_search_simprints_exact_threshold(store):
     a, b, s1, s2, s3 = fill_store(store)
     results = ops.search_simprints_exact(
-        store, "sp", [s2], total_assets=2, limit=10, threshold=0.9, detailed=False
+        store, "sp", [s2], limit=10, threshold=0.9, detailed=False
     )
     assert [r.iscc_id_body for r in results] == [a]
     assert results[0].chunks is None
 
 
 def test_search_simprints_exact_empty(store):
-    assert ops.search_simprints_exact(store, "sp", [], 0, 10, 0.0, False) == []
-    assert ops.search_simprints_exact(store, "sp", [b"\x99" * 16], 0, 10, 0.0, False) == []
+    assert ops.search_simprints_exact(store, "sp", [], 10, 0.0, False) == []
+    assert ops.search_simprints_exact(store, "sp", [b"\x99" * 16], 10, 0.0, False) == []
 
 
 def test_iter_simprint_vectors(store):
