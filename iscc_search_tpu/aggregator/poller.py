@@ -210,8 +210,12 @@ async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_stor
         return
     advanced = result.last_size != state.cursor
     state.cursor = result.last_size
+    # Build-then-assign: /status copies state.counts from another thread, and
+    # inserting new reason keys into the live dict could race that copy.
+    merged = dict(state.counts)
     for reason, count in result.counts.items():
-        state.counts[reason] = state.counts.get(reason, 0) + count
+        merged[reason] = merged.get(reason, 0) + count
+    state.counts = merged
     state.ok = result.error is None
     state.error = result.error
     if advanced and cursor_store is not None:

@@ -38,7 +38,7 @@ def dict_to_entry(data, simprint_bits=None, include_simprints=True):
     for field in ("iscc_id", "iscc_code", "units", "metadata"):
         if data.get(field) is not None:
             entry[field] = data[field]
-    if "units" not in entry and data.get("iscc"):
+    if "iscc_code" not in entry and data.get("iscc"):
         entry["iscc_code"] = data["iscc"]
     if include_simprints and data.get("features"):
         simprints = parse_simprints_from_features(data["features"], simprint_bits)
@@ -71,7 +71,13 @@ def iter_entries(path, simprint_bits=None, include_simprints=True):
                 except Exception as e:
                     logger.warning(f"Skipping {path}:{lineno}: invalid JSON ({e})")
                     continue
-                entry = dict_to_entry(data, simprint_bits, include_simprints)
+                try:
+                    entry = dict_to_entry(data, simprint_bits, include_simprints)
+                except Exception as e:
+                    # One malformed row (bad iscc_id pattern, too few units,
+                    # undecodable code) must not abort the whole bulk ingest.
+                    logger.warning(f"Skipping {path}:{lineno}: invalid entry ({e})")
+                    continue
                 if entry is None:
                     logger.warning(f"Skipping {path}:{lineno}: no iscc_code or units")
                     continue
@@ -90,7 +96,11 @@ def file_to_entry(path, simprint_bits=None, include_simprints=True):
     except Exception as e:
         logger.warning(f"Skipping {path}: invalid JSON ({e})")
         return None
-    entry = dict_to_entry(data, simprint_bits, include_simprints)
+    try:
+        entry = dict_to_entry(data, simprint_bits, include_simprints)
+    except Exception as e:
+        logger.warning(f"Skipping {path}: invalid entry ({e})")
+        return None
     if entry is None:
         logger.warning(f"Skipping {path}: no iscc_code or units")
     return entry
@@ -126,16 +136,18 @@ def add_command(pattern, index_name, simprint_bits, no_simprints, batch_size):
         batch.clear()
 
     with timer(f"add {len(files)} files"):
-        for path in files:
-            produced = 0
-            for entry in iter_entries(path, bits, include_simprints=not no_simprints):
-                produced += 1
-                batch.append(entry)
-                if len(batch) >= batch_size:
-                    flush_batch()
-            if produced == 0:
-                skipped += 1
-        flush_batch()
-        index.close()
+        try:
+            for path in files:
+                produced = 0
+                for entry in iter_entries(path, bits, include_simprints=not no_simprints):
+                    produced += 1
+                    batch.append(entry)
+                    if len(batch) >= batch_size:
+                        flush_batch()
+                if produced == 0:
+                    skipped += 1
+            flush_batch()
+        finally:
+            index.close()  # flush derived indexes even when ingest fails mid-run
 
     console.print(f"[green]Added {created} created, {updated} updated, {skipped} skipped[/green]")

@@ -67,13 +67,12 @@ def get_active_index(index_name=None):
 
 def _local_manager(cfg):
     # type: (...) -> ...
-    if cfg.scheme in ("kv", "lmdb"):
-        from iscc_search_tpu.indexes.kv import KvIndexManager
+    """Build the backend manager via the one scheme dispatch (options.get_index)."""
+    from pathlib import Path
 
-        return KvIndexManager(cfg.path)
-    from iscc_search_tpu.indexes.tpu import TpuIndexManager
+    from iscc_search_tpu.options import get_index
 
-    return TpuIndexManager(cfg.path)
+    return get_index(f"{cfg.scheme}://{Path(cfg.path).resolve()}")
 
 
 def parse_simprints_from_features(features, simprint_bits=None):

@@ -14,6 +14,19 @@ from iscc_search_tpu.schema import IsccQuery
 console = Console()
 
 
+def _is_iscc_id(iscc):
+    # type: (str) -> bool
+    """Route by decoded header MainType, not string length: a 64-bit
+    single-unit ISCC-CODE is exactly as long as an ISCC-ID."""
+    from iscc_search_tpu import codec as ic
+
+    try:
+        mtype, *_ = ic.decode_header(ic.decode_base32(iscc.removeprefix("ISCC:")))
+        return mtype == ic.MT.ID
+    except Exception:
+        return False  # let IsccQuery(iscc_code=...) produce the validation error
+
+
 @click.command("search")
 @click.argument("iscc")
 @click.option("--index", "index_name", default=None, help="Target index (default: active index)")
@@ -23,7 +36,7 @@ def search_command(iscc, index_name, limit, as_json):
     """Search for assets similar to an ISCC-CODE or ISCC-ID."""
     index, name = get_active_index(index_name)
     try:
-        if len(iscc.removeprefix("ISCC:")) == 16:
+        if _is_iscc_id(iscc):
             query = IsccQuery(iscc_id=iscc)
         else:
             query = IsccQuery(iscc_code=iscc)

@@ -142,15 +142,17 @@ class ConfigManager:
         found = []
         if not base.exists():
             return found
-        known_paths = {
-            cfg.path for cfg in self.config.indexes.values() if isinstance(cfg, LocalIndexConfig)
-        }
+        # LocalIndexConfig.path is the manager BASE directory (the index lives
+        # at {path}/{name}/store — see get_active_index/_local_manager and
+        # `index remove --delete-data`). Registering the entry dir itself
+        # would make every consumer open an empty nested index beside the
+        # real data.
+        base_path = str(base.resolve())
         for entry in sorted(base.iterdir()):
             if entry.is_dir() and (entry / "store").exists():
-                path = str(entry.resolve())
-                if path in known_paths or entry.name in self.config.indexes:
+                if entry.name in self.config.indexes:
                     continue
-                self.config.indexes[entry.name] = LocalIndexConfig(path=path, scheme="tpu")
+                self.config.indexes[entry.name] = LocalIndexConfig(path=base_path, scheme="tpu")
                 found.append(entry.name)
         if found:
             if self.config.active is None:

@@ -147,7 +147,9 @@ def create_app(index=None, opts=None):
             payload["network"] = opts.aggregator_network
             payload["index"] = _cached_index_info()
             hubs = []
-            for hub_status in app.state.aggregator_status.values():
+            # Snapshot: the poller thread adds/prunes hubs concurrently, and
+            # iterating the live dict can raise "changed size during iteration".
+            for hub_status in list(app.state.aggregator_status.values()):
                 hubs.append(
                     {
                         "hub_id": hub_status.hub_id,
@@ -217,9 +219,14 @@ def create_app(index=None, opts=None):
     def _limit(request):
         # type: (...) -> int
         try:
-            return int(request.query.get("limit", 100))
+            limit = int(request.query.get("limit", 100))
         except ValueError:
             raise HTTPError(422, "limit must be an integer")
+        if limit < 1:
+            # Negative/zero limits reach the device top-k as k<1 (error) or
+            # silently drop the best match via [:-n] slicing — reject instead.
+            raise HTTPError(422, "limit must be >= 1")
+        return limit
 
     @app.route("POST", "/indexes/{name}/search")
     def search_post(request):

@@ -20,7 +20,9 @@ def verify_api_key(request, opts):
     if opts.api_secret is None:
         return
     api_key = request.headers.get("x-api-key")
-    if api_key is None or not secrets.compare_digest(api_key, opts.api_secret):
+    # Compare bytes: compare_digest on str raises TypeError for non-ASCII
+    # header values, which would turn an auth failure into a 500.
+    if api_key is None or not secrets.compare_digest(api_key.encode(), opts.api_secret.encode()):
         raise HTTPError(401, "Unauthorized")
 
 

@@ -173,9 +173,14 @@ class WsgiApp:
                 resp.headers.setdefault("Content-Length", str(len(resp.body)))
                 resp.body = b""
             return resp
+        # CORS headers on the fallback responses too, or cross-origin browser
+        # clients see an opaque network error instead of the JSON detail.
         if path_matched:
-            return Response({"detail": "Method Not Allowed"}, status=405)
-        return Response({"detail": "Not Found"}, status=404)
+            resp = Response({"detail": "Method Not Allowed"}, status=405)
+        else:
+            resp = Response({"detail": "Not Found"}, status=404)
+        resp.headers.update(self._cors_headers(request))
+        return resp
 
     def __call__(self, environ, start_response):
         # type: (dict, callable) -> list[bytes]
