@@ -309,10 +309,19 @@ def decode_base32(code):
     if not code:
         return b""
     if set(code) <= _B32_VALID:
+        if len(code) % 8 in (1, 3, 6):
+            # 5*len leftover bits >= 5 can never occur in RFC4648 output
+            raise ValueError(f"invalid base32 length: {len(code)}")
         nbits = len(code) * 5
         nbytes = nbits // 8
         value = int(code.translate(_B32_TO_INT), 32)
-        return (value >> (nbits - nbytes * 8)).to_bytes(nbytes, "big")
+        rem = nbits - nbytes * 8
+        if rem and value & ((1 << rem) - 1):
+            # Reject non-canonical spellings: otherwise two distinct strings
+            # differing only in trailing pad bits decode to the same digest
+            # and one logical unit can enter an index under multiple aliases.
+            raise ValueError("invalid base32: non-zero trailing pad bits")
+        return (value >> rem).to_bytes(nbytes, "big")
     pad = (8 - len(code) % 8) % 8
     try:
         return base64.b32decode(code + "=" * pad)
@@ -427,12 +436,12 @@ def gen_iscc_code_v0(units, wide=False):
         return {"iscc": "ISCC:" + encode_base32(header + body)}
 
     parts = []
-    for mt in optional:
+    for mt in optional + [MT.DATA, MT.INSTANCE]:
         if len(by_type[mt].body) < 8:
+            # Without this, a short DATA/INSTANCE body would emit a composite
+            # whose header length field disagrees with the actual body.
             raise ValueError(f"unit body too short for 64-bit composition: {mt}")
         parts.append(by_type[mt].body[:8])
-    parts.append(by_type[MT.DATA].body[:8])
-    parts.append(by_type[MT.INSTANCE].body[:8])
     header = encode_header(MT.ISCC, st, VS.V0, encode_units(tuple(optional)))
     return {"iscc": "ISCC:" + encode_base32(header + b"".join(parts))}
 

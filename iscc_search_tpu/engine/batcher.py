@@ -79,15 +79,23 @@ class SearchBatcher:
 
     def _collector(self):
         # type: () -> None
+        last_dispatch = float("-inf")  # first request always dispatches at once
         while True:
             with self._cond:
                 while not self._queue and not self._closed:
                     self._cond.wait()
                 if self._closed and not self._queue:
                     return
-            # A request is in: give followers a short window to pile on
-            if self.window_s > 0:
-                time.sleep(self.window_s)
+                queued = sum(len(p.bodies) for p in self._queue)
+            # Idle-server fast path: the first request after a quiet period
+            # dispatches immediately. Under load (the previous sweep ended
+            # within the window) sleep out the remaining window so followers
+            # pile on — unless a full batch is already queued. Batches also
+            # form naturally while a sweep is in flight.
+            if self.window_s > 0 and queued < self.max_batch:
+                wait = self.window_s - (time.monotonic() - last_dispatch)
+                if wait > 0:
+                    time.sleep(wait)
             with self._cond:
                 batch = []  # type: list[_Pending]
                 n_queries = 0
@@ -100,27 +108,38 @@ class SearchBatcher:
             if not batch:
                 continue
             self._run_batch(batch)
+            last_dispatch = time.monotonic()
 
     def _run_batch(self, batch):
         # type: (list[_Pending]) -> None
+        """Run one fused sweep and distribute results.
+
+        Every pending entry's event is ALWAYS set exactly once — result
+        slicing runs inside the try so a malformed engine return surfaces as
+        the caller's error instead of killing the collector thread (which
+        would hang the in-flight caller and every future search forever).
+        """
         bodies = [b for item in batch for b in item.bodies]
         max_count = max(item.count for item in batch)
         try:
             results = self.index.search(bodies, max_count)
+            distributed = []
+            offset = 0
+            for item in batch:
+                n = len(item.bodies)
+                per_query = []
+                for keys, scores in results[offset : offset + n]:
+                    per_query.append((keys[: item.count], scores[: item.count]))
+                distributed.append(per_query)
+                offset += n
         except Exception as exc:
             for item in batch:
                 item.error = exc
                 item.event.set()
             return
-        offset = 0
-        for item in batch:
-            n = len(item.bodies)
-            per_query = []
-            for keys, scores in results[offset : offset + n]:
-                per_query.append((keys[: item.count], scores[: item.count]))
+        for item, per_query in zip(batch, distributed):
             item.result = per_query
             item.error = None
-            offset += n
             item.event.set()
 
     def close(self):

@@ -39,23 +39,36 @@ class KvIndex:
         # type: (list) -> list[IsccAddResult]
         if not assets:
             return []
-        results = []
+        # Validate the WHOLE batch before mutating anything, mirroring the
+        # reference's all-or-nothing LMDB write transaction (lmdb/index.py:
+        # a mid-batch error aborts the txn): a realm mismatch or malformed
+        # unit in asset N must not leave assets 0..N-1 — or a half-indexed
+        # asset N — committed.
+        realm = self._realm_id
         for asset in assets:
             if asset.iscc_id is None:
                 raise ValueError("Asset must have iscc_id field when adding to index")
             asset_realm = common.extract_realm_id(asset.iscc_id)
-            if self._realm_id is None:
-                self._realm_id = asset_realm
-                self.store.put(DB_META, b"realm_id", str(asset_realm).encode())
-                if self.store.get(DB_META, b"created_at") is None:
-                    self.store.put(DB_META, b"created_at", str(time.time()).encode())
-            elif self._realm_id != asset_realm:
+            if realm is None:
+                realm = asset_realm
+            elif realm != asset_realm:
                 raise ValueError(
-                    f"Realm ID mismatch: index has realm={self._realm_id}, "
+                    f"Realm ID mismatch: index has realm={realm}, "
                     f"but asset '{asset.iscc_id}' has realm={asset_realm}. "
                     f"All assets in an index must have the same realm ID."
                 )
+            for unit_str in asset.units or []:
+                IsccUnit(unit_str)  # raises on malformed unit strings
+            common.extract_iscc_id_body(asset.iscc_id)
 
+        if self._realm_id is None:
+            self._realm_id = realm
+            self.store.put(DB_META, b"realm_id", str(realm).encode())
+            if self.store.get(DB_META, b"created_at") is None:
+                self.store.put(DB_META, b"created_at", str(time.time()).encode())
+
+        results = []
+        for asset in assets:
             iscc_id_key = asset.iscc_id.encode("utf-8")
             existing = self.store.get(DB_ASSETS, iscc_id_key)
             status = Status.updated if existing is not None else Status.created

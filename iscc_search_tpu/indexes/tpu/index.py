@@ -114,6 +114,7 @@ class TpuIndex:
         self._nphd_indexes = {}  # type: dict[str, DeviceNphdIndex]
         self._simprint_indexes = {}  # type: dict[str, SimprintEngine]
         self._batchers = {}  # type: dict[str, SearchBatcher]
+        self._batcher_lock = threading.Lock()
         self._closed = False
         self._write_lock = threading.RLock()
         self._batch_counter = 0
@@ -151,6 +152,29 @@ class TpuIndex:
                 self._realm_id = common.extract_realm_id(assets[0].iscc_id)
                 self.store.put(DB_META, b"realm_id", struct.pack(">I", self._realm_id))
                 logger.info(f"Inferred realm_id={self._realm_id} from first asset")
+
+            # Validate the WHOLE batch before mutating anything (all-or-
+            # nothing parity with the reference's single LMDB transaction):
+            # a realm mismatch, malformed unit, or undecodable simprint in
+            # asset N must not leave assets 0..N-1 committed.
+            for asset in assets:
+                if asset.iscc_id is None:
+                    raise ValueError("Asset must have iscc_id field when adding to index")
+                iscc_id_obj = common.parse_iscc_id(asset.iscc_id)
+                if self._realm_id != iscc_id_obj.realm_id:
+                    raise ValueError(
+                        f"Realm ID mismatch: index has realm={self._realm_id}, "
+                        f"but asset '{asset.iscc_id}' has realm={iscc_id_obj.realm_id}. "
+                        f"All assets in an index must have the same realm ID."
+                    )
+                for unit_str in asset.units or []:
+                    IsccUnit(unit_str)  # raises on malformed unit strings
+                for sp_type, sp_list in (asset.simprints or {}).items():
+                    for sp_obj in sp_list:
+                        sp_ops.pack_chunk_pointer(
+                            iscc_id_obj.body, sp_obj.offset, sp_obj.size
+                        )  # range checks
+                        ic.decode_base64(sp_obj.simprint)
 
             nphd_batches = {}  # type: dict[str, tuple[list[int], list[bytes]]]
             nphd_updated_keys = set()  # type: set[int]
@@ -454,12 +478,18 @@ class TpuIndex:
         if self._opts.search_batching:
             batcher = self._batchers.get(unit_type)
             if batcher is None:
-                batcher = SearchBatcher(
-                    nphd_index,
-                    max_batch=self._opts.query_batch_max,
-                    window_ms=self._opts.search_batching_window_ms,
-                )
-                self._batchers[unit_type] = batcher
+                # Lock the check-then-create: two concurrent first requests
+                # must not both spawn a collector thread (the loser's thread
+                # would leak for the process lifetime).
+                with self._batcher_lock:
+                    batcher = self._batchers.get(unit_type)
+                    if batcher is None:
+                        batcher = SearchBatcher(
+                            nphd_index,
+                            max_batch=self._opts.query_batch_max,
+                            window_ms=self._opts.search_batching_window_ms,
+                        )
+                        self._batchers[unit_type] = batcher
             ((keys, scores),) = batcher.search([unit_body], limit)
         else:
             ((keys, scores),) = nphd_index.search([unit_body], limit)

@@ -199,6 +199,8 @@ class IsccCode(IsccBase):
                 continue
 
             if st == ic.ST_ISCC.WIDE:
+                if len(body) < 32:
+                    raise ValueError(f"ISCC-CODE body too short for WIDE composite: {len(body)} bytes < 32")
                 data_ln = ic.encode_length(ic.MT.DATA, 128)
                 inst_ln = ic.encode_length(ic.MT.INSTANCE, 128)
                 units.append(IsccUnit(ic.encode_header(ic.MT.DATA, ic.ST.NONE, vs, data_ln) + body[:16]))
@@ -206,6 +208,11 @@ class IsccCode(IsccBase):
                 break
 
             main_types = ic.decode_units(ln)
+            expected = (len(main_types) + 2) * 8
+            if len(body) < expected:
+                # Unchecked negative slices below would silently build units
+                # from wrong byte ranges of a truncated composite.
+                raise ValueError(f"ISCC-CODE body too short: {len(body)} bytes < {expected}")
             for idx, mtype in enumerate(main_types):
                 stype = ic.ST.NONE if mtype == ic.MT.META else st
                 unit_ln = ic.encode_length(mtype, 64)

@@ -25,13 +25,6 @@ import jax.numpy as jnp
 NEG_SCORE = -1.0
 
 
-def _lane_mask(nlanes, max_lanes):
-    # type: (jnp.ndarray, int) -> jnp.ndarray
-    """(..., max_lanes) boolean mask of active lanes given per-row lane counts."""
-    lane_idx = jnp.arange(max_lanes, dtype=jnp.int32)
-    return lane_idx[None, :] < nlanes[:, None]
-
-
 def nphd_scores(q_codes, q_lanes, db_codes, db_lanes, db_valid=None):
     # type: (jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None) -> jnp.ndarray
     """

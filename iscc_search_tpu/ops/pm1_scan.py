@@ -31,14 +31,6 @@ import numpy as np
 
 NEG_SCORE = -1.0
 
-# MSB-first within a lane; plain numpy so no tracer can be captured globally.
-_SHIFTS_NP = np.arange(31, -1, -1, dtype=np.uint32)
-
-
-def _shifts():
-    return jnp.asarray(_SHIFTS_NP)
-
-
 def _mark_varying(x, axes):
     """Mark a value device-varying over mesh axes (pcast with pvary fallback)."""
     try:

@@ -14,6 +14,8 @@ rows), so the collective is latency- not bandwidth-bound.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding
@@ -47,8 +49,12 @@ def shard_database(mesh, db_codes, db_lanes, db_valid, axis_name=SHARD_AXIS):
     )
 
 
+@functools.lru_cache(maxsize=64)
 def _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name):
     # type: (...) -> ...
+    # Memoized like the sibling builders (pm1_sharded/pallas_sharded):
+    # a fresh shard_map + jit wrapper per call would retrace and recompile
+    # on EVERY search (Mesh is hashable).
     def local_step(q_codes, q_lanes, db_codes, db_lanes, db_valid):
         # Per-shard exact scan
         scores, idx = topk_scan_impl(
