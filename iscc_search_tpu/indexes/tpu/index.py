@@ -156,11 +156,14 @@ class TpuIndex:
             # Validate the WHOLE batch before mutating anything (all-or-
             # nothing parity with the reference's single LMDB transaction):
             # a realm mismatch, malformed unit, or undecodable simprint in
-            # asset N must not leave assets 0..N-1 committed.
+            # asset N must not leave assets 0..N-1 committed. Parsed objects
+            # are kept and reused by the indexing loop (no double decode).
+            parsed_ids = []  # type: list
             for asset in assets:
                 if asset.iscc_id is None:
                     raise ValueError("Asset must have iscc_id field when adding to index")
                 iscc_id_obj = common.parse_iscc_id(asset.iscc_id)
+                parsed_ids.append(iscc_id_obj)
                 if self._realm_id != iscc_id_obj.realm_id:
                     raise ValueError(
                         f"Realm ID mismatch: index has realm={self._realm_id}, "
@@ -190,17 +193,7 @@ class TpuIndex:
             batch_seen = set()  # type: set[int]
 
             for i, asset in enumerate(assets):
-                if asset.iscc_id is None:
-                    raise ValueError("Asset must have iscc_id field when adding to index")
-                iscc_id_obj = common.parse_iscc_id(asset.iscc_id)  # single decode
-                asset_realm = iscc_id_obj.realm_id
-                if self._realm_id != asset_realm:
-                    raise ValueError(
-                        f"Realm ID mismatch: index has realm={self._realm_id}, "
-                        f"but asset '{asset.iscc_id}' has realm={asset_realm}. "
-                        f"All assets in an index must have the same realm ID."
-                    )
-
+                iscc_id_obj = parsed_ids[i]  # validated + decoded above
                 key = int(iscc_id_obj)
                 key_bytes = struct.pack(">Q", key)
                 iscc_id_body = iscc_id_obj.body
