@@ -57,16 +57,16 @@ namespace {
 // ---------------------------------------------------------------------------
 
 uint32_t crc32_table[256];
-bool crc32_init_done = false;
+std::once_flag crc32_once;  // ts_open can race from two threads (no GIL held)
 
 void crc32_init() {
-    if (crc32_init_done) return;
-    for (uint32_t i = 0; i < 256; i++) {
-        uint32_t c = i;
-        for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-        crc32_table[i] = c;
-    }
-    crc32_init_done = true;
+    std::call_once(crc32_once, [] {
+        for (uint32_t i = 0; i < 256; i++) {
+            uint32_t c = i;
+            for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+            crc32_table[i] = c;
+        }
+    });
 }
 
 uint32_t crc32(const uint8_t* data, size_t len, uint32_t seed = 0) {
@@ -123,7 +123,29 @@ struct Store {
     uint64_t log_bytes = 0;   // log bytes already written to the fd
     uint32_t ext_min = 64;    // externalize plain values >= this; 0 disables
     std::string last_error;
+
+    ~Store() {  // error paths in ts_open must not leak fds
+        if (log_fd >= 0) ::close(log_fd);
+        if (log_rfd >= 0) ::close(log_rfd);
+        if (snap_rfd >= 0) ::close(snap_rfd);
+    }
 };
+
+// Mutation size caps: a db name over u16 or a payload over u32 would be
+// silently truncated by the record framing, producing a log record whose
+// declared lengths mismatch its bytes — recovery would then stop there and
+// drop every later committed record. Reject at the ABI boundary instead.
+constexpr size_t MAX_DB_NAME = 65535;
+constexpr size_t MAX_KEY_LEN = 1u << 20;        // 1 MiB (ISCC keys are <= 40 B)
+constexpr size_t MAX_VAL_LEN = 1u << 30;        // 1 GiB
+
+bool check_sizes(Store& s, const char* db, size_t klen, size_t vlen) {
+    if (strlen(db) > MAX_DB_NAME || klen > MAX_KEY_LEN || vlen > MAX_VAL_LEN) {
+        s.last_error = "mutation exceeds size limits (db<=64KB, key<=1MB, val<=1GB)";
+        return false;
+    }
+    return true;
+}
 
 size_t plain_len(const Entry& e) {
     return e.ref.src != SRC_INLINE ? e.ref.len : (e.vals.empty() ? 0 : e.vals[0].size());
@@ -350,13 +372,15 @@ size_t parse_record(const std::string& buf, size_t off, uint8_t& op, std::string
 }
 
 // Stream-replay framed records from an open file; stops cleanly at a torn
-// tail. Returns the number of bytes of valid records consumed. `src` tags
-// where externalized values live (SRC_LOG / SRC_SNAP).
-size_t replay_fd(Store& s, int fd, uint8_t src) {
+// tail. Returns false on an I/O READ error (which must NOT be treated as
+// EOF: the caller would otherwise truncate the log at the error point and
+// permanently destroy committed records after a transient EIO). On success
+// sets `consumed` to the number of bytes of valid records.
+bool replay_fd(Store& s, int fd, uint8_t src, size_t& consumed) {
     constexpr size_t CHUNK = 4 << 20;
     std::string buf;
-    size_t base = 0;      // file offset of buf[0]
-    size_t consumed = 0;  // total valid bytes
+    size_t base = 0;  // file offset of buf[0]
+    consumed = 0;
     bool eof = false;
     while (true) {
         if (!eof) {
@@ -368,8 +392,8 @@ size_t replay_fd(Store& s, int fd, uint8_t src) {
                     buf.resize(old);
                     continue;
                 }
-                buf.resize(old);
-                eof = true;
+                s.last_error = std::string("replay read failed: ") + strerror(errno);
+                return false;
             } else {
                 buf.resize(old + static_cast<size_t>(n));
                 if (static_cast<size_t>(n) < CHUNK) eof = true;
@@ -401,7 +425,7 @@ size_t replay_fd(Store& s, int fd, uint8_t src) {
             break;
         }
     }
-    return consumed;
+    return true;
 }
 
 // Buffered sequential file writer for snapshot streaming.
@@ -546,9 +570,20 @@ void* ts_open(const char* dir) {
     std::string snap_path = s->dir + "/store.snap";
     int sfd = ::open(snap_path.c_str(), O_RDONLY);
     if (sfd >= 0) {
-        replay_fd(*s, sfd, SRC_SNAP);
+        size_t snap_consumed = 0;
+        bool ok = replay_fd(*s, sfd, SRC_SNAP, snap_consumed);
+        struct stat st {};
+        bool sized = fstat(sfd, &st) == 0;
         ::close(sfd);
+        // Snapshots are written atomically (tmp + fdatasync + rename), so a
+        // read error OR a partial parse means real corruption — fail the
+        // open loudly (LMDB MDB_CORRUPTED parity) instead of silently
+        // serving a store missing an arbitrary suffix of compacted keys.
+        if (!ok || !sized || snap_consumed != static_cast<size_t>(st.st_size)) {
+            return nullptr;
+        }
         s->snap_rfd = ::open(snap_path.c_str(), O_RDONLY);
+        if (s->snap_rfd < 0) return nullptr;  // externalized values need it
     }
 
     std::string log_path = s->dir + "/store.log";
@@ -557,34 +592,25 @@ void* ts_open(const char* dir) {
     int lfd = ::open(log_path.c_str(), O_RDONLY);
     if (lfd >= 0) {
         log_existed = true;
-        valid = replay_fd(*s, lfd, SRC_LOG);
+        bool ok = replay_fd(*s, lfd, SRC_LOG, valid);
         ::close(lfd);
+        // A transient read error is NOT a torn tail: truncating here would
+        // permanently destroy committed records after the error point.
+        if (!ok) return nullptr;
     }
 
     s->log_fd = ::open(log_path.c_str(), O_WRONLY | O_CREAT, 0644);
     if (s->log_fd < 0) return nullptr;
     // First creation: fsync the directory so the log's directory entry (and
     // the freshly created store dir) survive a crash before the first sync.
-    if (!log_existed && !sync_dir(*s)) {
-        ::close(s->log_fd);
-        return nullptr;
-    }
+    if (!log_existed && !sync_dir(*s)) return nullptr;
     // Truncate any torn tail so new appends start at the last valid record.
-    if (ftruncate(s->log_fd, static_cast<off_t>(valid)) != 0) {
-        ::close(s->log_fd);
-        return nullptr;
-    }
-    if (lseek(s->log_fd, static_cast<off_t>(valid), SEEK_SET) < 0) {
-        ::close(s->log_fd);
-        return nullptr;
-    }
+    if (ftruncate(s->log_fd, static_cast<off_t>(valid)) != 0) return nullptr;
+    if (lseek(s->log_fd, static_cast<off_t>(valid), SEEK_SET) < 0) return nullptr;
     s->log_bytes = valid;
     s->log_rfd = ::open(log_path.c_str(), O_RDONLY);
-    if (s->log_rfd < 0) {
-        ::close(s->log_fd);
-        return nullptr;
-    }
-    return s.release();
+    if (s->log_rfd < 0) return nullptr;
+    return s.release();  // fds on failure paths are closed by ~Store
 }
 
 void ts_close(void* h) {
@@ -606,6 +632,7 @@ void ts_close(void* h) {
 int ts_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const uint8_t* val, uint32_t vlen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
+    if (!check_sizes(*s, db, klen, vlen)) return 0;
     return log_and_apply(*s, OP_PUT, db, Bytes(reinterpret_cast<const char*>(key), klen),
                          Bytes(reinterpret_cast<const char*>(val), vlen))
                ? 1
@@ -615,12 +642,14 @@ int ts_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const uin
 int ts_del(void* h, const char* db, const uint8_t* key, uint32_t klen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
+    if (!check_sizes(*s, db, klen, 0)) return 0;
     return log_and_apply(*s, OP_DEL, db, Bytes(reinterpret_cast<const char*>(key), klen), Bytes()) ? 1 : 0;
 }
 
 int ts_dup_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const uint8_t* val, uint32_t vlen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
+    if (!check_sizes(*s, db, klen, vlen)) return 0;
     return log_and_apply(*s, OP_DUP_PUT, db, Bytes(reinterpret_cast<const char*>(key), klen),
                          Bytes(reinterpret_cast<const char*>(val), vlen))
                ? 1
@@ -662,6 +691,7 @@ int64_t ts_dup_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t bu
         if (off + vlen > buflen) return -1;
         Bytes val(reinterpret_cast<const char*>(buf + off), vlen);
         off += vlen;
+        if (!check_sizes(*s, db, key.size(), val.size())) return -1;
         if (log_and_apply(*s, OP_DUP_PUT, db, key, val)) inserted++;
     }
     return inserted;
@@ -669,7 +699,9 @@ int64_t ts_dup_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t bu
 
 // Get a plain value. Returns 1 and sets *val to a malloc'd copy (caller
 // frees via ts_free — an owned copy, so concurrent writers can't invalidate
-// it after the lock drops) or 0 if absent.
+// it after the lock drops), 0 if absent, or -1 on an external-value READ
+// ERROR — which must never masquerade as key-absent (the engine would
+// conclude committed assets don't exist).
 int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, uint8_t** val, uint32_t* vlen) {
     Store* s = static_cast<Store*>(h);
     std::shared_lock lock(s->mtx);
@@ -678,7 +710,10 @@ int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, uint8_t**
     auto it = dbit->second.data.find(Bytes(reinterpret_cast<const char*>(key), klen));
     if (it == dbit->second.data.end()) return 0;
     Bytes v;
-    if (!plain_value(*s, it->second, v)) return 0;
+    if (!plain_value(*s, it->second, v)) {
+        s->last_error = "external value read failed";
+        return -1;
+    }
     uint8_t* out = static_cast<uint8_t*>(malloc(v.size() ? v.size() : 1));
     memcpy(out, v.data(), v.size());
     *val = out;
@@ -707,6 +742,7 @@ int64_t ts_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t buflen
         if (off + vlen > buflen) return -1;
         Bytes val(reinterpret_cast<const char*>(buf + off), vlen);
         off += vlen;
+        if (!check_sizes(*s, db, key.size(), val.size())) return -1;
         if (log_and_apply(*s, OP_PUT, db, key, val)) applied++;
     }
     return applied;
@@ -718,9 +754,18 @@ namespace {
 struct ScanBuf {
     std::string data;
     uint64_t count = 0;
+    bool error = false;  // external-value read failure mid-scan
 };
 
+// On error returns null with *out_len = UINT64_MAX — the binding raises
+// instead of treating an I/O failure as an empty result (silently dropping
+// committed entries from scans).
 uint8_t* finish_scan(ScanBuf& sb, uint64_t* out_len, uint64_t* out_count) {
+    if (sb.error) {
+        *out_len = ~0ull;
+        *out_count = 0;
+        return nullptr;
+    }
     *out_len = sb.data.size();
     *out_count = sb.count;
     if (sb.data.empty()) return nullptr;
@@ -737,7 +782,8 @@ void append_pair(ScanBuf& sb, const Bytes& key, const Bytes& val) {
     sb.count++;
 }
 
-// Append every (key, value) of one entry; returns false once limit is hit.
+// Append every (key, value) of one entry; returns false once limit is hit
+// or an external-value read fails (sb.error distinguishes the two).
 bool append_entry(const Store& s, ScanBuf& sb, const Db& db, const Bytes& key, const Entry& e, uint64_t limit) {
     if (db.dupsort) {
         for (const auto& v : e.vals) {
@@ -747,7 +793,11 @@ bool append_entry(const Store& s, ScanBuf& sb, const Db& db, const Bytes& key, c
         return true;
     }
     Bytes v;
-    if (plain_value(s, e, v)) append_pair(sb, key, v);
+    if (!plain_value(s, e, v)) {
+        sb.error = true;
+        return false;
+    }
+    append_pair(sb, key, v);
     return !(limit && sb.count >= limit);
 }
 }  // namespace
@@ -907,13 +957,24 @@ int ts_compact(void* h) {
     if (!flush_wbuf(*s)) return 0;
     std::vector<PendingRef> pending;
     if (!write_snapshot(*s, pending)) return 0;
+    // Open the NEW snapshot's read fd BEFORE swapping refs or truncating:
+    // if this open fails (EMFILE...), the old refs, the old snap fd (which
+    // keeps the replaced inode alive), and the intact log keep every value
+    // readable, and the next compact simply retries.
+    int new_rfd = ::open((s->dir + "/store.snap").c_str(), O_RDONLY);
+    if (new_rfd < 0) {
+        s->last_error = std::string("snapshot reopen failed: ") + strerror(errno);
+        return 0;
+    }
     // Snapshot is durably in place: point refs at it and swap the read fd.
     for (auto& p : pending) {
         p.entry->vals.clear();
         p.entry->ref = p.ref;
     }
     if (s->snap_rfd >= 0) ::close(s->snap_rfd);
-    s->snap_rfd = ::open((s->dir + "/store.snap").c_str(), O_RDONLY);
+    s->snap_rfd = new_rfd;
+    // From here every ref is valid against the new snapshot; a failed log
+    // truncation just means the (idempotent) log replays over it next open.
     if (ftruncate(s->log_fd, 0) != 0) return 0;
     if (lseek(s->log_fd, 0, SEEK_SET) < 0) return 0;
     s->log_bytes = 0;
@@ -927,8 +988,14 @@ uint64_t ts_log_bytes(void* h) {
 }
 
 const char* ts_last_error(void* h) {
+    // Copy under the lock into a thread-local buffer: returning the internal
+    // c_str() would race concurrent writers assigning the string (the
+    // returned pointer could dangle mid-read).
+    static thread_local std::string buf;
     Store* s = static_cast<Store*>(h);
-    return s->last_error.c_str();
+    std::shared_lock lock(s->mtx);
+    buf = s->last_error;
+    return buf.c_str();
 }
 
 }  // extern "C"

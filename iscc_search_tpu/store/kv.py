@@ -14,6 +14,7 @@ native package).
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import struct
@@ -27,17 +28,40 @@ _BUILD_LOCK = threading.Lock()
 _LIB = None
 
 
+def _lib_is_fresh():
+    # type: () -> bool
+    if not _LIB_PATH.exists():
+        return False
+    lib_mtime = _LIB_PATH.stat().st_mtime
+    return all(
+        lib_mtime >= (_NATIVE_DIR / dep).stat().st_mtime for dep in ("store.cpp", "Makefile")
+    )
+
+
 def _build_library():
     # type: () -> None
-    """Compile the native store with make (idempotent, source-mtime aware)."""
-    src = _NATIVE_DIR / "store.cpp"
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+    """Compile the native store with make (idempotent, source-mtime aware).
+
+    Serialized across PROCESSES with a file lock: without it, concurrent
+    workers (pytest-xdist, multi-process tooling) could dlopen a half-linked
+    .so while another process runs make.
+    """
+    if _lib_is_fresh():
         return
-    subprocess.run(
-        ["make", "-s", "-C", str(_NATIVE_DIR)],
-        check=True,
-        capture_output=True,
-    )
+    import fcntl
+
+    with open(_NATIVE_DIR / ".build.lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            if _lib_is_fresh():  # another process built it while we waited
+                return
+            subprocess.run(
+                ["make", "-s", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
 
 
 def _load_library():
@@ -109,6 +133,8 @@ def _load_library():
         lib.ts_list_dbs.restype = ctypes.POINTER(ctypes.c_uint8)
         lib.ts_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.ts_free.restype = None
+        lib.ts_last_error.argtypes = [ctypes.c_void_p]
+        lib.ts_last_error.restype = ctypes.c_char_p
         for name in ("ts_entries", "ts_key_count"):
             fn = getattr(lib, name)
             fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -181,36 +207,64 @@ class HostStore:
         if not self._h:
             raise OSError(f"failed to open store at {self.path}")
         self._closed = False
+        self._inflight = 0
+        self._state_cond = threading.Condition()
 
-    @property
-    def _handle(self):
-        # type: () -> int
-        """Native handle, guarded: a call after close() must raise instead of
-        passing NULL into the C library (which would segfault the process —
-        reachable when delete_index races an in-flight request)."""
-        h = self._h
-        if h is None:
-            raise RuntimeError(f"HostStore at {self.path} is closed")
-        return h
+    @contextlib.contextmanager
+    def _use(self):
+        """In-flight gate around every native call.
+
+        A bare closed-check would be TOCTOU: a reader could load the handle,
+        then close() frees the native Store before the C call runs (ctypes
+        releases the GIL), and the freed pointer reaches the library —
+        use-after-free. Calls register here; close() refuses to free the
+        native store until the in-flight count drains to zero, and new calls
+        after close() raise instead of passing NULL.
+        """
+        with self._state_cond:
+            if self._h is None:
+                raise RuntimeError(f"HostStore at {self.path} is closed")
+            self._inflight += 1
+            h = self._h
+        try:
+            yield h
+        finally:
+            with self._state_cond:
+                self._inflight -= 1
+                if self._inflight == 0:
+                    self._state_cond.notify_all()
+
+    def _last_error(self):
+        # type: () -> str
+        with self._state_cond:
+            h = self._h
+            if h is None:
+                return ""
+        msg = self._lib.ts_last_error(h)
+        return msg.decode("utf-8", "replace") if msg else ""
 
     # -- mutations ----------------------------------------------------------
 
     def put(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
-        return bool(self._lib.ts_put(self._handle, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+        with self._use() as h:
+            return bool(self._lib.ts_put(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     def delete(self, db, key):
         # type: (str, bytes) -> bool
-        return bool(self._lib.ts_del(self._handle, db.encode(), _buf(key), len(key)))
+        with self._use() as h:
+            return bool(self._lib.ts_del(h, db.encode(), _buf(key), len(key)))
 
     def dup_put(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
         """Insert (key, val) into a dupsort db; duplicate pairs are no-ops."""
-        return bool(self._lib.ts_dup_put(self._handle, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+        with self._use() as h:
+            return bool(self._lib.ts_dup_put(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     def dup_delete(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
-        return bool(self._lib.ts_dup_del(self._handle, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+        with self._use() as h:
+            return bool(self._lib.ts_dup_del(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     @staticmethod
     def _encode_pairs(pairs):
@@ -229,9 +283,10 @@ class HostStore:
         if not pairs:
             return 0
         blob = self._encode_pairs(pairs)
-        n = self._lib.ts_dup_putmulti(self._handle, db.encode(), _buf(blob), len(blob))
-        if n < 0:  # pragma: no cover - encoding is internal
-            raise ValueError("malformed putmulti buffer")
+        with self._use() as h:
+            n = self._lib.ts_dup_putmulti(h, db.encode(), _buf(blob), len(blob))
+        if n < 0:
+            raise ValueError(f"putmulti rejected: {self._last_error() or 'malformed buffer'}")
         return int(n)
 
     def putmulti(self, db, pairs):
@@ -240,14 +295,16 @@ class HostStore:
         if not pairs:
             return 0
         blob = self._encode_pairs(pairs)
-        n = self._lib.ts_putmulti(self._handle, db.encode(), _buf(blob), len(blob))
-        if n < 0:  # pragma: no cover - encoding is internal
-            raise ValueError("malformed putmulti buffer")
+        with self._use() as h:
+            n = self._lib.ts_putmulti(h, db.encode(), _buf(blob), len(blob))
+        if n < 0:
+            raise ValueError(f"putmulti rejected: {self._last_error() or 'malformed buffer'}")
         return int(n)
 
     def drop_db(self, db):
         # type: (str) -> bool
-        return bool(self._lib.ts_drop_db(self._handle, db.encode()))
+        with self._use() as h:
+            return bool(self._lib.ts_drop_db(h, db.encode()))
 
     # -- reads ---------------------------------------------------------------
 
@@ -255,7 +312,11 @@ class HostStore:
         # type: (str, bytes) -> bytes | None
         val_p = ctypes.POINTER(ctypes.c_uint8)()
         vlen = ctypes.c_uint32()
-        ok = self._lib.ts_get(self._handle, db.encode(), _buf(key), len(key), ctypes.byref(val_p), ctypes.byref(vlen))
+        with self._use() as h:
+            ok = self._lib.ts_get(h, db.encode(), _buf(key), len(key), ctypes.byref(val_p), ctypes.byref(vlen))
+        if ok < 0:
+            # An external-value READ ERROR must never masquerade as key-absent
+            raise OSError(f"store read failed: {self._last_error() or 'unknown error'}")
         if not ok:
             return None
         try:
@@ -263,10 +324,15 @@ class HostStore:
         finally:
             self._lib.ts_free(val_p)
 
+    _SCAN_ERROR = 2**64 - 1  # out_len sentinel: I/O error, not an empty result
+
     def _scan(self, fn, db, arg, limit):
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
-        ptr = fn(self._handle, db.encode(), _buf(arg), len(arg), limit, ctypes.byref(out_len), ctypes.byref(out_count))
+        with self._use() as h:
+            ptr = fn(h, db.encode(), _buf(arg), len(arg), limit, ctypes.byref(out_len), ctypes.byref(out_count))
+        if out_len.value == self._SCAN_ERROR:
+            raise OSError(f"store scan failed: {self._last_error() or 'unknown error'}")
         if not ptr or out_len.value == 0:
             return []
         try:
@@ -289,17 +355,20 @@ class HostStore:
         """(key, value) pairs strictly after (after_key, after_val)."""
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
-        ptr = self._lib.ts_range_scan_after(
-            self._handle,
-            db.encode(),
-            _buf(after_key),
-            len(after_key),
-            _buf(after_val),
-            len(after_val),
-            limit,
-            ctypes.byref(out_len),
-            ctypes.byref(out_count),
-        )
+        with self._use() as h:
+            ptr = self._lib.ts_range_scan_after(
+                h,
+                db.encode(),
+                _buf(after_key),
+                len(after_key),
+                _buf(after_val),
+                len(after_val),
+                limit,
+                ctypes.byref(out_len),
+                ctypes.byref(out_count),
+            )
+        if out_len.value == self._SCAN_ERROR:
+            raise OSError(f"store scan failed: {self._last_error() or 'unknown error'}")
         if not ptr or out_len.value == 0:
             return []
         try:
@@ -331,9 +400,12 @@ class HostStore:
         """All dupsort values for an exact key (sorted)."""
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
-        ptr = self._lib.ts_get_dups(
-            self._handle, db.encode(), _buf(key), len(key), limit, ctypes.byref(out_len), ctypes.byref(out_count)
-        )
+        with self._use() as h:
+            ptr = self._lib.ts_get_dups(
+                h, db.encode(), _buf(key), len(key), limit, ctypes.byref(out_len), ctypes.byref(out_count)
+            )
+        if out_len.value == self._SCAN_ERROR:
+            raise OSError(f"store scan failed: {self._last_error() or 'unknown error'}")
         if not ptr or out_len.value == 0:
             return []
         try:
@@ -344,17 +416,20 @@ class HostStore:
     def entries(self, db):
         # type: (str) -> int
         """Entry count (dup pairs counted individually, like LMDB stat)."""
-        return int(self._lib.ts_entries(self._handle, db.encode()))
+        with self._use() as h:
+            return int(self._lib.ts_entries(h, db.encode()))
 
     def key_count(self, db):
         # type: (str) -> int
-        return int(self._lib.ts_key_count(self._handle, db.encode()))
+        with self._use() as h:
+            return int(self._lib.ts_key_count(h, db.encode()))
 
     def list_dbs(self):
         # type: () -> list[str]
         out_len = ctypes.c_uint64()
         out_count = ctypes.c_uint64()
-        ptr = self._lib.ts_list_dbs(self._handle, ctypes.byref(out_len), ctypes.byref(out_count))
+        with self._use() as h:
+            ptr = self._lib.ts_list_dbs(h, ctypes.byref(out_len), ctypes.byref(out_count))
         if not ptr or out_len.value == 0:
             return []
         try:
@@ -365,37 +440,48 @@ class HostStore:
     def used_bytes(self):
         # type: () -> int
         """Approximate live payload bytes (disk-usage reporting parity)."""
-        return int(self._lib.ts_used_bytes(self._handle))
+        with self._use() as h:
+            return int(self._lib.ts_used_bytes(h))
 
     # -- durability ----------------------------------------------------------
 
     def flush(self):
         # type: () -> None
         """Push buffered appends to the OS; auto-compact oversized logs."""
-        if not self._lib.ts_flush(self._handle):  # pragma: no cover
-            raise OSError("store flush failed")
-        if self._lib.ts_log_bytes(self._handle) > self.AUTO_COMPACT_BYTES:  # pragma: no cover
+        with self._use() as h:
+            ok = self._lib.ts_flush(h)
+            log_bytes = self._lib.ts_log_bytes(h)
+        if not ok:  # pragma: no cover
+            raise OSError(f"store flush failed: {self._last_error() or 'unknown error'}")
+        if log_bytes > self.AUTO_COMPACT_BYTES:  # pragma: no cover
             self.compact()
 
     def sync(self):
         # type: () -> None
         """Flush + fdatasync (durability point)."""
-        if not self._lib.ts_sync(self._handle):  # pragma: no cover
-            raise OSError("store sync failed")
+        with self._use() as h:
+            ok = self._lib.ts_sync(h)
+        if not ok:  # pragma: no cover
+            raise OSError(f"store sync failed: {self._last_error() or 'unknown error'}")
 
     def compact(self):
         # type: () -> None
         """Rewrite the snapshot and truncate the log (atomic via rename)."""
-        if not self._lib.ts_compact(self._handle):  # pragma: no cover
-            raise OSError("store compact failed")
+        with self._use() as h:
+            ok = self._lib.ts_compact(h)
+        if not ok:  # pragma: no cover
+            raise OSError(f"store compact failed: {self._last_error() or 'unknown error'}")
 
     def close(self):
         # type: () -> None
-        if self._closed:
-            return
-        self._lib.ts_close(self._h)
-        self._closed = True
-        self._h = None
+        with self._state_cond:
+            if self._closed:
+                return
+            self._closed = True
+            h, self._h = self._h, None  # new calls fail from here on
+            while self._inflight:
+                self._state_cond.wait()
+        self._lib.ts_close(h)
 
     def __del__(self):  # pragma: no cover
         try:

@@ -1,0 +1,132 @@
+"""Regression tests for the native-store durability review findings."""
+
+import threading
+
+import pytest
+
+from iscc_search_tpu.store import HostStore
+
+
+def test_corrupt_snapshot_fails_open_loudly(tmp_path, monkeypatch):
+    """Snapshots are written atomically, so corruption is real corruption:
+    the open must FAIL (LMDB MDB_CORRUPTED parity), not silently serve a
+    store missing an arbitrary suffix of compacted keys."""
+    monkeypatch.setenv("TRUCTSTORE_EXT_MIN", "8")
+    store = HostStore(tmp_path / "s")
+    for i in range(50):
+        store.put("db", f"k{i:03d}".encode(), b"v" * 64)  # externalized
+    store.compact()
+    store.close()
+
+    snap = tmp_path / "s" / "store.snap"
+    raw = bytearray(snap.read_bytes())
+    assert len(raw) > 100
+    raw[len(raw) // 2] ^= 0xFF  # bit rot mid-snapshot
+    snap.write_bytes(bytes(raw))
+
+    with pytest.raises(OSError, match="failed to open"):
+        HostStore(tmp_path / "s")
+
+
+def test_truncated_snapshot_fails_open(tmp_path, monkeypatch):
+    monkeypatch.setenv("TRUCTSTORE_EXT_MIN", "0")
+    store = HostStore(tmp_path / "s")
+    for i in range(50):
+        store.put("db", f"k{i:03d}".encode(), b"v" * 32)
+    store.compact()
+    store.close()
+    snap = tmp_path / "s" / "store.snap"
+    raw = snap.read_bytes()
+    snap.write_bytes(raw[: len(raw) - 7])  # chop mid-record
+    with pytest.raises(OSError, match="failed to open"):
+        HostStore(tmp_path / "s")
+
+
+def test_torn_log_tail_still_recovers(tmp_path):
+    """A torn LOG tail (crash mid-append) is expected and must still recover
+    cleanly — only snapshots are held to the all-or-nothing standard."""
+    store = HostStore(tmp_path / "s")
+    for i in range(20):
+        store.put("db", f"k{i:03d}".encode(), b"x" * 16)
+    store.sync()
+    store.close()
+    log = tmp_path / "s" / "store.log"
+    raw = log.read_bytes()
+    log.write_bytes(raw + b"\x55\x00\x12")  # garbage partial record
+    store = HostStore(tmp_path / "s")
+    try:
+        assert store.get("db", b"k000") == b"x" * 16
+        assert store.entries("db") == 20
+    finally:
+        store.close()
+
+
+def test_oversized_mutations_rejected_not_truncated(tmp_path):
+    """A db name over u16 (or oversized key/value) would be silently
+    truncated by the record framing, producing an unparseable log record
+    that recovery treats as a torn tail — dropping every LATER committed
+    record. Rejection must also leave the store fully usable."""
+    store = HostStore(tmp_path / "s")
+    try:
+        assert store.put("db", b"before", b"1")
+        long_db = "d" * 70000
+        assert store.put(long_db, b"k", b"v") is False
+        assert store.put("db", b"k" * (2 * 1024 * 1024), b"v") is False
+        assert store.dup_put(long_db, b"k", b"v") is False
+        with pytest.raises(ValueError, match="rejected"):
+            store.putmulti(long_db, [(b"k", b"v")])
+        with pytest.raises(ValueError, match="rejected"):
+            store.dup_putmulti(long_db, [(b"k", b"v")])
+        assert store.put("db", b"after", b"2")  # store unharmed
+    finally:
+        store.close()
+    # The log replays cleanly: both committed records survive
+    store = HostStore(tmp_path / "s")
+    try:
+        assert store.get("db", b"before") == b"1"
+        assert store.get("db", b"after") == b"2"
+    finally:
+        store.close()
+
+
+def test_close_waits_for_inflight_calls(tmp_path):
+    """close() must drain in-flight native calls before freeing the store
+    (the bare closed-flag check was TOCTOU: a racing reader could pass a
+    freed pointer into the C library)."""
+    store = HostStore(tmp_path / "s")
+    for i in range(2000):
+        store.dup_put("db", b"k", i.to_bytes(8, "big"))
+    errors = []
+    done = threading.Event()
+
+    def reader():
+        try:
+            while not done.is_set():
+                try:
+                    store.get_dups("db", b"k")
+                    store.get("meta", b"absent")
+                except RuntimeError:
+                    return  # closed — expected
+        except Exception as e:  # segfault would kill the process outright
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    store.close()
+    done.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert errors == []
+    with pytest.raises(RuntimeError, match="closed"):
+        store.get("db", b"k")
+
+
+def test_last_error_reports_detail(tmp_path):
+    store = HostStore(tmp_path / "s")
+    try:
+        store.put("d" * 70000, b"k", b"v")
+        assert "size limits" in store._last_error()
+    finally:
+        store.close()
+    assert store._last_error() == ""  # closed store: empty, no crash
