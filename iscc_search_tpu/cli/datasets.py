@@ -30,5 +30,8 @@ def datasets_command(query, limit):
     table.add_column("Downloads", justify="right")
     table.add_column("Updated")
     for d in results:
-        table.add_row(d.id, str(getattr(d, "downloads", "-")), str(getattr(d, "last_modified", "-"))[:10])
+        downloads = getattr(d, "downloads", None)
+        updated = getattr(d, "last_modified", None)
+        table.add_row(d.id, str(downloads) if downloads is not None else "-",
+                      str(updated)[:10] if updated is not None else "-")
     console.print(table)

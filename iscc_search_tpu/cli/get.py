@@ -20,7 +20,7 @@ def get_command(iscc_id, index_name):
     index, name = get_active_index(index_name)
     try:
         asset = index.get_asset(name, iscc_id)
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         console.print(f"[red]{e}[/red]")
         raise SystemExit(1)
     finally:

@@ -108,23 +108,35 @@ def hub_command(dataset, index_name, limit, simprint_bits, batch_size):
             total += len(batch)
             batch.clear()
 
+    limit_reached = False
     with timer(f"hub ingest {dataset}"):
-        for filename in files:
-            local = hf_hub_download(dataset, filename, repo_type="dataset")
-            parquet = pq.ParquetFile(local)
-            for record_batch in parquet.iter_batches(batch_size=batch_size):
-                for row in record_batch.to_pylist():
-                    entry = row_to_entry(row, gen, bits)
-                    if entry is None:
-                        continue
-                    batch.append(entry)
-                    if len(batch) >= batch_size:
-                        flush()
-                    if limit and total + len(batch) >= limit:
-                        flush()
-                        index.close()
-                        console.print(f"[green]Ingested {total} assets (limit reached)[/green]")
-                        return
-        flush()
-        index.close()
-    console.print(f"[green]Ingested {total} assets from {dataset}[/green]")
+        try:
+            for filename in files:
+                local = hf_hub_download(dataset, filename, repo_type="dataset")
+                parquet = pq.ParquetFile(local)
+                for record_batch in parquet.iter_batches(batch_size=batch_size):
+                    for row in record_batch.to_pylist():
+                        try:
+                            entry = row_to_entry(row, gen, bits)
+                        except Exception as e:
+                            # One malformed dataset row must not abort a
+                            # multi-GB ingest (same contract as `add`).
+                            logger.warning(f"Skipping row in {filename}: invalid entry ({e})")
+                            continue
+                        if entry is None:
+                            continue
+                        batch.append(entry)
+                        if len(batch) >= batch_size:
+                            flush()
+                        if limit and total + len(batch) >= limit:
+                            limit_reached = True
+                            break
+                    if limit_reached:
+                        break
+                if limit_reached:
+                    break
+            flush()
+        finally:
+            index.close()  # flush derived indexes even when ingest fails mid-run
+    suffix = " (limit reached)" if limit_reached else f" from {dataset}"
+    console.print(f"[green]Ingested {total} assets{suffix}[/green]")

@@ -117,6 +117,7 @@ def index_rebuild(name, unit_types, simprint_types, rebuild_all):
         raise SystemExit(1)
     index, idx_name = get_active_index(name)
     if not hasattr(index, "rebuild"):
+        index.close()  # get_active_index opened (and may have created) it
         console.print("[red]The configured backend does not support rebuild[/red]")
         raise SystemExit(1)
     try:

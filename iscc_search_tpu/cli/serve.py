@@ -34,4 +34,7 @@ def serve_command(host, port, index_uri, workers):
     if opts.aggregator_mode and opts.workers and opts.workers > 1:
         console.print("[red]Aggregator mode requires a single worker (one poller).[/red]")
         raise SystemExit(1)
+    if opts.workers and opts.workers > 1:
+        # The threaded server is single-process; never pretend otherwise.
+        console.print("[yellow]workers > 1 is not supported by the threaded server; running 1 process. Scale with replicas.[/yellow]")
     serve(opts)

@@ -64,7 +64,7 @@ def build_openapi():
         "name": "limit",
         "in": "query",
         "required": False,
-        "schema": {"type": "integer", "default": 100},
+        "schema": {"type": "integer", "default": 100, "minimum": 1},
     }
 
     paths = {
@@ -169,6 +169,18 @@ def build_openapi():
             },
         },
     }
+
+    # Document auth and validation responses on every operation: without a
+    # `security` requirement referencing the scheme, generated clients and
+    # the /docs Try-It UI would never send X-API-Key and every call would
+    # 401 on a secured deployment.
+    for path_item in paths.values():
+        for op in path_item.values():
+            op["security"] = [{"ApiKeyAuth": []}, {}]  # optional: public mode has no secret
+            op["responses"].setdefault("401", {"description": "Missing or invalid API key"})
+            op["responses"].setdefault(
+                "422", {"description": "Validation error", "content": _json_content(_ref("HttpError"))}
+            )
 
     return {
         "openapi": "3.1.0",

@@ -82,7 +82,10 @@ async function call(path, options = {}) {
     // non-JSON error body; fall through with statusText
   }
   if (!res.ok) {
-    const detail = body && typeof body.detail === "string" ? body.detail : res.statusText;
+    // 422 validation errors carry detail as a LIST of messages
+    let detail = res.statusText;
+    if (body && typeof body.detail === "string") detail = body.detail;
+    else if (body && Array.isArray(body.detail)) detail = body.detail.join("; ");
     const err = new Error(detail);
     err.status = res.status;
     throw err;

@@ -67,3 +67,77 @@ def test_row_with_bad_features_ignored():
     entry = row_to_entry({"iscc": CODE, "features": "{notjson"}, gen)
     assert entry is not None
     assert entry.simprints is None
+
+
+def test_hub_command_skips_bad_rows_and_closes_on_error(tmp_path, monkeypatch):
+    """One malformed row is skipped; a mid-ingest crash still closes the
+    index (try/finally — derived segments flush even on failure)."""
+    import sys
+    import types
+
+    from click.testing import CliRunner
+
+    from iscc_search_tpu.cli import cli
+    from iscc_search_tpu.cli import common as cli_common
+    from iscc_search_tpu.config import ConfigManager
+
+    manager = ConfigManager(config_dir=tmp_path / "cfg")
+    cli_common.set_config_manager(manager)
+    try:
+        rows = [
+            {"units": [DATA, INST]},
+            {"iscc": "ISCC:NOTVALID!"},  # malformed -> skipped, not fatal
+            {"units": [DATA, INST]},
+        ]
+
+        class FakeBatch:
+            def to_pylist(self):
+                return rows
+
+        class FakeParquet:
+            def __init__(self, _):
+                pass
+
+            def iter_batches(self, batch_size):
+                yield FakeBatch()
+
+        fake_hf = types.SimpleNamespace(
+            list_repo_files=lambda ds, repo_type: ["data.parquet"],
+            hf_hub_download=lambda ds, f, repo_type: str(tmp_path / "data.parquet"),
+        )
+        fake_pq = types.SimpleNamespace(ParquetFile=FakeParquet)
+        monkeypatch.setitem(sys.modules, "huggingface_hub", fake_hf)
+        monkeypatch.setitem(sys.modules, "pyarrow", types.SimpleNamespace(parquet=fake_pq))
+        monkeypatch.setitem(sys.modules, "pyarrow.parquet", fake_pq)
+
+        r = CliRunner()
+        r.invoke(cli, ["index", "add", "main", "--path", str(tmp_path / "data")])
+        result = r.invoke(cli, ["hub", "some/dataset"])
+        assert result.exit_code == 0, result.output
+        assert "Ingested 2 assets" in result.output
+
+        # Failure mid-ingest must still close the index (no unraisable state)
+        closed = {"n": 0}
+        real_get_active = cli_common.get_active_index
+
+        def tracking_get_active(index_name=None):
+            idx, name = real_get_active(index_name)
+            real_close = idx.close
+
+            def close():
+                closed["n"] += 1
+                real_close()
+
+            idx.close = close
+            return idx, name
+
+        def boom(ds, f, repo_type):
+            raise OSError("network down")
+
+        fake_hf.hf_hub_download = boom
+        monkeypatch.setattr("iscc_search_tpu.cli.hub.get_active_index", tracking_get_active)
+        result = r.invoke(cli, ["hub", "some/dataset"])
+        assert result.exit_code != 0
+        assert closed["n"] == 1
+    finally:
+        cli_common.set_config_manager(None)
