@@ -72,6 +72,18 @@ class KvIndex:
             iscc_id_key = asset.iscc_id.encode("utf-8")
             existing = self.store.get(DB_ASSETS, iscc_id_key)
             status = Status.updated if existing is not None else Status.created
+            if existing is not None:
+                # Drop unit rows the update no longer carries — a stale body
+                # would keep prefix-matching against data the asset no longer
+                # claims. (The reference lmdb backend leaves these forever;
+                # removing eagerly is strictly more correct.)
+                new_units = set(asset.units or [])
+                iscc_id_body = common.extract_iscc_id_body(asset.iscc_id)
+                for old_unit_str in common.deserialize_asset(existing).units or []:
+                    if old_unit_str in new_units:
+                        continue
+                    old_unit = IsccUnit(old_unit_str)
+                    self.store.dup_delete(f"unit:{old_unit.unit_type}", old_unit.body, iscc_id_body)
             self.store.put(DB_ASSETS, iscc_id_key, common.serialize_asset(asset))
 
             if asset.units:

@@ -237,3 +237,30 @@ def test_kv_search_limit_and_empty(tmp_path, entry_factory):
     res = idx.search_assets(IsccQuery(units=shared), limit=3)
     assert len(res.global_matches) == 3
     idx.close()
+
+
+def test_update_drops_stale_unit_rows(tmp_path):
+    """An update replacing an asset's units must remove the old unit rows —
+    a stale body would keep prefix-matching against retracted data."""
+    from iscc_search_tpu import codec as ic
+    from iscc_search_tpu.indexes.kv.index import KvIndex
+    from iscc_search_tpu.schema import IsccEntry, IsccQuery
+    from tests.conftest import make_iscc_id, make_unit
+
+    idx = KvIndex(tmp_path / "kv")
+    try:
+        old_data = make_unit(ic.MT.DATA, 0, 64)
+        inst = make_unit(ic.MT.INSTANCE, 0, 64)
+        iscc_id = make_iscc_id(1)
+        idx.add_assets([IsccEntry(iscc_id=iscc_id, units=[old_data, inst])])
+        res = idx.search_assets(IsccQuery(units=[old_data, inst]), limit=10)
+        assert [m.iscc_id for m in res.global_matches] == [iscc_id]
+
+        new_data = make_unit(ic.MT.DATA, 0, 64)
+        idx.add_assets([IsccEntry(iscc_id=iscc_id, units=[new_data, inst])])
+        res = idx.search_assets(IsccQuery(units=[old_data]), limit=10)
+        assert res.global_matches == []  # retracted unit no longer matches
+        res = idx.search_assets(IsccQuery(units=[new_data]), limit=10)
+        assert [m.iscc_id for m in res.global_matches] == [iscc_id]
+    finally:
+        idx.close()
