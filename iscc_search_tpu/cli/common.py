@@ -67,12 +67,13 @@ def get_active_index(index_name=None):
 
 def _local_manager(cfg):
     # type: (...) -> ...
-    """Build the backend manager via the one scheme dispatch (options.get_index)."""
-    from pathlib import Path
+    """Build the backend manager via the shared scheme dispatch.
 
-    from iscc_search_tpu.options import get_index
+    Passes the filesystem path directly — round-tripping through a URI
+    would let urlparse mangle legal dirnames containing '#' or '?'."""
+    from iscc_search_tpu.options import manager_for
 
-    return get_index(f"{cfg.scheme}://{Path(cfg.path).resolve()}")
+    return manager_for(cfg.scheme, cfg.path)
 
 
 def parse_simprints_from_features(features, simprint_bits=None):

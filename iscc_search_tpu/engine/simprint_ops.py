@@ -118,19 +118,21 @@ def unpack_inverse_entry(data):
     return data[:-8], offset, size
 
 
-def _asset_pairs(store, db, iscc_id_body, inv_db=None):
-    # type: (HostStore, str, bytes, str | None) -> list[tuple[bytes, bytes]]
+def _asset_pairs(store, db, iscc_id_body, inv_db=None, trust_inverse=False):
+    # type: (HostStore, str, bytes, str | None, bool) -> list[tuple[bytes, bytes]]
     """
     All (simprint_key, chunk_pointer) pairs of one asset.
 
     Fast path: the per-asset inverse db (``inv_db``) holds the asset's own
-    rows under one dupsort key, making the lookup O(asset's chunks). Stores
-    written before the inverse db existed fall back to a bounded-page stream
-    over the whole forward db (never one giant buffer).
+    rows under one dupsort key, making the lookup O(asset's chunks). With
+    ``trust_inverse`` an EMPTY inverse result is authoritative (the store
+    has always maintained the inverse db for this type — e.g. the asset's
+    simprint list was empty); without it, empty falls back to a bounded-page
+    stream over the whole forward db (legacy stores, never one giant buffer).
     """
     if inv_db is not None:
         entries = store.get_dups(inv_db, iscc_id_body)
-        if entries:
+        if entries or trust_inverse:
             pairs = []
             for entry in entries:
                 sp, offset, size = unpack_inverse_entry(entry)
@@ -139,18 +141,18 @@ def _asset_pairs(store, db, iscc_id_body, inv_db=None):
     return [(key, val) for key, val in store.iter_range(db) if val[:8] == iscc_id_body]
 
 
-def read_asset_simprints(store, db, iscc_id_body, inv_db=None):
-    # type: (HostStore, str, bytes, str | None) -> set[tuple[bytes, int, int]]
+def read_asset_simprints(store, db, iscc_id_body, inv_db=None, trust_inverse=False):
+    # type: (HostStore, str, bytes, str | None, bool) -> set[tuple[bytes, int, int]]
     """All (simprint, offset, size) triples stored for one asset."""
     triples = set()
-    for key, val in _asset_pairs(store, db, iscc_id_body, inv_db):
+    for key, val in _asset_pairs(store, db, iscc_id_body, inv_db, trust_inverse):
         _, offset, size = unpack_chunk_pointer(val)
         triples.add((key, offset, size))
     return triples
 
 
-def delete_asset_simprints(store, db, iscc_id_body, inv_db=None):
-    # type: (HostStore, str, bytes, str | None) -> list[bytes]
+def delete_asset_simprints(store, db, iscc_id_body, inv_db=None, trust_inverse=False):
+    # type: (HostStore, str, bytes, str | None, bool) -> list[bytes]
     """Remove all of an asset's chunk pointers; returns deleted pointers.
 
     Collect-then-delete, deliberately: every matching pair is gathered FIRST
@@ -158,7 +160,7 @@ def delete_asset_simprints(store, db, iscc_id_body, inv_db=None):
     would invalidate the (key, value) continuation and could skip entries.
     Memory is bounded by the asset's own pointer count, not the database size.
     """
-    deleted = _asset_pairs(store, db, iscc_id_body, inv_db)
+    deleted = _asset_pairs(store, db, iscc_id_body, inv_db, trust_inverse)
     for key, val in deleted:
         store.dup_delete(db, key, val)
     if inv_db is not None:

@@ -145,39 +145,46 @@ class TpuIndex:
 
         with self._write_lock:
             t_store = time.perf_counter()
-            # Realm inference from the first asset
-            if self._realm_id is None:
-                if assets[0].iscc_id is None:
-                    raise ValueError("Asset must have iscc_id field when adding to index")
-                self._realm_id = common.extract_realm_id(assets[0].iscc_id)
-                self.store.put(DB_META, b"realm_id", struct.pack(">I", self._realm_id))
-                logger.info(f"Inferred realm_id={self._realm_id} from first asset")
-
-            # Validate the WHOLE batch before mutating anything (all-or-
-            # nothing parity with the reference's single LMDB transaction):
-            # a realm mismatch, malformed unit, or undecodable simprint in
-            # asset N must not leave assets 0..N-1 committed. Parsed objects
-            # are kept and reused by the indexing loop (no double decode).
+            # Validate the WHOLE batch before mutating anything — including
+            # the realm-inference write (all-or-nothing parity with the
+            # reference's single LMDB transaction): a realm mismatch,
+            # malformed unit, or undecodable simprint in asset N must not
+            # leave assets 0..N-1 committed, nor pin the realm of an empty
+            # index. Parsed objects are kept and reused by the indexing loop
+            # (no double decode on the ingest hot path).
+            realm = self._realm_id
             parsed_ids = []  # type: list
+            parsed_units = []  # type: list[list]
+            parsed_sps = []  # type: list[dict[str, list[tuple[bytes, bytes]]]]
             for asset in assets:
                 if asset.iscc_id is None:
                     raise ValueError("Asset must have iscc_id field when adding to index")
                 iscc_id_obj = common.parse_iscc_id(asset.iscc_id)
                 parsed_ids.append(iscc_id_obj)
-                if self._realm_id != iscc_id_obj.realm_id:
+                if realm is None:
+                    realm = iscc_id_obj.realm_id
+                elif realm != iscc_id_obj.realm_id:
                     raise ValueError(
-                        f"Realm ID mismatch: index has realm={self._realm_id}, "
+                        f"Realm ID mismatch: index has realm={realm}, "
                         f"but asset '{asset.iscc_id}' has realm={iscc_id_obj.realm_id}. "
                         f"All assets in an index must have the same realm ID."
                     )
-                for unit_str in asset.units or []:
-                    IsccUnit(unit_str)  # raises on malformed unit strings
+                parsed_units.append([IsccUnit(u) for u in asset.units or []])
+                sp_decoded = {}  # type: dict[str, list[tuple[bytes, bytes]]]
                 for sp_type, sp_list in (asset.simprints or {}).items():
-                    for sp_obj in sp_list:
-                        sp_ops.pack_chunk_pointer(
-                            iscc_id_obj.body, sp_obj.offset, sp_obj.size
-                        )  # range checks
-                        ic.decode_base64(sp_obj.simprint)
+                    sp_decoded[sp_type] = [
+                        (
+                            ic.decode_base64(sp_obj.simprint),
+                            sp_ops.pack_chunk_pointer(iscc_id_obj.body, sp_obj.offset, sp_obj.size),
+                        )
+                        for sp_obj in sp_list
+                    ]
+                parsed_sps.append(sp_decoded)
+
+            if self._realm_id is None:
+                self._realm_id = realm
+                self.store.put(DB_META, b"realm_id", struct.pack(">I", self._realm_id))
+                logger.info(f"Inferred realm_id={self._realm_id} from first asset")
 
             nphd_batches = {}  # type: dict[str, tuple[list[int], list[bytes]]]
             nphd_updated_keys = set()  # type: set[int]
@@ -232,7 +239,7 @@ class TpuIndex:
                     # claims — the reference leaves these until rebuild;
                     # removing eagerly is strictly more correct).
                     new_units = set(asset.units or [])
-                    new_types = {IsccUnit(u).unit_type for u in new_units}
+                    new_types = {u.unit_type for u in parsed_units[i]}
                     for old_unit_str in common.deserialize_asset(existing).units or []:
                         if old_unit_str in new_units:
                             continue
@@ -244,8 +251,7 @@ class TpuIndex:
 
                 self.store.put(DB_ASSETS, key_bytes, asset_bytes)
 
-                for unit_str in asset.units or []:
-                    unit = IsccUnit(unit_str)
+                for unit in parsed_units[i]:
                     unit_type = unit.unit_type
                     if unit_type.startswith("INSTANCE_"):
                         self.store.dup_put(DB_INSTANCE, unit.body, key_bytes)
@@ -255,31 +261,37 @@ class TpuIndex:
                         nphd_batches[unit_type][1].append(unit.body)
 
                 if asset.simprints:
-                    for sp_type, sp_list in asset.simprints.items():
+                    for sp_type, decoded in parsed_sps[i].items():
                         self._register_sp_type(sp_type)
                         if self.store.get(_spa_db(sp_type), iscc_id_body) is not None:
                             deleted = sp_ops.delete_asset_simprints(
-                                self.store, _sp_db(sp_type), iscc_id_body, inv_db=_spi_db(sp_type)
+                                self.store,
+                                _sp_db(sp_type),
+                                iscc_id_body,
+                                inv_db=_spi_db(sp_type),
+                                trust_inverse=self._spi_trusted(sp_type),
                             )
                             sp_deleted_keys.setdefault(sp_type, []).extend(deleted)
                         self.store.put(_spa_db(sp_type), iscc_id_body, sp_fingerprints[sp_type])
-                        for sp_obj in sp_list:
-                            sp_bytes = ic.decode_base64(sp_obj.simprint)
-                            chunk_ptr = sp_ops.pack_chunk_pointer(iscc_id_body, sp_obj.offset, sp_obj.size)
+                        for sp_bytes, chunk_ptr in decoded:
                             sp_store_pairs.setdefault(sp_type, []).append((sp_bytes, chunk_ptr))
-                            sp_inv_pairs.setdefault(sp_type, []).append(
-                                (iscc_id_body, sp_ops.pack_inverse_entry(sp_bytes, sp_obj.offset, sp_obj.size))
-                            )
+                            # inverse entry = sp_bytes + offset(4) + size(4),
+                            # i.e. the chunk pointer's tail re-keyed by asset
+                            sp_inv_pairs.setdefault(sp_type, []).append((iscc_id_body, sp_bytes + chunk_ptr[8:]))
                             sp_batches.setdefault(sp_type, ([], []))
                             sp_batches[sp_type][0].append(chunk_ptr)
                             sp_batches[sp_type][1].append(sp_bytes)
 
                 results.append(IsccAddResult(iscc_id=asset.iscc_id, status=status))
 
-            for sp_type, pairs in sp_store_pairs.items():
-                self.store.dup_putmulti(_sp_db(sp_type), pairs)
+            # Inverse rows FIRST: if the forward write then fails, inverse
+            # rows for missing forward pairs are harmless (deletes no-op);
+            # the opposite order could orphan forward rows the inverse can't
+            # find, silently breaking later per-asset deletes.
             for sp_type, pairs in sp_inv_pairs.items():
                 self.store.dup_putmulti(_spi_db(sp_type), pairs)
+            for sp_type, pairs in sp_store_pairs.items():
+                self.store.dup_putmulti(_sp_db(sp_type), pairs)
             self.store.flush()  # push the batch to the OS (commit point parity)
             t_store = time.perf_counter() - t_store
 
@@ -473,17 +485,31 @@ class TpuIndex:
             if batcher is None:
                 # Lock the check-then-create: two concurrent first requests
                 # must not both spawn a collector thread (the loser's thread
-                # would leak for the process lifetime).
+                # would leak for the process lifetime). Re-fetch the LIVE
+                # index inside the lock — binding a batcher to a stale
+                # reference that a rebuild just reset would permanently serve
+                # empty results (rebuild swaps happen under this same lock).
                 with self._batcher_lock:
                     batcher = self._batchers.get(unit_type)
                     if batcher is None:
+                        nphd_index = self._nphd_indexes.get(unit_type)
+                        if nphd_index is None:
+                            return {}
                         batcher = SearchBatcher(
                             nphd_index,
                             max_batch=self._opts.query_batch_max,
                             window_ms=self._opts.search_batching_window_ms,
                         )
                         self._batchers[unit_type] = batcher
-            ((keys, scores),) = batcher.search([unit_body], limit)
+            try:
+                ((keys, scores),) = batcher.search([unit_body], limit)
+            except RuntimeError:
+                # Batcher closed by a concurrent rebuild: fall back to an
+                # unbatched search on the current index.
+                nphd_index = self._nphd_indexes.get(unit_type)
+                if nphd_index is None:
+                    return {}
+                ((keys, scores),) = nphd_index.search([unit_body], limit)
         else:
             ((keys, scores),) = nphd_index.search([unit_body], limit)
         return {int.from_bytes(keys[i].tobytes(), "big"): float(scores[i]) for i in range(len(scores))}
@@ -725,10 +751,15 @@ class TpuIndex:
             return False
 
         shard_dir = self.path / unit_type
-        old_batcher = self._batchers.pop(unit_type, None)
-        if old_batcher is not None:
-            old_batcher.close()
-        old = self._nphd_indexes.pop(unit_type, None)
+        # Swap under _batcher_lock: batcher creation re-reads _nphd_indexes
+        # inside the same lock, so it can never bind a new batcher to the
+        # old index after this pop/reset (any batcher created before the pop
+        # is closed here, and its in-flight callers fall back unbatched).
+        with self._batcher_lock:
+            old_batcher = self._batchers.pop(unit_type, None)
+            if old_batcher is not None:
+                old_batcher.close()
+            old = self._nphd_indexes.pop(unit_type, None)
         if old is not None:
             old.reset()
         if shard_dir.exists():
@@ -823,6 +854,16 @@ class TpuIndex:
         if sp_type not in types:
             types.append(sp_type)
             self.store.put(DB_META, b"sp_types", json.dumps(types).encode())
+            # Types registered by THIS version always maintain the per-asset
+            # inverse db, so an empty inverse lookup is authoritative (no
+            # full-forward-db fallback scan). Pre-inverse stores lack the
+            # marker and keep the legacy fallback.
+            self.store.put(DB_META, b"spi_v1:" + sp_type.encode(), b"1")
+
+    def _spi_trusted(self, sp_type):
+        # type: (str) -> bool
+        """True when the inverse db is authoritative for this simprint type."""
+        return self.store.get(DB_META, b"spi_v1:" + sp_type.encode()) is not None
 
     def _device_mesh(self):
         # type: () -> ...

@@ -122,7 +122,13 @@ struct Store {
     std::string wbuf;         // pending appends not yet written to the fd
     uint64_t log_bytes = 0;   // log bytes already written to the fd
     uint32_t ext_min = 64;    // externalize plain values >= this; 0 disables
+    mutable std::mutex err_mtx;  // guards last_error (written from shared-lock paths too)
     std::string last_error;
+
+    void set_error(const std::string& msg) {
+        std::lock_guard<std::mutex> g(err_mtx);
+        last_error = msg;
+    }
 
     ~Store() {  // error paths in ts_open must not leak fds
         if (log_fd >= 0) ::close(log_fd);
@@ -141,7 +147,7 @@ constexpr size_t MAX_VAL_LEN = 1u << 30;        // 1 GiB
 
 bool check_sizes(Store& s, const char* db, size_t klen, size_t vlen) {
     if (strlen(db) > MAX_DB_NAME || klen > MAX_KEY_LEN || vlen > MAX_VAL_LEN) {
-        s.last_error = "mutation exceeds size limits (db<=64KB, key<=1MB, val<=1GB)";
+        s.set_error("mutation exceeds size limits (db<=64KB, key<=1MB, val<=1GB)");
         return false;
     }
     return true;
@@ -324,7 +330,7 @@ bool flush_wbuf(Store& s) {
                              static_cast<off_t>(s.log_bytes + done));
         if (n < 0) {
             if (errno == EINTR) continue;
-            s.last_error = std::string("log write failed: ") + strerror(errno);
+            s.set_error(std::string("log write failed: ") + strerror(errno));
             return false;
         }
         done += static_cast<size_t>(n);
@@ -392,7 +398,7 @@ bool replay_fd(Store& s, int fd, uint8_t src, size_t& consumed) {
                     buf.resize(old);
                     continue;
                 }
-                s.last_error = std::string("replay read failed: ") + strerror(errno);
+                s.set_error(std::string("replay read failed: ") + strerror(errno));
                 return false;
             } else {
                 buf.resize(old + static_cast<size_t>(n));
@@ -470,12 +476,12 @@ struct PendingRef {
 bool sync_dir(Store& s) {
     int dfd = ::open(s.dir.c_str(), O_DIRECTORY | O_RDONLY);
     if (dfd < 0) {
-        s.last_error = std::string("dir open failed: ") + strerror(errno);
+        s.set_error(std::string("dir open failed: ") + strerror(errno));
         return false;
     }
     bool ok = fsync(dfd) == 0;
     ::close(dfd);
-    if (!ok) s.last_error = std::string("dir fsync failed: ") + strerror(errno);
+    if (!ok) s.set_error(std::string("dir fsync failed: ") + strerror(errno));
     return ok;
 }
 
@@ -485,7 +491,7 @@ bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
     FileWriter w;
     w.fd = ::open(tmp_path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
     if (w.fd < 0) {
-        s.last_error = std::string("snapshot open failed: ") + strerror(errno);
+        s.set_error(std::string("snapshot open failed: ") + strerror(errno));
         return false;
     }
     std::string rec;
@@ -500,7 +506,7 @@ bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
                 }
             } else {
                 if (!plain_value(s, entry, vbuf)) {
-                    s.last_error = "snapshot: external value read failed";
+                    s.set_error("snapshot: external value read failed");
                     ::close(w.fd);
                     ::unlink(tmp_path.c_str());
                     return false;
@@ -522,18 +528,18 @@ bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
     }
     w.flush();
     if (!w.ok) {
-        s.last_error = "snapshot write failed";
+        s.set_error("snapshot write failed");
         ::close(w.fd);
         ::unlink(tmp_path.c_str());
         return false;
     }
     if (fdatasync(w.fd) != 0 || ::close(w.fd) != 0) {
-        s.last_error = "snapshot sync failed";
+        s.set_error("snapshot sync failed");
         ::unlink(tmp_path.c_str());
         return false;
     }
     if (::rename(tmp_path.c_str(), snap_path.c_str()) != 0) {
-        s.last_error = std::string("snapshot rename failed: ") + strerror(errno);
+        s.set_error(std::string("snapshot rename failed: ") + strerror(errno));
         return false;
     }
     // Make the rename itself durable before the caller truncates the log:
@@ -673,25 +679,37 @@ int ts_drop_db(void* h, const char* db) {
 
 // Batched dupsort put: concatenated [u32 klen][key][u32 vlen][val] pairs.
 // Returns number of pairs actually inserted (duplicates skipped).
-int64_t ts_dup_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t buflen) {
-    Store* s = static_cast<Store*>(h);
-    std::unique_lock lock(s->mtx);
-    int64_t inserted = 0;
+// Decode a [u32 klen][key][u32 vlen][val]... buffer, validating sizes over
+// the WHOLE batch before the caller applies anything: a mid-buffer rejection
+// after partial application would break the all-or-nothing batch contract.
+bool decode_pairs(Store& s, const char* db, const uint8_t* buf, uint64_t buflen,
+                  std::vector<std::pair<Bytes, Bytes>>& out) {
     uint64_t off = 0;
     while (off + 8 <= buflen) {
         uint32_t klen;
         memcpy(&klen, buf + off, 4);
         off += 4;
-        if (off + klen + 4 > buflen) return -1;
+        if (off + klen + 4 > buflen) return false;
         Bytes key(reinterpret_cast<const char*>(buf + off), klen);
         off += klen;
         uint32_t vlen;
         memcpy(&vlen, buf + off, 4);
         off += 4;
-        if (off + vlen > buflen) return -1;
-        Bytes val(reinterpret_cast<const char*>(buf + off), vlen);
+        if (off + vlen > buflen) return false;
+        out.emplace_back(std::move(key), Bytes(reinterpret_cast<const char*>(buf + off), vlen));
         off += vlen;
-        if (!check_sizes(*s, db, key.size(), val.size())) return -1;
+        if (!check_sizes(s, db, out.back().first.size(), out.back().second.size())) return false;
+    }
+    return true;
+}
+
+int64_t ts_dup_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t buflen) {
+    Store* s = static_cast<Store*>(h);
+    std::unique_lock lock(s->mtx);
+    std::vector<std::pair<Bytes, Bytes>> pairs;
+    if (!decode_pairs(*s, db, buf, buflen, pairs)) return -1;
+    int64_t inserted = 0;
+    for (auto& [key, val] : pairs) {
         if (log_and_apply(*s, OP_DUP_PUT, db, key, val)) inserted++;
     }
     return inserted;
@@ -711,7 +729,7 @@ int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, uint8_t**
     if (it == dbit->second.data.end()) return 0;
     Bytes v;
     if (!plain_value(*s, it->second, v)) {
-        s->last_error = "external value read failed";
+        s->set_error("external value read failed");  // shared lock held: err_mtx, not direct write
         return -1;
     }
     uint8_t* out = static_cast<uint8_t*>(malloc(v.size() ? v.size() : 1));
@@ -727,22 +745,10 @@ int ts_get(void* h, const char* db, const uint8_t* key, uint32_t klen, uint8_t**
 int64_t ts_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t buflen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
+    std::vector<std::pair<Bytes, Bytes>> pairs;
+    if (!decode_pairs(*s, db, buf, buflen, pairs)) return -1;
     int64_t applied = 0;
-    uint64_t off = 0;
-    while (off + 8 <= buflen) {
-        uint32_t klen;
-        memcpy(&klen, buf + off, 4);
-        off += 4;
-        if (off + klen + 4 > buflen) return -1;
-        Bytes key(reinterpret_cast<const char*>(buf + off), klen);
-        off += klen;
-        uint32_t vlen;
-        memcpy(&vlen, buf + off, 4);
-        off += 4;
-        if (off + vlen > buflen) return -1;
-        Bytes val(reinterpret_cast<const char*>(buf + off), vlen);
-        off += vlen;
-        if (!check_sizes(*s, db, key.size(), val.size())) return -1;
+    for (auto& [key, val] : pairs) {
         if (log_and_apply(*s, OP_PUT, db, key, val)) applied++;
     }
     return applied;
@@ -963,7 +969,7 @@ int ts_compact(void* h) {
     // readable, and the next compact simply retries.
     int new_rfd = ::open((s->dir + "/store.snap").c_str(), O_RDONLY);
     if (new_rfd < 0) {
-        s->last_error = std::string("snapshot reopen failed: ") + strerror(errno);
+        s->set_error(std::string("snapshot reopen failed: ") + strerror(errno));
         return 0;
     }
     // Snapshot is durably in place: point refs at it and swap the read fd.
@@ -988,12 +994,12 @@ uint64_t ts_log_bytes(void* h) {
 }
 
 const char* ts_last_error(void* h) {
-    // Copy under the lock into a thread-local buffer: returning the internal
+    // Copy under err_mtx into a thread-local buffer: returning the internal
     // c_str() would race concurrent writers assigning the string (the
     // returned pointer could dangle mid-read).
     static thread_local std::string buf;
     Store* s = static_cast<Store*>(h);
-    std::shared_lock lock(s->mtx);
+    std::lock_guard<std::mutex> g(s->err_mtx);
     buf = s->last_error;
     return buf.c_str();
 }

@@ -200,16 +200,24 @@ def get_index(uri=None):
 
     parsed = urlparse(uri)
     path = _normalize_uri_path(parsed.path)
+    return manager_for(parsed.scheme, path, uri=uri)
 
-    if parsed.scheme in ("kv", "lmdb"):
+
+def manager_for(scheme, path, uri=None):
+    # type: (str, str, str | None) -> ...
+    """Scheme -> backend manager over a filesystem path (shared with the CLI,
+    which passes configured paths directly — no URI round-trip)."""
+    if scheme in ("kv", "lmdb"):
         from iscc_search_tpu.indexes.kv import KvIndexManager
 
         return KvIndexManager(path)
 
-    if parsed.scheme in ("tpu", "usearch"):
+    if scheme in ("tpu", "usearch"):
         from iscc_search_tpu.indexes.tpu import TpuIndexManager
 
         return TpuIndexManager(path)
 
     supported = ["memory://", "kv://", "tpu://"]
-    raise ValueError(f"Unsupported ISCC_SEARCH_INDEX_URI scheme: '{uri}'. Supported schemes: {', '.join(supported)}.")
+    raise ValueError(
+        f"Unsupported ISCC_SEARCH_INDEX_URI scheme: '{uri or scheme}'. Supported schemes: {', '.join(supported)}."
+    )

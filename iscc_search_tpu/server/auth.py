@@ -21,8 +21,13 @@ def verify_api_key(request, opts):
         return
     api_key = request.headers.get("x-api-key")
     # Compare bytes: compare_digest on str raises TypeError for non-ASCII
-    # header values, which would turn an auth failure into a 500.
-    if api_key is None or not secrets.compare_digest(api_key.encode(), opts.api_secret.encode()):
+    # values (500 instead of 401). WSGI decodes headers latin-1 (PEP 3333),
+    # so encode the header back to latin-1 to recover the RAW bytes the
+    # client sent — UTF-8 re-encoding would make a non-ASCII secret never
+    # match its own correct key.
+    if api_key is None or not secrets.compare_digest(
+        api_key.encode("latin-1", "replace"), opts.api_secret.encode()
+    ):
         raise HTTPError(401, "Unauthorized")
 
 

@@ -236,11 +236,11 @@ class HostStore:
 
     def _last_error(self):
         # type: () -> str
-        with self._state_cond:
-            h = self._h
-            if h is None:
-                return ""
-        msg = self._lib.ts_last_error(h)
+        try:
+            with self._use() as h:  # gate: close() must not free mid-call
+                msg = self._lib.ts_last_error(h)
+        except RuntimeError:
+            return ""
         return msg.decode("utf-8", "replace") if msg else ""
 
     # -- mutations ----------------------------------------------------------

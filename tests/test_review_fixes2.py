@@ -182,8 +182,10 @@ def test_simprint_delete_legacy_fallback_without_inverse_db(idx, rng):
     units = [make_unit(ic.MT.DATA, 0, 64), make_unit(ic.MT.INSTANCE, 0, 64)]
     e1 = entry(1, units, simprints={"text": [{"simprint": ic.encode_base64(sp1), "offset": 0, "size": 50}]})
     idx.add_assets([e1])
-    # Simulate a store written before the inverse db existed
+    # Simulate a store written before the inverse db existed: no inverse
+    # rows AND no authoritative-inverse marker for the type
     idx.store.drop_db(_spi_db("text"))
+    idx.store.delete("metadata", b"spi_v1:text")
     e2 = IsccEntry(
         iscc_id=e1.iscc_id,
         units=units,
