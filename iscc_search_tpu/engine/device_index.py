@@ -134,7 +134,12 @@ def _device_append(buf, new, start):
 
 def _atomic_write(path, data):
     # type: (Path, bytes) -> None
-    """Write bytes durably: temp file + fsync + rename (single visible commit)."""
+    """Write bytes durably: temp file + fsync + rename + DIRECTORY fsync.
+
+    Without the directory fsync the rename itself is neither durable nor
+    ordered across power loss — a later rename (the manifest) could survive
+    while an earlier one (a segment) is lost, leaving the manifest
+    referencing a missing file."""
     fd, tmp = tempfile.mkstemp(dir=str(path.parent), prefix=path.name, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
@@ -142,6 +147,11 @@ def _atomic_write(path, data):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        dfd = os.open(str(path.parent), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         try:
             os.unlink(tmp)
@@ -169,8 +179,14 @@ class PackedCodeIndex:
     metric = "nphd"
     key_bytes = 8
 
-    # Per-row storage estimate for shard sizing: key + 8 lanes + nlanes + valid
-    ROW_BYTES = 8 + MAX_LANES * 4 + 4 + 1
+    @property
+    def ROW_BYTES(self):
+        # type: () -> int
+        """Per-row storage estimate for shard sizing: key + lanes + nlanes + valid.
+
+        Derived from key_bytes — DeviceHammingIndex rows carry 16-byte
+        composite keys, not 8."""
+        return self.key_bytes + MAX_LANES * 4 + 4 + 1
 
     def __init__(
         self,
@@ -239,6 +255,16 @@ class PackedCodeIndex:
         # Sealed segments not yet confirmed written (queued snapshots can be
         # coalesced away; their seals must ride the NEXT snapshot instead).
         self._unconfirmed_seals = set()  # type: set[str]
+        # Monotonic counters: every snapshot gets a sequence number (older
+        # snapshots must never replace newer ones in the coalescing queue)
+        # and every emitted data file gets a unique name (the old manifest
+        # keeps referencing the OLD files until the new manifest commits).
+        self._save_seq = 0
+        self._file_seq = 0
+        # Files no manifest-to-be references anymore; unlinked by the save
+        # worker only AFTER a newer manifest commits (never eagerly — the
+        # on-disk manifest may still reference them).
+        self._pending_deletes = set()  # type: set[str]
 
         if (self.path / "state.json").exists():
             self._load()
@@ -398,14 +424,22 @@ class PackedCodeIndex:
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
             # trigger a fresh kernel compile; trim to `count` below.
-            k = min(_pow2ceil(max(1, count)), chunk)
+            k = _pow2ceil(max(1, count))
+            if k > chunk:
+                # Honor large counts exactly: the per-chunk top-k must hold k
+                # candidates, so grow the scan chunk (bounded by the per-shard
+                # capacity — k == all rows is then still exact). Chunks past
+                # the Pallas-friendly size route to the XLA path below.
+                chunk = min(cap // n_shards, k)
+                k = min(k, chunk)
+            pallas_ok = chunk <= max(_DEFAULT_CHUNK_ROWS, _PALLAS_MIN_CHUNK)
             if self.mesh is not None:
                 # Mesh paths take prepared queries (replicated); prep runs as
                 # its own device program.
                 from iscc_search_tpu.ops.pm1_scan import prepare_queries_device
 
                 q_pm1, q_scale = prepare_queries_device(q_codes_dev, q_lanes_dev, nbits)
-            if self.mesh is not None and self.recall_target is None and (
+            if self.mesh is not None and self.recall_target is None and pallas_ok and (
                 unpacked_dev is not None or perm_dev is not None
             ):
                 # Exact: the fused Pallas kernel per shard + ICI merge — the
@@ -444,7 +478,7 @@ class PackedCodeIndex:
                     chunk_size=chunk,
                     recall_target=self.recall_target,
                 )
-            elif self.recall_target is None and (unpacked_dev is not None or perm_dev is not None):
+            elif self.recall_target is None and pallas_ok and (unpacked_dev is not None or perm_dev is not None):
                 # Exact: fused device query prep + Pallas kernel over the ±1
                 # int8 layout, one upload + one dispatch per partition
                 from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_packedq
@@ -566,8 +600,9 @@ class PackedCodeIndex:
                     writes.append(self._segment_snapshot(seg))
                     emitted.add(seg["file"])
         while self._rows - sealed_rows >= self.shard_rows:
+            self._file_seq += 1
             seg = {
-                "file": f"seg-{len(self._segments):05d}.npz",
+                "file": f"seg-{self._file_seq:08d}.npz",  # unique, never reused
                 "start": sealed_rows,
                 "rows": self.shard_rows,
             }
@@ -576,7 +611,14 @@ class PackedCodeIndex:
             emitted.add(seg["file"])
             sealed_rows += self.shard_rows
         self._unconfirmed_seals.update(emitted)
-        active = {"file": "active.npz", "start": sealed_rows, "rows": self._rows - sealed_rows}
+        # Fresh names for the rewritable files on EVERY save: overwriting
+        # active.npz/valid.npy in place would invalidate the data the
+        # still-committed OLD manifest references — a crash between the data
+        # write and the manifest rename must leave the old state loadable.
+        self._save_seq += 1
+        seq = self._save_seq
+        active = {"file": f"active-{seq:08d}.npz", "start": sealed_rows, "rows": self._rows - sealed_rows}
+        valid_file = f"valid-{seq:08d}.npz"
         writes.append(self._segment_snapshot(active))
         state = {
             "rows": self._rows,
@@ -585,12 +627,26 @@ class PackedCodeIndex:
             "key_bytes": self.key_bytes,
             "segments": list(self._segments),
             "active": active,
+            "valid_file": valid_file,
+            "save_seq": seq,
+            "file_seq": self._file_seq,
         }
+        # Previous active/valid files are unreferenced once THIS manifest
+        # commits; queue them for post-commit deletion (the worker unlinks
+        # only after the rename, and a superseding snapshot inherits them).
+        self._pending_deletes.add(f"active-{seq - 1:08d}.npz")
+        self._pending_deletes.add(f"valid-{seq - 1:08d}.npz")
+        self._pending_deletes.update({"active.npz", "valid.npy"})  # legacy fixed names
+        self._pending_deletes.discard(active["file"])
+        self._pending_deletes.discard(valid_file)
         return {
+            "seq": seq,
             "writes": writes,
             "valid": self._valid[: self._rows].copy(),
+            "valid_file": valid_file,
             "state": state,
             "sealed_files": sorted(emitted),
+            "delete_after": sorted(self._pending_deletes),
         }
 
     def _segment_snapshot(self, seg):
@@ -612,7 +668,11 @@ class PackedCodeIndex:
                     target=self._save_worker, name=f"save-{self.path.name}", daemon=True
                 )
                 self._save_thread.start()
-            self._save_queue = snapshot  # coalesce: newer state supersedes
+            # Coalesce by SEQUENCE: an older snapshot (taken before, enqueued
+            # after — snapshot and enqueue are not atomic) must never replace
+            # a newer one; snapshots are full-state, so the newer subsumes it.
+            if self._save_queue is None or snapshot["seq"] > self._save_queue["seq"]:
+                self._save_queue = snapshot
             self._save_cv.notify_all()
             if wait:
                 while self._save_queue is not None or self._save_inflight:
@@ -631,9 +691,10 @@ class PackedCodeIndex:
                 self._save_inflight = True
             try:
                 self._write_snapshot(snapshot)
-                if snapshot.get("sealed_files"):
-                    with self._lock:
+                with self._lock:
+                    if snapshot.get("sealed_files"):
                         self._unconfirmed_seals.difference_update(snapshot["sealed_files"])
+                    self._pending_deletes.difference_update(snapshot.get("delete_after", ()))
             except Exception:
                 logger.exception(f"background save failed for {self.path}")
                 with self._lock:
@@ -650,8 +711,17 @@ class PackedCodeIndex:
         for seg, keys, codes, nlanes in snapshot["writes"]:
             payload = _npz_bytes(keys=keys, codes=codes, nlanes=nlanes)
             _atomic_write(self.path / seg["file"], payload)
-        _atomic_write(self.path / "valid.npy", _npz_bytes(valid=snapshot["valid"]))
+        _atomic_write(self.path / snapshot["valid_file"], _npz_bytes(valid=snapshot["valid"]))
+        # The manifest rename is the commit point: every file above has a
+        # fresh name, so a crash anywhere before this line leaves the OLD
+        # manifest with all of ITS files intact.
         _atomic_write(self.path / "state.json", json.dumps(snapshot["state"]).encode())
+        # Only now are the superseded files unreferenced by the on-disk state.
+        for name in snapshot.get("delete_after", ()):
+            try:
+                (self.path / name).unlink()
+            except OSError:
+                pass
 
     def compact(self):
         # type: () -> None
@@ -757,36 +827,45 @@ class PackedCodeIndex:
             return self._partitions
 
         rows = self._rows
-        if self._partitions is None or self.mesh is not None or rows < self._synced_rows:
-            # Full (re)build: first sync, mesh placement (sharded arrays are
-            # rebuilt whole), or a compaction/reset shrank the row space.
-            self._partitions = {}
-            nlanes = self._nlanes[:rows]
-            for lanes in np.unique(nlanes):
-                lanes = int(lanes)
-                row_map = np.flatnonzero(nlanes == lanes).astype(np.int32)
-                self._partitions[lanes] = self._build_partition(lanes, row_map)
-        else:
-            # Incremental: append only rows added since the last sync; a
-            # partition whose capacity overflows is rebuilt alone.
-            new_lanes = self._nlanes[self._synced_rows : rows]
-            for lanes in np.unique(new_lanes):
-                lanes = int(lanes)
-                new_rows = (
-                    self._synced_rows + np.flatnonzero(new_lanes == lanes)
-                ).astype(np.int32)
-                part = self._partitions.get(lanes)
-                if part is None or part.count + len(new_rows) > part.cap:
-                    row_map = np.flatnonzero(self._nlanes[:rows] == lanes).astype(np.int32)
+        try:
+            if self._partitions is None or self.mesh is not None or rows < self._synced_rows:
+                # Full (re)build: first sync, mesh placement (sharded arrays are
+                # rebuilt whole), or a compaction/reset shrank the row space.
+                self._partitions = {}
+                nlanes = self._nlanes[:rows]
+                for lanes in np.unique(nlanes):
+                    lanes = int(lanes)
+                    row_map = np.flatnonzero(nlanes == lanes).astype(np.int32)
                     self._partitions[lanes] = self._build_partition(lanes, row_map)
-                else:
-                    self._append_to_partition(part, lanes, new_rows)
-            if self._valid_dirty:
-                for lanes, part in self._partitions.items():
-                    valid = np.zeros((part.cap,), bool)
-                    live = part.row_map[: part.count]
-                    valid[: part.count] = self._valid[live]
-                    part.valid_dev = jax.device_put(jnp.asarray(valid))
+            else:
+                # Incremental: append only rows added since the last sync; a
+                # partition whose capacity overflows is rebuilt alone.
+                new_lanes = self._nlanes[self._synced_rows : rows]
+                for lanes in np.unique(new_lanes):
+                    lanes = int(lanes)
+                    new_rows = (
+                        self._synced_rows + np.flatnonzero(new_lanes == lanes)
+                    ).astype(np.int32)
+                    part = self._partitions.get(lanes)
+                    if part is None or part.count + len(new_rows) > part.cap:
+                        row_map = np.flatnonzero(self._nlanes[:rows] == lanes).astype(np.int32)
+                        self._partitions[lanes] = self._build_partition(lanes, row_map)
+                    else:
+                        self._append_to_partition(part, lanes, new_rows)
+                if self._valid_dirty:
+                    for lanes, part in self._partitions.items():
+                        valid = np.zeros((part.cap,), bool)
+                        live = part.row_map[: part.count]
+                        valid[: part.count] = self._valid[live]
+                        part.valid_dev = jax.device_put(jnp.asarray(valid))
+        except BaseException:
+            # A partial incremental sync (one partition appended, another
+            # failed) with stale _synced_rows would re-append the same rows
+            # on retry — duplicate valid device rows. Force a full rebuild.
+            self._partitions = None
+            self._synced_rows = 0
+            self._device_stale = True
+            raise
 
         self._synced_rows = rows
         self._valid_dirty = False
@@ -922,12 +1001,12 @@ class PackedCodeIndex:
         self._keys, self._codes, self._nlanes, self._valid = keys, codes, nlanes, valid
         self._rows = n
         self._key_to_row = {self._keys[i].tobytes(): i for i in range(n)}
-        # All previously sealed segments are invalidated by the rewrite
+        # All previously sealed segments are invalidated by the rewrite —
+        # but the committed manifest still references them, so deletion must
+        # wait until a NEW manifest lands (a crash before that must reload
+        # the old, pre-compaction state intact).
         for seg in self._segments:
-            try:
-                (self.path / seg["file"]).unlink()
-            except OSError:
-                pass
+            self._pending_deletes.add(seg["file"])
         self._segments = []
         self._unconfirmed_seals = set()
         self._partitions = None  # row space rewritten: full device rebuild
@@ -946,6 +1025,9 @@ class PackedCodeIndex:
         self.max_dim = state["max_dim"]
         self.ndim = state.get("ndim")
         rows = state["rows"]
+        self._save_seq = state.get("save_seq", 0)
+        self._file_seq = state.get("file_seq", 0)
+        active_name = state["active"]["file"]
         self._ensure_capacity(max(rows, 1))
         pos = 0
         self._segments = []
@@ -961,16 +1043,17 @@ class PackedCodeIndex:
                 self._keys[pos : pos + n] = z["keys"]
                 self._codes[pos : pos + n] = z["codes"]
                 self._nlanes[pos : pos + n] = z["nlanes"]
-            if seg["file"] != "active.npz":
+            if seg["file"] != active_name:
                 self._segments.append(seg)
             pos += n
         self._rows = pos
-        valid_f = self.path / "valid.npy"
+        # Versioned valid file (legacy stores used a fixed "valid.npy")
+        valid_f = self.path / state.get("valid_file", "valid.npy")
         if valid_f.exists():
             with np.load(valid_f) as z:
                 v = z["valid"]
                 self._valid[: min(len(v), pos)] = v[: min(len(v), pos)]
-        else:  # pragma: no cover - valid.npy always written with state.json
+        else:  # pragma: no cover - the valid file is written with state.json
             self._valid[:pos] = True
         # Rebuild key map: later rows supersede earlier ones
         self._key_to_row = {}
@@ -981,6 +1064,27 @@ class PackedCodeIndex:
         self._synced_rows = 0
         self._valid_dirty = False
         self._device_stale = True
+        self._gc_unreferenced(state)
+
+    def _gc_unreferenced(self, state):
+        # type: (dict) -> None
+        """Delete data files the committed manifest does not reference.
+
+        A crash after the manifest rename but before the worker's deferred
+        deletions leaves superseded active/valid/segment files behind; they
+        are garbage (never referenced again) and reclaimed here."""
+        referenced = {seg["file"] for seg in state["segments"]}
+        referenced.add(state["active"]["file"])
+        referenced.add(state.get("valid_file", "valid.npy"))
+        for f in self.path.iterdir():
+            name = f.name
+            if name in referenced or not f.is_file():
+                continue
+            if name.startswith(("seg-", "active-", "valid-")) and name.endswith(".npz"):
+                try:
+                    f.unlink()
+                except OSError:  # pragma: no cover
+                    pass
 
 
 class DeviceNphdIndex(PackedCodeIndex):

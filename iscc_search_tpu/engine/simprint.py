@@ -107,9 +107,11 @@ class SimprintEngine:
         for asset_id, best_per_query in asset_best.items():
             total_idf = 0.0
             weighted_sim = 0.0
+            match_cache = {}  # type: dict[int, bytes]  # query_idx -> match bytes
             for query_idx, (offset, size, sim, composite_key) in best_per_query.items():
                 stored = self._index.get(composite_key)
                 match_bytes = stored if stored is not None else bytes(simprints[query_idx])
+                match_cache[query_idx] = match_bytes
                 idf = ops.calculate_idf(get_freq(match_bytes), total_assets)
                 total_idf += idf
                 weighted_sim += idf * sim
@@ -123,8 +125,7 @@ class SimprintEngine:
             if detailed:
                 chunks = []
                 for query_idx, (offset, size, sim, composite_key) in best_per_query.items():
-                    stored = self._index.get(composite_key)
-                    match_bytes = stored if stored is not None else bytes(simprints[query_idx])
+                    match_bytes = match_cache[query_idx]  # fetched in the scoring loop
                     chunks.append(
                         ops.MatchedChunkRaw(
                             query=bytes(simprints[query_idx]),
