@@ -132,14 +132,25 @@ def _device_append(buf, new, start):
     return _device_append._fn(buf, new, start)
 
 
-def _atomic_write(path, data):
-    # type: (Path, bytes) -> None
+def _fsync_dir(path):
+    # type: (Path) -> None
+    dfd = os.open(str(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _atomic_write(path, data, sync_dir=True):
+    # type: (Path, bytes, bool) -> None
     """Write bytes durably: temp file + fsync + rename + DIRECTORY fsync.
 
     Without the directory fsync the rename itself is neither durable nor
     ordered across power loss — a later rename (the manifest) could survive
     while an earlier one (a segment) is lost, leaving the manifest
-    referencing a missing file."""
+    referencing a missing file. Batch writers pass sync_dir=False per file
+    and issue ONE directory fsync before the manifest instead (the required
+    ordering is only data-renames-durable-before-manifest-rename)."""
     fd, tmp = tempfile.mkstemp(dir=str(path.parent), prefix=path.name, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
@@ -147,11 +158,8 @@ def _atomic_write(path, data):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
-        dfd = os.open(str(path.parent), os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        if sync_dir:
+            _fsync_dir(path.parent)
     except BaseException:
         try:
             os.unlink(tmp)
@@ -251,6 +259,7 @@ class PackedCodeIndex:
         self._save_inflight = False
         self._save_stop = False
         self._save_thread = None  # type: threading.Thread | None
+        self._written_seq = 0  # highest snapshot seq successfully on disk
         self._resave_all = False  # a failed write must re-emit sealed files
         # Sealed segments not yet confirmed written (queued snapshots can be
         # coalesced away; their seals must ride the NEXT snapshot instead).
@@ -433,6 +442,10 @@ class PackedCodeIndex:
                 chunk = min(cap // n_shards, k)
                 k = min(k, chunk)
             pallas_ok = chunk <= max(_DEFAULT_CHUNK_ROWS, _PALLAS_MIN_CHUNK)
+            # Mesh merges gather n_shards * k candidates; a count above the
+            # per-shard k needs a WIDER global top-k or rows that exist
+            # across shards are silently dropped from the merged result.
+            merge_k = min(_pow2ceil(max(1, count)), k * n_shards)
             if self.mesh is not None:
                 # Mesh paths take prepared queries (replicated); prep runs as
                 # its own device program.
@@ -461,6 +474,7 @@ class PackedCodeIndex:
                     k,
                     nbits,
                     chunk_size=pchunk,
+                    merge_k=merge_k,
                     interpret=self._pallas_interpret(),
                     db_perm=perm_dev,
                 )
@@ -477,6 +491,7 @@ class PackedCodeIndex:
                     nbits,
                     chunk_size=chunk,
                     recall_target=self.recall_target,
+                    merge_k=merge_k,
                 )
             elif self.recall_target is None and pallas_ok and (unpacked_dev is not None or perm_dev is not None):
                 # Exact: fused device query prep + Pallas kernel over the ±1
@@ -670,8 +685,12 @@ class PackedCodeIndex:
                 self._save_thread.start()
             # Coalesce by SEQUENCE: an older snapshot (taken before, enqueued
             # after — snapshot and enqueue are not atomic) must never replace
-            # a newer one; snapshots are full-state, so the newer subsumes it.
-            if self._save_queue is None or snapshot["seq"] > self._save_queue["seq"]:
+            # a newer one in the queue, NOR be written after a newer one that
+            # the worker already dequeued/committed (the written-seq
+            # watermark): snapshots are full-state, so newer subsumes older.
+            if snapshot["seq"] > self._written_seq and (
+                self._save_queue is None or snapshot["seq"] > self._save_queue["seq"]
+            ):
                 self._save_queue = snapshot
             self._save_cv.notify_all()
             if wait:
@@ -688,9 +707,14 @@ class PackedCodeIndex:
                     return
                 snapshot = self._save_queue
                 self._save_queue = None
+                if snapshot["seq"] <= self._written_seq:  # pragma: no cover - enqueue guard
+                    self._save_cv.notify_all()
+                    continue
                 self._save_inflight = True
             try:
                 self._write_snapshot(snapshot)
+                with self._save_cv:
+                    self._written_seq = max(self._written_seq, snapshot["seq"])
                 with self._lock:
                     if snapshot.get("sealed_files"):
                         self._unconfirmed_seals.difference_update(snapshot["sealed_files"])
@@ -710,8 +734,13 @@ class PackedCodeIndex:
         self.path.mkdir(parents=True, exist_ok=True)
         for seg, keys, codes, nlanes in snapshot["writes"]:
             payload = _npz_bytes(keys=keys, codes=codes, nlanes=nlanes)
-            _atomic_write(self.path / seg["file"], payload)
-        _atomic_write(self.path / snapshot["valid_file"], _npz_bytes(valid=snapshot["valid"]))
+            _atomic_write(self.path / seg["file"], payload, sync_dir=False)
+        _atomic_write(self.path / snapshot["valid_file"], _npz_bytes(valid=snapshot["valid"]), sync_dir=False)
+        # ONE directory fsync makes all the data renames above durable
+        # BEFORE the manifest rename can be (ordering is all that matters;
+        # per-file dir fsyncs would pay N+2 disk barriers for the same
+        # guarantee).
+        _fsync_dir(self.path)
         # The manifest rename is the commit point: every file above has a
         # fresh name, so a crash anywhere before this line leaves the OLD
         # manifest with all of ITS files intact.
@@ -1071,16 +1100,46 @@ class PackedCodeIndex:
         """Delete data files the committed manifest does not reference.
 
         A crash after the manifest rename but before the worker's deferred
-        deletions leaves superseded active/valid/segment files behind; they
-        are garbage (never referenced again) and reclaimed here."""
+        deletions leaves superseded files (and *.tmp residue) behind; they
+        are garbage and reclaimed here. SEQUENCE GUARD: only files whose
+        parsed sequence is <= the committed counters are deleted — files
+        with a HIGHER sequence belong to another live instance's in-flight
+        save (a probe opening the directory mid-save must not delete the
+        writer's fresh data before its manifest commits)."""
         referenced = {seg["file"] for seg in state["segments"]}
         referenced.add(state["active"]["file"])
         referenced.add(state.get("valid_file", "valid.npy"))
+        save_seq = state.get("save_seq", 0)
+        file_seq = state.get("file_seq", 0)
+
+        def committed_seq(name):
+            # "active-00000007.npz" -> (7, save counter); "seg-00000003.npz"
+            # -> (3, file counter); unparseable -> None (never deleted here)
+            stem = name.split(".", 1)[0]
+            prefix, _, digits = stem.partition("-")
+            if not digits.isdigit():
+                return None
+            n = int(digits)
+            if prefix in ("active", "valid"):
+                return n <= save_seq
+            if prefix == "seg" and len(digits) == 8:
+                return n <= file_seq
+            return None
+
         for f in self.path.iterdir():
             name = f.name
             if name in referenced or not f.is_file():
                 continue
-            if name.startswith(("seg-", "active-", "valid-")) and name.endswith(".npz"):
+            if name.endswith(".tmp"):
+                # Crash residue from _atomic_write; an in-flight writer's tmp
+                # is seq-guarded via its target-name prefix.
+                if committed_seq(name) is not False and committed_seq(name) is not None:
+                    try:
+                        f.unlink()
+                    except OSError:  # pragma: no cover
+                        pass
+                continue
+            if name.endswith(".npz") and committed_seq(name) is True:
                 try:
                     f.unlink()
                 except OSError:  # pragma: no cover

@@ -61,7 +61,8 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm):
+def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm, merge_k=None):
+    merge_k = k if merge_k is None else merge_k  # see pm1_sharded._make_fn
     from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
 
     def local_step(q_pm1, q_scale, db_packed, db_valid, *twins):
@@ -84,7 +85,7 @@ def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, wi
         idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
         all_s = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)
         all_i = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
-        top_s, pos = jax.lax.top_k(all_s, k)
+        top_s, pos = jax.lax.top_k(all_s, min(merge_k, all_s.shape[1]))
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, jnp.where(top_s > NEG_SCORE, top_i, -1)
 
@@ -111,6 +112,7 @@ def sharded_pallas_topk(
     interpret=False,
     db_perm=None,
     axis_name=SHARD_AXIS,
+    merge_k=None,
 ):
     # type: (...) -> tuple
     """
@@ -131,7 +133,7 @@ def sharded_pallas_topk(
         raise ValueError("sharded_pallas_topk needs at least one int8 twin")
     fn = _make_fn(
         mesh, k, nbits, chunk_size, interpret, axis_name,
-        db_unpacked is not None, db_perm is not None,
+        db_unpacked is not None, db_perm is not None, merge_k,
     )
     args = (q_pm1, q_scale, db_packed, db_valid)
     if db_unpacked is not None:

@@ -38,7 +38,11 @@ def shard_pm1_database(mesh, db_packed, db_valid, axis_name=SHARD_AXIS):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name):
+def _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name, merge_k=None):
+    # merge_k: width of the GLOBAL top-k over the gathered n*k candidates.
+    # Defaults to k; counts larger than the per-shard k need merge_k > k or
+    # the merge silently truncates results that exist across shards.
+    merge_k = k if merge_k is None else merge_k
     def local_step(q_pm1, q_scale, db_packed, db_valid):
         if recall_target is None:
             # Exact local scan via two-phase block-max (no per-chunk sort) —
@@ -71,7 +75,7 @@ def _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name):
         idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
         all_s = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)
         all_i = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
-        top_s, pos = jax.lax.top_k(all_s, k)
+        top_s, pos = jax.lax.top_k(all_s, min(merge_k, all_s.shape[1]))
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, jnp.where(top_s > NEG_SCORE, top_i, -1)
 
@@ -99,6 +103,7 @@ def sharded_pm1_topk(
     dtype=jnp.bfloat16,
     recall_target=None,
     axis_name=SHARD_AXIS,
+    merge_k=None,
 ):
     # type: (...) -> tuple
     """
@@ -109,5 +114,5 @@ def sharded_pm1_topk(
     :param db_packed/db_valid: row-sharded (see shard_pm1_database)
     :return: replicated (scores (Q, k), global row indices (Q, k))
     """
-    fn = _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name)
+    fn = _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name, merge_k)
     return fn(q_pm1, q_scale, db_packed, db_valid)

@@ -50,7 +50,7 @@ def shard_database(mesh, db_codes, db_lanes, db_valid, axis_name=SHARD_AXIS):
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name):
+def _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name, merge_k=None):
     # type: (...) -> ...
     # Memoized like the sibling builders (pm1_sharded/pallas_sharded):
     # a fresh shard_map + jit wrapper per call would retrace and recompile
@@ -68,7 +68,7 @@ def _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name):
         # Collective merge: gather all shards' candidates, take global top-k.
         all_scores = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)  # (Q, n*k)
         all_idx = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
-        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_scores, pos = jax.lax.top_k(all_scores, min(merge_k or k, all_scores.shape[1]))
         top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
         top_idx = jnp.where(top_scores > NEG_SCORE, top_idx, -1)
         return top_scores, top_idx
@@ -100,6 +100,7 @@ def sharded_topk(
     metric="nphd",
     ndim_bits=None,
     axis_name=SHARD_AXIS,
+    merge_k=None,
 ):
     # type: (...) -> tuple
     """
@@ -111,5 +112,5 @@ def sharded_topk(
     :param k: results per query
     :return: replicated (scores (Q, k), global indices (Q, k))
     """
-    fn = _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name)
+    fn = _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name, merge_k)
     return fn(q_codes, q_lanes, db_codes, db_lanes, db_valid)

@@ -39,8 +39,12 @@ def test_corrupt_segment_warns_skips_and_rebuild_repairs(tmp_path, caplog):
     idx.add_assets(entries)
     idx.close()
 
-    # Corrupt the active segment of the DATA index
-    seg = path / "DATA_NONE_V0" / "active.npz"
+    # Corrupt the active segment of the DATA index (versioned name — read
+    # the committed manifest to find it)
+    import json as _json
+
+    state = _json.loads((path / "DATA_NONE_V0" / "state.json").read_text())
+    seg = path / "DATA_NONE_V0" / state["active"]["file"]
     assert seg.exists()
     seg.write_bytes(b"not an npz file")
 

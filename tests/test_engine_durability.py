@@ -72,10 +72,10 @@ def test_crash_before_manifest_preserves_old_state(tmp_path, rng, monkeypatch):
 
     real_write = di._atomic_write
 
-    def crashing_write(path, data):
+    def crashing_write(path, data, **kw):
         if path.name == "state.json":
             raise OSError("power loss (simulated)")
-        return real_write(path, data)
+        return real_write(path, data, **kw)
 
     monkeypatch.setattr(di, "_atomic_write", crashing_write)
     with pytest.raises(Exception):
@@ -116,6 +116,17 @@ def test_older_snapshot_never_replaces_newer(tmp_path, rng):
     reopened = DeviceNphdIndex(tmp_path / "i")
     try:
         assert reopened.size == 2  # s2 won; s1 must not have clobbered it
+    finally:
+        reopened.close()
+    # In-flight variant: s2 already WRITTEN (not just queued) when the
+    # older s1 arrives — the written-seq watermark must drop it.
+    with idx._lock:
+        s3 = idx._snapshot_locked()
+    idx._enqueue_save(s3, wait=True)
+    idx._enqueue_save(s1, wait=True)
+    reopened = DeviceNphdIndex(tmp_path / "i")
+    try:
+        assert reopened.size == 2
     finally:
         reopened.close()
     idx.close()

@@ -134,10 +134,10 @@ def test_background_save_does_not_block_mutations(tmp_path, rng, monkeypatch):
     gate = {"slow": True}
     real_write = di._atomic_write
 
-    def slow_write(path, data):
+    def slow_write(path, data, **kw):
         if gate["slow"]:
             _time.sleep(0.5)
-        real_write(path, data)
+        real_write(path, data, **kw)
 
     monkeypatch.setattr(di, "_atomic_write", slow_write)
     idx = DeviceNphdIndex(tmp_path / "bg")
@@ -181,10 +181,10 @@ def test_background_save_failure_marks_dirty_and_recovers(tmp_path, rng, monkeyp
     real_write = di._atomic_write
     boom = {"on": True}
 
-    def failing_write(path, data):
+    def failing_write(path, data, **kw):
         if boom["on"]:
             raise OSError("disk on fire")
-        real_write(path, data)
+        real_write(path, data, **kw)
 
     monkeypatch.setattr(di, "_atomic_write", failing_write)
     idx = DeviceNphdIndex(tmp_path / "fail")

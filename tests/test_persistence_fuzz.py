@@ -22,11 +22,11 @@ class CrashingWrites:
         self.remaining = fail_after
         self.real = di._atomic_write
 
-    def __call__(self, path, data):
+    def __call__(self, path, data, **kw):
         if self.remaining <= 0:
             raise OSError("injected crash")
         self.remaining -= 1
-        return self.real(path, data)
+        return self.real(path, data, **kw)
 
 
 def expected_state(model):

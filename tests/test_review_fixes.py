@@ -83,7 +83,9 @@ def test_coalesced_save_preserves_sealed_segments(tmp_path, rng):
     idx.drain_rotations()
     idx.close()
 
-    assert (tmp_path / "n" / "seg-00001.npz").exists()
+    # Both sealed segments must be on disk (names are unique per seal)
+    sealed = sorted(f.name for f in (tmp_path / "n").glob("seg-*.npz"))
+    assert len(sealed) == 2, sealed
     idx2 = DeviceNphdIndex(tmp_path / "n", shard_size=1)
     assert idx2.size == 2100
     (keys, scores), = idx2.search([bodies[1500]], 1)
