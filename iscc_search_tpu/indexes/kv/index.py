@@ -61,6 +61,11 @@ class KvIndex:
                 IsccUnit(unit_str)  # raises on malformed unit strings
             common.extract_iscc_id_body(asset.iscc_id)
 
+        with self.store.session():  # one gate acquisition for the whole batch
+            return self._add_assets_inner(assets, realm)
+
+    def _add_assets_inner(self, assets, realm):
+        # type: (list, int | None) -> list
         if self._realm_id is None:
             self._realm_id = realm
             self.store.put(DB_META, b"realm_id", str(realm).encode())

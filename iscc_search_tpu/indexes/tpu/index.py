@@ -143,7 +143,7 @@ class TpuIndex:
         t_batch = time.perf_counter()
         results = []  # type: list[IsccAddResult]
 
-        with self._write_lock:
+        with self._write_lock, self.store.session():
             t_store = time.perf_counter()
             # Validate the WHOLE batch before mutating anything — including
             # the realm-inference write (all-or-nothing parity with the

@@ -209,6 +209,7 @@ class HostStore:
         self._closed = False
         self._inflight = 0
         self._state_cond = threading.Condition()
+        self._pin = threading.local()  # per-thread session pin depth
 
     @contextlib.contextmanager
     def _use(self):
@@ -220,7 +221,17 @@ class HostStore:
         use-after-free. Calls register here; close() refuses to free the
         native store until the in-flight count drains to zero, and new calls
         after close() raise instead of passing NULL.
+
+        A thread holding a session() pin skips the per-call bookkeeping —
+        its pin already holds the in-flight count (the gate costs ~30% of
+        bulk-ingest throughput when paid per call).
         """
+        if getattr(self._pin, "depth", 0):
+            # Use the handle captured at session entry: close() nulls _h
+            # immediately (to fail NEW callers) but waits for the pinned
+            # session to exit before freeing the native store.
+            yield self._pin.handle
+            return
         with self._state_cond:
             if self._h is None:
                 raise RuntimeError(f"HostStore at {self.path} is closed")
@@ -233,6 +244,22 @@ class HostStore:
                 self._inflight -= 1
                 if self._inflight == 0:
                     self._state_cond.notify_all()
+
+    @contextlib.contextmanager
+    def session(self):
+        """Pin the store for a burst of calls (one gate acquisition total).
+
+        Used by batch writers (add_assets makes thousands of native calls
+        under one logical operation); close() still waits for the session
+        to end before freeing the native store.
+        """
+        with self._use() as h:
+            self._pin.depth = getattr(self._pin, "depth", 0) + 1
+            self._pin.handle = h
+            try:
+                yield self
+            finally:
+                self._pin.depth -= 1
 
     def _last_error(self):
         # type: () -> str

@@ -25,7 +25,6 @@ import jax
 jax.config.update("jax_platforms", _platform)
 
 import random
-import struct
 
 import pytest
 
@@ -37,11 +36,14 @@ def rng():
     return random.Random(42)
 
 
+_FALLBACK_RNG = random.Random(0xA11CE)  # reproducible default for rng-less calls
+
+
 def make_unit(mtype, stype, bits, body=None, rng=None):
     # type: (int, int, int, bytes | None, random.Random | None) -> str
     """Build a canonical ISCC-UNIT string with the given body (random if None)."""
     if body is None:
-        rnd = rng or random
+        rnd = rng or _FALLBACK_RNG  # seeded: failures stay reproducible
         body = bytes(rnd.getrandbits(8) for _ in range(bits // 8))
     header = ic.encode_header(mtype, stype, ic.VS.V0, ic.encode_length(mtype, bits))
     return "ISCC:" + ic.encode_base32(header + body[: bits // 8])

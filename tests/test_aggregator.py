@@ -134,8 +134,10 @@ def test_record_to_entry_ok():
     types = {ic.decode_header(ic.decode_base32(u.removeprefix("ISCC:"))).maintype for u in entry.units}
     assert ic.MT.DATA in types and ic.MT.INSTANCE in types
     # INSTANCE expands to the full 256-bit datahash form
-    inst = [u for u in entry.units if "INSTANCE" in __import__("iscc_search_tpu.models", fromlist=["IsccUnit"]).IsccUnit(u).unit_type]
-    assert len(__import__("iscc_search_tpu.models", fromlist=["IsccUnit"]).IsccUnit(inst[0])) == 256
+    from iscc_search_tpu.models import IsccUnit
+
+    inst = [u for u in entry.units if "INSTANCE" in IsccUnit(u).unit_type]
+    assert len(IsccUnit(inst[0])) == 256
 
 
 def test_record_to_entry_skips():
@@ -202,7 +204,7 @@ def agg_setup():
 
 
 def run_async(coro):
-    return asyncio.new_event_loop().run_until_complete(coro)
+    return asyncio.run(coro)  # closes the loop (new_event_loop leaked one per call)
 
 
 def test_poll_hub_once_ingests(agg_setup):

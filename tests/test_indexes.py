@@ -185,7 +185,7 @@ def test_crafted_names_rejected_before_filesystem(backend, tmp_path):
     """Names like '..' must never address paths outside the base directory."""
     if isinstance(backend, MemoryIndex):
         pytest.skip("memory backend has no filesystem")
-    for name in ("..", "a..b".replace("..", ".."), "UPPER"):
+    for name in ("..", "a..b", "UPPER"):
         with pytest.raises((ValueError, FileNotFoundError)):
             backend.get_index(name)
         with pytest.raises((ValueError, FileNotFoundError)):

@@ -186,9 +186,12 @@ def test_get_is_owned_copy_under_writes(store):
 
     def writer():
         i = 0
-        while not stop.is_set():
-            store.put("r", b"key", bytes([65 + (i % 26)]) * 1000)
-            i += 1
+        try:
+            while not stop.is_set():
+                store.put("r", b"key", bytes([65 + (i % 26)]) * 1000)
+                i += 1
+        except Exception as e:  # a dead writer must fail the test, not mute it
+            errors.append(repr(e))
 
     t = threading.Thread(target=writer)
     t.start()
@@ -453,7 +456,8 @@ def test_db_kind_flip_rejected(tmp_path):
     # an emptied db may change kind
     store.dup_delete("d", b"k", b"v1")
     store.delete("d", b"k")
-    assert store.put("d", b"k", b"now-plain") or store.get("d", b"k") == b"now-plain"
+    assert store.put("d", b"k", b"now-plain")
+    assert store.get("d", b"k") == b"now-plain"
     store.close()
 
 

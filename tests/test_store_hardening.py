@@ -130,3 +130,41 @@ def test_last_error_reports_detail(tmp_path):
     finally:
         store.close()
     assert store._last_error() == ""  # closed store: empty, no crash
+
+
+def test_session_pins_store_against_close(tmp_path):
+    """A session() holds the in-flight gate across many calls (one
+    acquisition total); close() must wait for it, and entering a session
+    on a closed store must raise."""
+    import threading
+    import time
+
+    store = HostStore(tmp_path / "s")
+    entered = threading.Event()
+    release = threading.Event()
+    errors = []
+
+    def worker():
+        try:
+            with store.session():
+                entered.set()
+                store.put("db", b"k", b"v")
+                release.wait(timeout=10)
+                store.put("db", b"k2", b"v2")  # still pinned: must not UAF
+        except Exception as e:
+            errors.append(repr(e))
+
+    t = threading.Thread(target=worker)
+    t.start()
+    entered.wait(timeout=10)
+    closer = threading.Thread(target=store.close)
+    closer.start()
+    time.sleep(0.1)
+    assert closer.is_alive()  # close blocked on the session
+    release.set()
+    t.join(timeout=10)
+    closer.join(timeout=10)
+    assert errors == []
+    with pytest.raises(RuntimeError, match="closed"):
+        with store.session():
+            pass

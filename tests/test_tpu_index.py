@@ -126,7 +126,6 @@ def test_below_threshold_type_excluded_from_score(idx):
 
 
 def test_batch_dedup_keeps_last(idx, rng):
-    import random
 
     u1 = [make_unit(ic.MT.DATA, 0, 64, rng=rng), make_unit(ic.MT.INSTANCE, 0, 64, rng=rng)]
     u2 = [make_unit(ic.MT.DATA, 0, 64, rng=rng), make_unit(ic.MT.INSTANCE, 0, 64, rng=rng)]
