@@ -1131,9 +1131,12 @@ class PackedCodeIndex:
             if name in referenced or not f.is_file():
                 continue
             if name.endswith(".tmp"):
-                # Crash residue from _atomic_write; an in-flight writer's tmp
-                # is seq-guarded via its target-name prefix.
-                if committed_seq(name) is not False and committed_seq(name) is not None:
+                # Crash residue from _atomic_write. Data-file tmps are
+                # seq-guarded via their target-name prefix (an in-flight
+                # writer's files carry a higher seq); manifest tmps
+                # (state.jsonXXX.tmp) are always safe to reclaim — deleting
+                # an in-flight one merely fails that save, which retries.
+                if committed_seq(name) is True or name.startswith("state.json"):
                     try:
                         f.unlink()
                     except OSError:  # pragma: no cover

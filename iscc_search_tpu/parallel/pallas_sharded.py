@@ -127,7 +127,7 @@ def sharded_pallas_topk(
     :param interpret: run the Pallas kernels in interpreter mode (CPU meshes)
     :param db_perm: optional row-sharded permute_rows() twin — routes phase 1
         through the fast tree-epilogue kernel per shard
-    :return: replicated (scores (Q, k), global row indices (Q, k))
+    :return: replicated (scores (Q, merge_k or k), global row indices of the same width)
     """
     if db_unpacked is None and db_perm is None:
         raise ValueError("sharded_pallas_topk needs at least one int8 twin")

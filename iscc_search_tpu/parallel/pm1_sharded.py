@@ -112,7 +112,7 @@ def sharded_pm1_topk(
     :param q_pm1: (Q, nbits) ±1 queries, prefix-masked (replicated)
     :param q_scale: (Q,) per-query scale 1/(2*min_bits)
     :param db_packed/db_valid: row-sharded (see shard_pm1_database)
-    :return: replicated (scores (Q, k), global row indices (Q, k))
+    :return: replicated (scores (Q, merge_k or k), global row indices of the same width)
     """
     fn = _make_fn(mesh, k, nbits, chunk_size, dtype, recall_target, axis_name, merge_k)
     return fn(q_pm1, q_scale, db_packed, db_valid)

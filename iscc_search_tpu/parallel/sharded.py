@@ -110,7 +110,7 @@ def sharded_topk(
     :param q_codes: (Q, L) uint32 queries (replicated)
     :param db_codes/db_lanes/db_valid: row-sharded database (see shard_database)
     :param k: results per query
-    :return: replicated (scores (Q, k), global indices (Q, k))
+    :return: replicated (scores (Q, merge_k or k), global indices of the same width)
     """
     fn = _sharded_topk_fn(mesh, k, chunk_size, metric, ndim_bits, axis_name, merge_k)
     return fn(q_codes, q_lanes, db_codes, db_lanes, db_valid)
