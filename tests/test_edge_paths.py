@@ -141,3 +141,50 @@ def test_kv_manager_list_skips_corrupt_index(tmp_path):
     assert "good" in names
     mgr.sync("good")  # durability barrier path
     mgr.close()
+
+
+def test_file_to_entry_invalid_entry_warns(tmp_path):
+    from iscc_search_tpu.cli.add import file_to_entry
+
+    bad = tmp_path / "bad.iscc.json"
+    bad.write_text(json.dumps({"iscc_id": make_iscc_id(1), "units": [make_unit(3, 0, 64)]}))  # min 2
+    assert file_to_entry(bad) is None  # warn-and-skip, not raise
+    nocode = tmp_path / "empty.iscc.json"
+    nocode.write_text(json.dumps({"metadata": {"name": "x"}}))
+    assert file_to_entry(nocode) is None
+
+
+def test_add_single_file_with_invalid_entry_skips(tmp_path):
+    from click.testing import CliRunner
+
+    from iscc_search_tpu.cli import cli
+    from iscc_search_tpu.cli import common as cli_common
+    from iscc_search_tpu.config import ConfigManager
+
+    manager = ConfigManager(config_dir=tmp_path / "cfg")
+    cli_common.set_config_manager(manager)
+    try:
+        r = CliRunner()
+        r.invoke(cli, ["index", "add", "main", "--path", str(tmp_path / "data")])
+        bad = tmp_path / "bad.iscc.json"
+        bad.write_text(json.dumps({"iscc_id": make_iscc_id(5), "units": [make_unit(3, 0, 64)]}))
+        result = r.invoke(cli, ["add", str(bad)])
+        assert result.exit_code == 0, result.output
+        assert "0 created" in result.output and "1 skipped" in result.output
+    finally:
+        cli_common.set_config_manager(None)
+
+
+def test_kv_manager_cold_load_and_sync(tmp_path):
+    from iscc_search_tpu.indexes.kv import KvIndexManager
+    from iscc_search_tpu.schema import IsccIndex
+
+    mgr = KvIndexManager(tmp_path)
+    mgr.create_index(IsccIndex(name="cold"))
+    mgr.close()
+    # A fresh manager must lazily load the existing index from disk
+    mgr2 = KvIndexManager(tmp_path)
+    info = mgr2.get_index("cold")
+    assert info.name == "cold" and info.assets == 0
+    mgr2.sync("cold")
+    mgr2.close()
