@@ -34,11 +34,15 @@ def serialize_asset(asset):
 
 def deserialize_asset(data):
     # type: (bytes) -> IsccEntry
-    """Deserialize JSON bytes to IsccEntry."""
+    """Deserialize JSON bytes to IsccEntry.
+
+    Corruption raises RuntimeError (a SERVER fault -> HTTP 500), never
+    ValueError: the wsgi layer maps ValueError to 400 "invalid user input",
+    and a corrupt stored record is not the client's mistake."""
     try:
         return IsccEntry(**json.loads(data.decode("utf-8")))
     except Exception as exc:
-        raise ValueError(f"invalid stored asset: {exc}") from None
+        raise RuntimeError(f"corrupt stored asset record: {exc}") from None
 
 
 def extract_iscc_id_body(iscc_id):
@@ -93,32 +97,13 @@ def validate_iscc_id(iscc_id, expected_realm=None):
     """
     Validate ISCC-ID format (and optionally realm).
 
-    Checks prefix, base32, 10-byte length, MainType ID, zero length field, and
-    an optional expected realm (reference common.py:223-272).
+    Checks prefix, base32, 10-byte length, MainType ID, zero length field,
+    a SUPPORTED realm (0/1 — subtypes 2-7 would poison an index: downstream
+    reconstruction only knows realms 0/1), and an optional expected realm
+    (reference common.py:223-272). Delegates to parse_iscc_id so the two
+    validators can never diverge.
     """
-    if not iscc_id or not iscc_id.startswith("ISCC:"):
-        raise ValueError(f"Invalid ISCC-ID format: '{iscc_id}' (must start with 'ISCC:')")
-    try:
-        code_bytes = ic.decode_base32(iscc_id.split(":")[-1])
-    except ValueError as e:
-        raise ValueError(f"Invalid ISCC-ID base32 encoding: {e}")
-    if len(code_bytes) != 10:
-        raise ValueError(
-            f"Invalid ISCC-ID length: {len(code_bytes)} bytes (expected 10 bytes = 2-byte header + 8-byte body)"
-        )
-    fields = ic.decode_header(code_bytes)
-    if fields.maintype != ic.MT.ID:
-        raise ValueError(f"Invalid ISCC-ID main type: {fields.maintype} (expected {int(ic.MT.ID)})")
-    if fields.length != 0:
-        raise ValueError(
-            f"Invalid ISCC-ID length field: {fields.length} (expected 0 for 64-bit ISCC-ID v1). "
-            f"ISCC-ID '{iscc_id}' appears to be malformed."
-        )
-    if expected_realm is not None and fields.subtype != expected_realm:
-        raise ValueError(
-            f"Realm mismatch: ISCC-ID '{iscc_id}' has realm={fields.subtype}, "
-            f"but expected realm={expected_realm}. Cannot query assets from different realm."
-        )
+    parse_iscc_id(iscc_id, expected_realm)
 
 
 def parse_iscc_id(iscc_id, expected_realm=None):
@@ -149,12 +134,38 @@ def parse_iscc_id(iscc_id, expected_realm=None):
             f"Invalid ISCC-ID length field: {fields.length} (expected 0 for 64-bit ISCC-ID v1). "
             f"ISCC-ID '{iscc_id}' appears to be malformed."
         )
+    if fields.subtype not in (0, 1):
+        # Realms 2-7 pass the wire pattern but nothing downstream can
+        # reconstruct them — accepting one would poison the whole index
+        # (every later search raises on reconstruction).
+        raise ValueError(
+            f"Unsupported ISCC-ID realm: {fields.subtype} (only realms 0 and 1 are defined)"
+        )
     if expected_realm is not None and fields.subtype != expected_realm:
         raise ValueError(
             f"Realm mismatch: ISCC-ID '{iscc_id}' has realm={fields.subtype}, "
             f"but expected realm={expected_realm}. Cannot query assets from different realm."
         )
     return obj
+
+
+def expand_iscc_id_query(query, get_asset):
+    # type: (..., ...) -> tuple
+    """Turn a search-by-iscc_id into a content query from the stored asset.
+
+    Shared by every backend (the same fetch/extract/rebuild logic was
+    previously triplicated). ``get_asset`` takes the iscc_id string.
+    :return: (expanded_query, original_iscc_id or None)
+    """
+    from iscc_search_tpu.schema import IsccQuery
+
+    if not query.iscc_id:
+        return query, None
+    asset = get_asset(query.iscc_id)
+    sp = None
+    if asset.simprints:
+        sp = {t: [s.simprint for s in lst] for t, lst in asset.simprints.items()}
+    return IsccQuery(iscc_code=asset.iscc_code, units=asset.units, simprints=sp), query.iscc_id
 
 
 def normalize_query(query):

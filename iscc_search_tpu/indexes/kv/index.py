@@ -115,15 +115,7 @@ class KvIndex:
         Bidirectional prefix search; per-unit scores = matched_bits /
         query_bits, averaged over all queried units (unmatched contribute 0).
         """
-        query_iscc_id = None
-        if query.iscc_id:
-            query_iscc_id = query.iscc_id
-            asset = self.get_asset(query.iscc_id)
-            sp = None
-            if asset.simprints:
-                sp = {t: [s.simprint for s in lst] for t, lst in asset.simprints.items()}
-            query = IsccQuery(iscc_code=asset.iscc_code, units=asset.units, simprints=sp)
-
+        query, query_iscc_id = common.expand_iscc_id_query(query, self.get_asset)
         query = common.normalize_query(query)
 
         query_unit_lengths = {}  # type: dict[str, int]

@@ -8,6 +8,8 @@ types 1.0), no persistence.
 
 from __future__ import annotations
 
+import threading
+
 from iscc_search_tpu.indexes import common
 from iscc_search_tpu.schema import (
     IsccAddResult,
@@ -25,75 +27,84 @@ class MemoryIndex:
     def __init__(self):
         # type: () -> None
         self._indexes = {}  # type: dict[str, dict]
+        # The threaded WSGI server calls this backend from many threads;
+        # iterating a dict another thread mutates raises RuntimeError.
+        self._lock = threading.RLock()
 
     def list_indexes(self):
         # type: () -> list[IsccIndex]
-        return [
-            IsccIndex(name=name, assets=len(data["assets"]), size=0) for name, data in self._indexes.items()
-        ]
+        with self._lock:
+            return [
+                IsccIndex(name=name, assets=len(data["assets"]), size=0)
+                for name, data in self._indexes.items()
+            ]
 
     def create_index(self, index):
         # type: (IsccIndex) -> IsccIndex
         common.validate_index_name(index.name)
-        if index.name in self._indexes:
-            raise FileExistsError(f"Index '{index.name}' already exists")
-        self._indexes[index.name] = {"assets": {}, "metadata": {}}
-        return IsccIndex(name=index.name, assets=0, size=0)
+        with self._lock:
+            if index.name in self._indexes:
+                raise FileExistsError(f"Index '{index.name}' already exists")
+            self._indexes[index.name] = {"assets": {}}
+            return IsccIndex(name=index.name, assets=0, size=0)
 
     def get_index(self, name):
         # type: (str) -> IsccIndex
-        if name not in self._indexes:
-            raise FileNotFoundError(f"Index '{name}' not found")
-        return IsccIndex(name=name, assets=len(self._indexes[name]["assets"]), size=0)
+        with self._lock:
+            if name not in self._indexes:
+                raise FileNotFoundError(f"Index '{name}' not found")
+            return IsccIndex(name=name, assets=len(self._indexes[name]["assets"]), size=0)
 
     def delete_index(self, name):
         # type: (str) -> None
-        if name not in self._indexes:
-            raise FileNotFoundError(f"Index '{name}' not found")
-        del self._indexes[name]
+        with self._lock:
+            if name not in self._indexes:
+                raise FileNotFoundError(f"Index '{name}' not found")
+            del self._indexes[name]
 
     def add_assets(self, index_name, assets):
         # type: (str, list) -> list[IsccAddResult]
-        if index_name not in self._indexes:
-            raise FileNotFoundError(f"Index '{index_name}' not found")
-        store = self._indexes[index_name]["assets"]
-        results = []
+        # All-or-nothing like the persistent backends: validate the whole
+        # batch BEFORE mutating, so a bad asset mid-batch commits nothing.
         for asset in assets:
             if asset.iscc_id is None:
                 raise ValueError("Asset must have iscc_id field when adding to index")
-            status = Status.updated if asset.iscc_id in store else Status.created
-            store[asset.iscc_id] = asset
-            results.append(IsccAddResult(iscc_id=asset.iscc_id, status=status))
-        return results
+        with self._lock:
+            if index_name not in self._indexes:
+                raise FileNotFoundError(f"Index '{index_name}' not found")
+            store = self._indexes[index_name]["assets"]
+            results = []
+            for asset in assets:
+                status = Status.updated if asset.iscc_id in store else Status.created
+                store[asset.iscc_id] = asset
+                results.append(IsccAddResult(iscc_id=asset.iscc_id, status=status))
+            return results
 
     def get_asset(self, index_name, iscc_id):
         # type: (str, str) -> ...
-        if index_name not in self._indexes:
-            raise FileNotFoundError(f"Index '{index_name}' not found")
-        store = self._indexes[index_name]["assets"]
-        if iscc_id not in store:
-            raise FileNotFoundError(f"Asset '{iscc_id}' not found in index '{index_name}'")
-        return store[iscc_id]
+        with self._lock:
+            if index_name not in self._indexes:
+                raise FileNotFoundError(f"Index '{index_name}' not found")
+            store = self._indexes[index_name]["assets"]
+            if iscc_id not in store:
+                raise FileNotFoundError(f"Asset '{iscc_id}' not found in index '{index_name}'")
+            return store[iscc_id]
 
     def search_assets(self, index_name, query, limit=100):
         # type: (str, IsccQuery, int) -> IsccSearchResult
         if index_name not in self._indexes:
             raise FileNotFoundError(f"Index '{index_name}' not found")
 
-        query_iscc_id = None
-        if query.iscc_id:
-            query_iscc_id = query.iscc_id
-            asset = self.get_asset(index_name, query.iscc_id)
-            sp = None
-            if asset.simprints:
-                sp = {t: [s.simprint for s in lst] for t, lst in asset.simprints.items()}
-            query = IsccQuery(iscc_code=asset.iscc_code, units=asset.units, simprints=sp)
-
+        query, query_iscc_id = common.expand_iscc_id_query(
+            query, lambda i: self.get_asset(index_name, i)
+        )
         query = common.normalize_query(query)
 
         match_types = {common.get_unit_type(u): 1.0 for u in query.units or []}
         matches = []
-        for asset in self._indexes[index_name]["assets"].values():
+        with self._lock:
+            assets_snapshot = list(self._indexes[index_name]["assets"].values())
+        for asset in assets_snapshot:
             if query.iscc_code and asset.iscc_code and asset.iscc_code == query.iscc_code:
                 matches.append(
                     IsccGlobalMatch(iscc_id=asset.iscc_id, score=1.0, types=match_types, metadata=asset.metadata)

@@ -390,18 +390,7 @@ class TpuIndex:
         Top-k search: INSTANCE exact matches + per-type NPHD scan + simprint
         chunk matches, aggregated with confidence weighting.
         """
-        query_iscc_id = None
-        if query.iscc_id:
-            query_iscc_id = query.iscc_id
-            asset = self.get_asset(query.iscc_id)
-            sp = None
-            if asset.simprints:
-                sp = {
-                    t: [s.simprint for s in lst]
-                    for t, lst in asset.simprints.items()
-                }
-            query = IsccQuery(iscc_code=asset.iscc_code, units=asset.units, simprints=sp)
-
+        query, query_iscc_id = common.expand_iscc_id_query(query, self.get_asset)
         query = common.normalize_query(query)
         t_search = time.perf_counter()
 

@@ -144,11 +144,16 @@ class IsccID(IsccBase):
     @classmethod
     def from_int(cls, iscc_id, realm_id):
         # type: (int, int) -> IsccID
+        if realm_id not in (0, 1):
+            # A negative index would silently wrap to the other realm
+            raise ValueError(f"Unsupported realm_id: {realm_id} (only 0 and 1 are defined)")
         return cls(cls._iscc_id_headers[realm_id] + iscc_id.to_bytes(8, "big", signed=False))
 
     @classmethod
     def from_body(cls, body, realm_id):
         # type: (bytes, int) -> IsccID
+        if realm_id not in (0, 1):
+            raise ValueError(f"Unsupported realm_id: {realm_id} (only 0 and 1 are defined)")
         return cls(cls._iscc_id_headers[realm_id] + body)
 
     @classmethod
@@ -209,10 +214,11 @@ class IsccCode(IsccBase):
 
             main_types = ic.decode_units(ln)
             expected = (len(main_types) + 2) * 8
-            if len(body) < expected:
-                # Unchecked negative slices below would silently build units
-                # from wrong byte ranges of a truncated composite.
-                raise ValueError(f"ISCC-CODE body too short: {len(body)} bytes < {expected}")
+            if len(body) != expected:
+                # A valid composite body is exactly this size; the negative
+                # slices below would otherwise read DATA/INSTANCE from wrong
+                # byte ranges of a truncated OR padded composite.
+                raise ValueError(f"ISCC-CODE body too short: {len(body)} bytes != {expected}")
             for idx, mtype in enumerate(main_types):
                 stype = ic.ST.NONE if mtype == ic.MT.META else st
                 unit_ln = ic.encode_length(mtype, 64)

@@ -17,7 +17,7 @@ from socketserver import ThreadingMixIn
 from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
 
 from iscc_search_tpu.schema import IsccIndex
-from iscc_search_tpu.utils import get_logger
+from iscc_search_tpu.utils import get_logger, configure_logging
 
 logger = get_logger(__name__)
 
@@ -93,6 +93,7 @@ def serve(opts=None):
     from iscc_search_tpu.server.app import create_app
 
     opts = opts or search_opts
+    configure_logging(level=opts.log_level)
     index = get_index(opts.index_uri)
     app = create_app(index=index, opts=opts)
 

@@ -29,8 +29,12 @@ def configure_logging(level="INFO", stream=None):
 
 def get_logger(name):
     # type: (str) -> logging.Logger
-    if not _configured:
-        configure_logging()
+    """Namespaced logger WITHOUT configuring handlers.
+
+    Libraries must not attach handlers as an import side effect (the host
+    application would get unsolicited stdout lines and double emission once
+    it configures logging itself). The CLI and server entry points call
+    configure_logging() explicitly."""
     return logging.getLogger(name)
 
 

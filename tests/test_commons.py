@@ -30,9 +30,11 @@ def test_serialize_excludes_simprints():
 
 
 def test_deserialize_invalid():
-    with pytest.raises(ValueError):
+    # Corrupt stored data is a SERVER fault (RuntimeError -> 500), never a
+    # ValueError (which the wsgi layer maps to 400 "invalid user input").
+    with pytest.raises(RuntimeError):
         common.deserialize_asset(b"{not json")
-    with pytest.raises(ValueError):
+    with pytest.raises(RuntimeError):
         common.deserialize_asset(b'{"units": "notalist"}')
 
 
