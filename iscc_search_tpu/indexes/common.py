@@ -47,16 +47,14 @@ def deserialize_asset(data):
 
 def extract_iscc_id_body(iscc_id):
     # type: (str) -> bytes
-    """Extract the 8-byte body from an ISCC-ID canonical string."""
-    validate_iscc_id(iscc_id)
-    return ic.decode_base32(iscc_id.split(":")[-1])[2:]
+    """Extract the 8-byte body from an ISCC-ID canonical string (one decode)."""
+    return parse_iscc_id(iscc_id).body
 
 
 def extract_realm_id(iscc_id):
     # type: (str) -> int
-    """Extract the realm id (0 or 1) from an ISCC-ID header."""
-    validate_iscc_id(iscc_id)
-    return ic.decode_header(ic.decode_base32(iscc_id.split(":")[-1])).subtype
+    """Extract the realm id (0 or 1) from an ISCC-ID header (one decode)."""
+    return parse_iscc_id(iscc_id).realm_id
 
 
 def reconstruct_iscc_id(body, realm_id):

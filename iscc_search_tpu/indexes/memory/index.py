@@ -92,8 +92,9 @@ class MemoryIndex:
 
     def search_assets(self, index_name, query, limit=100):
         # type: (str, IsccQuery, int) -> IsccSearchResult
-        if index_name not in self._indexes:
-            raise FileNotFoundError(f"Index '{index_name}' not found")
+        with self._lock:  # a concurrent delete must 404, not KeyError->500
+            if index_name not in self._indexes:
+                raise FileNotFoundError(f"Index '{index_name}' not found")
 
         query, query_iscc_id = common.expand_iscc_id_query(
             query, lambda i: self.get_asset(index_name, i)
@@ -103,7 +104,10 @@ class MemoryIndex:
         match_types = {common.get_unit_type(u): 1.0 for u in query.units or []}
         matches = []
         with self._lock:
-            assets_snapshot = list(self._indexes[index_name]["assets"].values())
+            data = self._indexes.get(index_name)
+            if data is None:  # deleted while the query was being expanded
+                raise FileNotFoundError(f"Index '{index_name}' not found")
+            assets_snapshot = list(data["assets"].values())
         for asset in assets_snapshot:
             if query.iscc_code and asset.iscc_code and asset.iscc_code == query.iscc_code:
                 matches.append(

@@ -204,8 +204,8 @@ class IsccCode(IsccBase):
                 continue
 
             if st == ic.ST_ISCC.WIDE:
-                if len(body) < 32:
-                    raise ValueError(f"ISCC-CODE body too short for WIDE composite: {len(body)} bytes < 32")
+                if len(body) != 32:
+                    raise ValueError(f"ISCC-CODE body length wrong for WIDE composite: {len(body)} bytes != 32")
                 data_ln = ic.encode_length(ic.MT.DATA, 128)
                 inst_ln = ic.encode_length(ic.MT.INSTANCE, 128)
                 units.append(IsccUnit(ic.encode_header(ic.MT.DATA, ic.ST.NONE, vs, data_ln) + body[:16]))
@@ -218,7 +218,7 @@ class IsccCode(IsccBase):
                 # A valid composite body is exactly this size; the negative
                 # slices below would otherwise read DATA/INSTANCE from wrong
                 # byte ranges of a truncated OR padded composite.
-                raise ValueError(f"ISCC-CODE body too short: {len(body)} bytes != {expected}")
+                raise ValueError(f"ISCC-CODE body length wrong: {len(body)} bytes != {expected}")
             for idx, mtype in enumerate(main_types):
                 stype = ic.ST.NONE if mtype == ic.MT.META else st
                 unit_ln = ic.encode_length(mtype, 64)

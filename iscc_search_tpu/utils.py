@@ -7,13 +7,11 @@ import sys
 import time
 from contextlib import contextmanager
 
-_configured = False
-
-
 def configure_logging(level="INFO", stream=None):
     # type: (str, ...) -> None
-    """Configure root logging once, in a production-friendly single-line format."""
-    global _configured
+    """Configure package logging in a production-friendly single-line format.
+
+    Replaces any existing handlers (safe to call more than once)."""
     handler = logging.StreamHandler(stream or sys.stdout)
     handler.setFormatter(
         logging.Formatter(
@@ -24,7 +22,6 @@ def configure_logging(level="INFO", stream=None):
     root = logging.getLogger("iscc_search_tpu")
     root.handlers = [handler]
     root.setLevel(level.upper())
-    _configured = True
 
 
 def get_logger(name):

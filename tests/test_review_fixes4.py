@@ -138,7 +138,7 @@ def test_iscc_code_units_rejects_truncated_composite():
     code = ic.gen_iscc_code_v0(units)["iscc"]
     digest = ic.decode_base32(code.removeprefix("ISCC:"))
     truncated = "ISCC:" + ic.encode_base32(digest[:-4])  # drop 4 body bytes
-    with pytest.raises(ValueError, match="too short"):
+    with pytest.raises(ValueError, match="length wrong"):
         IsccCode(truncated).units
 
 
