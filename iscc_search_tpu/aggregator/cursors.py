@@ -45,7 +45,10 @@ class CursorStore:
         except (OSError, ValueError) as exc:
             logger.warning(f"aggregator: ignoring unreadable cursor file {self.path}: {exc}")
             return {}
-        if not isinstance(data, dict) or data.get("network") != self.network:
+        if not isinstance(data, dict):
+            logger.warning(f"aggregator: ignoring malformed cursor file {self.path}")
+            return {}
+        if data.get("network") != self.network:
             logger.warning(f"aggregator: ignoring cursor file for network {data.get('network')!r}")
             return {}
         cursors = data.get("cursors")
@@ -98,4 +101,8 @@ def cursor_store_for(opts):
     parsed = urlparse(uri)
     if parsed.scheme not in ("kv", "lmdb", "tpu", "usearch") or not parsed.path:
         return None
-    return CursorStore(Path(parsed.path) / FILENAME, opts.aggregator_network)
+    from iscc_search_tpu.options import _normalize_uri_path
+
+    # Same path normalization as the index factory, or the cursor file
+    # lands beside a DIFFERENT directory than the index on win/'//' paths.
+    return CursorStore(Path(_normalize_uri_path(parsed.path)) / FILENAME, opts.aggregator_network)

@@ -126,8 +126,13 @@ async def poll_hub_once(client, hub, last_size, index, index_name, network, stop
         if len(records) != want:
             raise ValueError(f"{path} has {len(records)} records, expected {want}")
         already_done = max(cursor - bundle * tlog.TILE_WIDTH, 0)
-        entries = _convert_bundle(records, already_done, network, hub.url, tally)
+        # Tally per bundle and merge only after add_assets COMMITS: a failed
+        # bundle is retried next poll, and pre-counting its records would
+        # double-count them in the cumulative /status totals.
+        bundle_tally = Counter({reason: 0 for reason in REASONS})
+        entries = _convert_bundle(records, already_done, network, hub.url, bundle_tally)
         await asyncio.to_thread(index.add_assets, index_name, entries)
+        tally.update(bundle_tally)
 
     cursor = last_size
     for bundle, width in plan_bundles(last_size, tree_size):
@@ -194,9 +199,13 @@ class _Roster:
         self._due = now + opts.aggregator_hub_refresh_interval
 
 
-async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, status):
+async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, durable):
     # type: (...) -> None
-    """Poll one hub and fold the outcome into its mutable status row."""
+    """Poll one hub and fold the outcome into its mutable status row.
+
+    ``durable`` is the persistent hub->cursor map: it keeps entries for hubs
+    pruned from the live roster (a registry flap must not regress their
+    saved progress) and is the exact payload written to the cursor store."""
     state.url = hub.url  # a refresh may relocate a hub
     state.last_poll = time.time()
     try:
@@ -210,6 +219,7 @@ async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_stor
         return
     advanced = result.last_size != state.cursor
     state.cursor = result.last_size
+    durable[hub.hub_id] = state.cursor
     # Build-then-assign: /status copies state.counts from another thread, and
     # inserting new reason keys into the live dict could race that copy.
     merged = dict(state.counts)
@@ -222,7 +232,7 @@ async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_stor
         try:
             # Barrier first: only durably-stored records may move the saved cursor.
             await asyncio.to_thread(_sync_backend, index, opts.aggregator_index_name)
-            await asyncio.to_thread(cursor_store.save, {hid: st.cursor for hid, st in status.items()})
+            await asyncio.to_thread(cursor_store.save, dict(durable))
         except Exception as exc:
             # A failed barrier/save must not kill the poll loop: the in-memory
             # cursor stays ahead, the persisted one stays behind — safe with
@@ -244,7 +254,7 @@ async def poll_loop(index, opts, stop_event, client, status, cursor_store=None):
     re-backfills from leaf 0 like the reference (idempotent upserts make
     both safe).
     """
-    seeded = cursor_store.load() if cursor_store is not None else {}
+    durable = cursor_store.load() if cursor_store is not None else {}
     roster = _Roster(opts)
     while not stop_event.is_set():
         await roster.refresh(client, status)
@@ -253,10 +263,13 @@ async def poll_loop(index, opts, stop_event, client, status, cursor_store=None):
                 break
             state = status.get(hub.hub_id)
             if state is None:
+                # Seed from the LIVE durable map (not a process-start
+                # snapshot): a hub pruned by a roster flap and re-added must
+                # resume from its latest saved cursor, not an old one.
                 state = status[hub.hub_id] = HubStatus(
-                    hub_id=hub.hub_id, url=hub.url, cursor=seeded.get(hub.hub_id, 0)
+                    hub_id=hub.hub_id, url=hub.url, cursor=durable.get(hub.hub_id, 0)
                 )
-            await _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, status)
+            await _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, durable)
         try:
             await asyncio.wait_for(stop_event.wait(), timeout=opts.aggregator_poll_interval)
         except (TimeoutError, asyncio.TimeoutError):

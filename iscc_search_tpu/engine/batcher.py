@@ -123,6 +123,12 @@ class SearchBatcher:
         max_count = max(item.count for item in batch)
         try:
             results = self.index.search(bodies, max_count)
+            if len(results) != len(bodies):
+                # A short return would otherwise hand trailing callers EMPTY
+                # result lists (a silent wrong answer) instead of an error.
+                raise RuntimeError(
+                    f"engine returned {len(results)} results for {len(bodies)} queries"
+                )
             distributed = []
             offset = 0
             for item in batch:

@@ -81,9 +81,19 @@ class AggregatorRunner:
         # type: (float) -> None
         if self._loop is None or self._stop_event is None:
             return
-        self._loop.call_soon_threadsafe(self._stop_event.set)
+        try:
+            self._loop.call_soon_threadsafe(self._stop_event.set)
+        except RuntimeError:
+            # Loop already closed: the poller crashed earlier. stop() must
+            # not raise — serve()'s finally still has to close the index.
+            logger.warning("Aggregator poller was already stopped (earlier crash?)")
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():  # pragma: no cover - needs a wedged poller
+                logger.warning(
+                    f"Aggregator poller did not stop within {timeout}s; "
+                    "proceeding to close the index (an in-flight ingest may fail)"
+                )
 
 
 def serve(opts=None):
@@ -97,12 +107,18 @@ def serve(opts=None):
     index = get_index(opts.index_uri)
     app = create_app(index=index, opts=opts)
 
+    # Bind the socket FIRST: if the port is taken, nothing else must have
+    # started (a poller spawned before a failed bind would be killed
+    # mid-ingest with no flush when the process exits).
+    try:
+        httpd = make_server(opts.host, opts.port, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
+    except OSError:
+        index.close()
+        raise
     runner = None
     if opts.aggregator_mode:
         runner = AggregatorRunner(index, opts, app.state.aggregator_status)
         runner.start()
-
-    httpd = make_server(opts.host, opts.port, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
     logger.info(f"Serving on http://{opts.host}:{opts.port} (backend: {opts.index_uri})")
 
     # Graceful SIGTERM (Docker/k8s stop): drain the server loop, then flush
