@@ -57,9 +57,14 @@ class CursorStore:
         out = {}
         for hub_id, size in cursors.items():
             try:
-                out[int(hub_id)] = int(size)
+                value = int(size)
             except (TypeError, ValueError):
                 continue
+            if value < 0:
+                # A negative cursor would wedge the hub forever (bundle -1
+                # fetches a garbage path every poll); degrade to re-backfill.
+                continue
+            out[int(hub_id)] = value
         return out
 
     def save(self, cursors):

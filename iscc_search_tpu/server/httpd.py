@@ -117,8 +117,15 @@ def serve(opts=None):
         raise
     runner = None
     if opts.aggregator_mode:
-        runner = AggregatorRunner(index, opts, app.state.aggregator_status)
-        runner.start()
+        try:
+            runner = AggregatorRunner(index, opts, app.state.aggregator_status)
+            runner.start()
+        except BaseException:
+            # Same cleanup contract as a failed bind: nothing may leak the
+            # bound socket or an unflushed index.
+            httpd.server_close()
+            index.close()
+            raise
     logger.info(f"Serving on http://{opts.host}:{opts.port} (backend: {opts.index_uri})")
 
     # Graceful SIGTERM (Docker/k8s stop): drain the server loop, then flush

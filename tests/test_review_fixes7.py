@@ -36,7 +36,7 @@ def test_cursor_store_non_dict_payload_degrades(tmp_path):
 # 2. ---------------------------------------------------------------------
 
 
-def test_runner_stop_survives_crashed_poller(tmp_path, monkeypatch):
+def test_runner_stop_survives_crashed_poller(monkeypatch):
     from iscc_search_tpu.indexes.memory import MemoryIndex
     from iscc_search_tpu.options import SearchOptions
     from iscc_search_tpu.server.httpd import AggregatorRunner
@@ -61,8 +61,6 @@ def test_runner_stop_survives_crashed_poller(tmp_path, monkeypatch):
 def test_roster_flap_keeps_durable_cursor(tmp_path):
     """A hub pruned from the roster and re-added must resume from its
     LATEST saved cursor, and the cursor file must keep pruned hubs."""
-    import httpx
-
     from iscc_search_tpu.aggregator import hublist, poller
     from iscc_search_tpu.indexes.memory import MemoryIndex
     from iscc_search_tpu.options import SearchOptions
@@ -105,7 +103,7 @@ def test_roster_flap_keeps_durable_cursor(tmp_path):
 # 4. ---------------------------------------------------------------------
 
 
-def test_failed_bundle_not_counted_until_committed(tmp_path):
+def test_failed_bundle_not_counted_until_committed():
     """poll_hub_once must not merge a failed bundle's reason tallies."""
     import httpx
 
@@ -155,3 +153,11 @@ def test_batcher_short_engine_return_is_an_error():
             batcher.search([b"\x00" * 8, b"\x01" * 8], 5)
     finally:
         batcher.close()
+
+
+def test_cursor_store_rejects_negative_cursors(tmp_path):
+    import json
+
+    p = tmp_path / "cursors.json"
+    p.write_text(json.dumps({"network": "testnet", "cursors": {"1": -5, "2": 7}}))
+    assert CursorStore(p, network="testnet").load() == {2: 7}
