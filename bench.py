@@ -137,6 +137,17 @@ def main():
         baseline_cmp = None
     if baseline_cmp is not None:
         baseline_cmp.setdefault("this_engine", {})["qps_one_chip"] = tpu_qps
+        # Keep the hand-written conclusion's embedded numbers in sync with
+        # the refreshed measurement (a stale conclusion quoting the previous
+        # QPS would contradict qps_one_chip in the same file).
+        upper = baseline_cmp.get("native_hnsw_extrapolation", {}).get("upper_bound_single_core_qps")
+        if upper:
+            baseline_cmp["conclusion"] = (
+                f"{tpu_qps / 1000:.1f}K exact QPS at recall 1.0 vs an estimated <={upper / 1000:.1f}K "
+                f"single-core native HNSW upper bound: >={tpu_qps / upper:.0f}x vs the most favorable "
+                f"estimate, with recall 1.0 vs ~0.9 and near-zero build cost; multi-core HNSW scales "
+                f"with cores as this engine scales with chips"
+            )
         details["baseline_comparison"] = baseline_cmp
     with open(details_path, "w") as fh:
         json.dump(details, fh, indent=2)

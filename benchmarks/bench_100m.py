@@ -27,6 +27,7 @@ def main():
 
     # 6144 super-blocks of 128 blocks of 128 rows = 100,663,296 rows
     n = int(os.environ.get("ISCC_BENCH_100M_N", 6144 * 128 * 128))
+    n = (n // 32768) * 32768  # scan requires a chunk multiple (see bench.py)
     q_batch = int(os.environ.get("ISCC_BENCH_100M_Q", 256))
     k = 10
     chunk = 32768

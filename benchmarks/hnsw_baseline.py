@@ -123,7 +123,7 @@ def main():
     n = int(os.environ.get("ISCC_HNSW_N", 200_000))
     nq = int(os.environ.get("ISCC_HNSW_Q", 200))
     rng = np.random.default_rng(3)
-    codes = rng.integers(0, 2**63, (n, 4), dtype=np.int64).astype(np.uint64)
+    codes = rng.integers(0, 2**64, (n, 4), dtype=np.uint64)  # full 64-bit range
 
     idx = NphdHnsw(n)
     t0 = time.perf_counter()
@@ -135,17 +135,22 @@ def main():
     q_rows = rng.integers(0, n, nq)
     queries = codes[q_rows].copy()
     noise = (
-        rng.integers(0, 2**63, (nq, 4), dtype=np.int64).astype(np.uint64)
-        & rng.integers(0, 2**63, (nq, 4), dtype=np.int64).astype(np.uint64)
-        & rng.integers(0, 2**63, (nq, 4), dtype=np.int64).astype(np.uint64)
+        rng.integers(0, 2**64, (nq, 4), dtype=np.uint64)
+        & rng.integers(0, 2**64, (nq, 4), dtype=np.uint64)
+        & rng.integers(0, 2**64, (nq, 4), dtype=np.uint64)
     )
     queries ^= noise
 
-    # Ground truth via brute force
+    # Ground truth via brute force, TIE-AWARE: include every row whose
+    # distance equals the k-th best (integer distances tie at the boundary;
+    # an HNSW returning an equally-distant different id is correct, and
+    # counting it as a miss would deflate the COMPETITOR's recall in the
+    # published comparison — the bias would run in our favor).
     truth = []
     for qi in range(nq):
         ham = np.bitwise_count(np.bitwise_xor(codes, queries[qi][None, :])).sum(axis=1)
-        truth.append(set(np.argsort(ham, kind="stable")[:K].tolist()))
+        kth = np.partition(ham, K - 1)[K - 1]
+        truth.append(set(np.flatnonzero(ham <= kth).tolist()))
 
     sweeps = {}
     for ef in (64, 128, 256):

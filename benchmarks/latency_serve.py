@@ -21,6 +21,7 @@ Writes benchmarks/LATENCY.json.
 
 import json
 import os
+import shutil
 import tempfile
 import threading
 import time
@@ -63,7 +64,8 @@ def main():
     print(f"tunnel floor (trivial device op round-trip): {floor_s*1e3:.1f} ms", flush=True)
 
     rng = np.random.default_rng(0)
-    opts = SearchOptions(index_uri=f"tpu://{tempfile.mkdtemp()}")
+    tmp_dir = tempfile.mkdtemp()
+    opts = SearchOptions(index_uri=f"tpu://{tmp_dir}")
     index = get_index(opts.index_uri)
     index.create_index(IsccIndex(name="lat"))
 
@@ -124,6 +126,7 @@ def main():
         list(pool.map(client, range(n_clients)))
     srv.shutdown()
     index.close()
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # a 200K-asset index per run adds up
 
     lat = np.array(sorted(latencies))
     pct = lambda p: float(np.percentile(lat, p)) * 1e3

@@ -189,8 +189,7 @@ def main():
     # Reduced-scale runs land in a scale-suffixed file so RESULTS.json only
     # ever holds full-scale numbers — mixing scales across commits made the
     # recorded history incomparable.
-    scale = results.get("scale", 1.0)
-    name = "RESULTS.json" if scale >= 1.0 else f"RESULTS_scale{scale}.json"
+    name = "RESULTS.json" if scale == 1.0 else f"RESULTS_scale{scale}.json"
     out_path = Path(__file__).parent / name
     out_path.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=2))
