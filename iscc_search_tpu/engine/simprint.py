@@ -33,6 +33,13 @@ class SimprintEngine:
         self.oversampling_factor = oversampling_factor
         self._index = DeviceHammingIndex(self.path, ndim=ndim, shard_size=shard_size)
 
+    def relocate(self, path):
+        # type: (str | Path) -> None
+        """Point at a renamed directory (rebuild-aside swap); saves must be
+        drained by the caller before the rename."""
+        self.path = Path(path)
+        self._index.path = self.path
+
     # -- mutation -------------------------------------------------------------
 
     def add_raw(self, composite_keys, vectors):

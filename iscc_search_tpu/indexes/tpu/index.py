@@ -739,25 +739,36 @@ class TpuIndex:
             logger.info(f"No vectors found for unit_type '{unit_type}' - skipping rebuild")
             return False
 
+        # Build ASIDE, swap at the end: searches keep serving the old index
+        # for the whole (potentially minutes-long) rebuild instead of
+        # returning empty results for this unit type.
         shard_dir = self.path / unit_type
-        # Swap under _batcher_lock: batcher creation re-reads _nphd_indexes
-        # inside the same lock, so it can never bind a new batcher to the
-        # old index after this pop/reset (any batcher created before the pop
-        # is closed here, and its in-flight callers fall back unbatched).
+        build_dir = self.path / f"{unit_type}.rebuilding"
+        if build_dir.exists():
+            shutil.rmtree(build_dir)  # crash residue from an aborted rebuild
+        nphd_index = self._new_nphd_index(unit_type, path=build_dir)
+        nphd_index.add(list(best.keys()), list(best.values()))
+        nphd_index.save()
+
+        # ATOMIC swap under _batcher_lock: the new index REPLACES the old in
+        # one dict assignment (searches never observe a missing type), and
+        # batcher creation re-reads _nphd_indexes inside the same lock so it
+        # can never bind a new batcher to the old index (any batcher closed
+        # here wakes its in-flight callers, who fall back unbatched onto the
+        # already-installed new index).
         with self._batcher_lock:
             old_batcher = self._batchers.pop(unit_type, None)
             if old_batcher is not None:
                 old_batcher.close()
-            old = self._nphd_indexes.pop(unit_type, None)
+            old = self._nphd_indexes.get(unit_type)
+            self._nphd_indexes[unit_type] = nphd_index
         if old is not None:
             old.reset()
         if shard_dir.exists():
             shutil.rmtree(shard_dir)
-        nphd_index = self._new_nphd_index(unit_type)
-        nphd_index.add(list(best.keys()), list(best.values()))
-        nphd_index.save()
+        build_dir.rename(shard_dir)
+        nphd_index.path = shard_dir  # saves drained above; future saves land here
         self._set_count(b"nphd_count:", unit_type, nphd_index.size)
-        self._nphd_indexes[unit_type] = nphd_index
         logger.info(f"Rebuilt NPHD index '{unit_type}': {len(best)} vectors in {time.time() - t0:.2f}s")
         return True
 
@@ -767,21 +778,28 @@ class TpuIndex:
         if self.store.key_count(_sp_db(sp_type)) == 0:
             logger.info(f"No vectors found for simprint type '{sp_type}' - skipping rebuild")
             return False
+        # Build ASIDE, swap at the end (same contract as the NPHD rebuild)
         sp_dir = self.path / f"SIMPRINT_{sp_type}"
-        old = self._simprint_indexes.pop(sp_type, None)
-        if old is not None:
-            old.reset()
-        if sp_dir.exists():
-            shutil.rmtree(sp_dir)
+        build_dir = self.path / f"SIMPRINT_{sp_type}.rebuilding"
+        if build_dir.exists():
+            shutil.rmtree(build_dir)
         ndim = self._detect_sp_ndim(sp_type)
-        sp_index = self._new_simprint_index(sp_type, ndim)
+        sp_index = self._new_simprint_index(sp_type, ndim, path=build_dir)
         total = 0
         for keys, vectors in sp_ops.iter_simprint_vectors(self.store, _sp_db(sp_type)):
             sp_index.add_raw(keys, vectors)
             total += len(keys)
         sp_index.save()
+
+        old = self._simprint_indexes.get(sp_type)
+        self._simprint_indexes[sp_type] = sp_index  # atomic: no missing-type window
+        if old is not None:
+            old.reset()
+        if sp_dir.exists():
+            shutil.rmtree(sp_dir)
+        build_dir.rename(sp_dir)
+        sp_index.relocate(sp_dir)
         self._set_count(b"sp_count:", sp_type, sp_index.size)
-        self._simprint_indexes[sp_type] = sp_index
         logger.info(f"Rebuilt simprint index '{sp_type}': {total} vectors in {time.time() - t0:.2f}s")
         return True
 
@@ -865,10 +883,10 @@ class TpuIndex:
             self._mesh = make_mesh(self._opts.mesh_devices)
         return self._mesh
 
-    def _new_nphd_index(self, unit_type):
-        # type: (str) -> DeviceNphdIndex
+    def _new_nphd_index(self, unit_type, path=None):
+        # type: (str, ...) -> DeviceNphdIndex
         return DeviceNphdIndex(
-            self.path / unit_type,
+            path if path is not None else self.path / unit_type,
             max_dim=self.max_dim,
             shard_size=self._opts.shard_size_units * 1024 * 1024,
             recall_target=self._opts.scan_recall_target,
@@ -876,10 +894,10 @@ class TpuIndex:
             mesh=self._device_mesh(),
         )
 
-    def _new_simprint_index(self, sp_type, ndim):
-        # type: (str, int) -> SimprintEngine
+    def _new_simprint_index(self, sp_type, ndim, path=None):
+        # type: (str, int, ...) -> SimprintEngine
         return SimprintEngine(
-            self.path / f"SIMPRINT_{sp_type}",
+            path if path is not None else self.path / f"SIMPRINT_{sp_type}",
             ndim=ndim,
             shard_size=self._opts.shard_size_simprints * 1024 * 1024,
             oversampling_factor=self._opts.oversampling_factor,

@@ -1,0 +1,101 @@
+"""Short mixed-traffic soak: concurrent add/search/get against periodic
+flush + rebuild on one TpuIndex.
+
+Pins the rebuild availability contract the long-form soak caught: searches
+must NEVER miss an asset's own unit, even mid-rebuild — the rebuild builds
+aside and swaps the new index in atomically (no missing-type window, no
+window where the type serves empty results for the rebuild duration).
+"""
+
+import random
+import threading
+import time
+
+import pytest
+
+from iscc_search_tpu import codec as ic
+from iscc_search_tpu.indexes.tpu import TpuIndex
+from iscc_search_tpu.schema import IsccEntry, IsccQuery
+
+from tests.conftest import make_iscc_id, make_unit
+
+SOAK_SECONDS = 8
+
+
+def _unit(body):
+    h = ic.encode_header(ic.MT.DATA, 0, ic.VS.V0, ic.encode_length(ic.MT.DATA, len(body) * 8))
+    return "ISCC:" + ic.encode_base32(h + body)
+
+
+def test_search_never_misses_during_rebuilds(tmp_path):
+    idx = TpuIndex(tmp_path / "idx", flush_interval=200)
+    errors = []
+    stop = threading.Event()
+    added = []
+    lock = threading.Lock()
+    rng = random.Random(7)
+
+    def adder():
+        n = 0
+        try:
+            while not stop.is_set():
+                batch = []
+                for _ in range(10):
+                    n += 1
+                    body = bytes(rng.getrandbits(8) for _ in range(8))
+                    batch.append(
+                        IsccEntry(
+                            iscc_id=make_iscc_id(n),
+                            units=[_unit(body), make_unit(ic.MT.INSTANCE, 0, 64)],
+                        )
+                    )
+                idx.add_assets(batch)
+                with lock:
+                    added.extend((e.iscc_id, e.units[0]) for e in batch)
+        except Exception as e:
+            errors.append(f"adder: {e!r}")
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                with lock:
+                    if not added:
+                        continue
+                    iscc_id, u = added[rng.randrange(len(added))]
+                res = idx.search_assets(IsccQuery(units=[u]), limit=5)
+                if iscc_id not in [m.iscc_id for m in res.global_matches]:
+                    errors.append(f"searcher: {iscc_id} missing for its own unit")
+                    return
+        except Exception as e:
+            errors.append(f"searcher: {e!r}")
+
+    def rebuilder():
+        try:
+            while not stop.is_set():
+                time.sleep(0.5)
+                idx.rebuild(["DATA_NONE_V0"], [])
+        except Exception as e:
+            errors.append(f"rebuilder: {e!r}")
+
+    threads = [
+        threading.Thread(target=adder),
+        threading.Thread(target=searcher),
+        threading.Thread(target=searcher),
+        threading.Thread(target=rebuilder),
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(SOAK_SECONDS)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    wedged = [t.name for t in threads if t.is_alive()]
+    idx.close()
+    assert errors == [] and wedged == []
+
+    # Reopen: counts must be exact
+    idx2 = TpuIndex(tmp_path / "idx")
+    try:
+        assert len(idx2) == len({a for a, _ in added})
+    finally:
+        idx2.close()
