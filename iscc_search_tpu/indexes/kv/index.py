@@ -11,6 +11,7 @@ Storage is the native tructstore instead of LMDB.
 
 from __future__ import annotations
 
+import threading
 import time
 from pathlib import Path
 
@@ -30,6 +31,12 @@ class KvIndex:
         # type: (str | Path) -> None
         self.path = Path(path)
         self.store = HostStore(self.path)
+        # Serializes writers: add_assets is a multi-op sequence (read
+        # existing, delete stale unit rows, put record, put unit rows) and
+        # two interleaved updates of the same asset would leave stale unit
+        # rows behind — the reference's single LMDB write transaction
+        # provided this serialization implicitly.
+        self._write_lock = threading.Lock()
         self._realm_id = None  # type: int | None
         raw = self.store.get(DB_META, b"realm_id")
         if raw is not None:
@@ -61,7 +68,7 @@ class KvIndex:
                 IsccUnit(unit_str)  # raises on malformed unit strings
             common.extract_iscc_id_body(asset.iscc_id)
 
-        with self.store.session():  # one gate acquisition for the whole batch
+        with self._write_lock, self.store.session():
             return self._add_assets_inner(assets, realm)
 
     def _add_assets_inner(self, assets, realm):

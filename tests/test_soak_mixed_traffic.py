@@ -99,3 +99,58 @@ def test_search_never_misses_during_rebuilds(tmp_path):
         assert len(idx2) == len({a for a, _ in added})
     finally:
         idx2.close()
+
+
+def test_kv_concurrent_updates_leave_no_stale_rows(tmp_path):
+    """KvIndex.add_assets is a multi-op sequence; without write
+    serialization two interleaved updates of the same asset leave stale
+    unit rows pointing at bodies the asset no longer carries."""
+    from iscc_search_tpu.indexes import common
+    from iscc_search_tpu.indexes.kv.index import KvIndex
+    from iscc_search_tpu.models import IsccUnit
+
+    idx = KvIndex(tmp_path / "kv")
+    errors = []
+    stop = threading.Event()
+    shared = 12
+    rng_local = random.Random(3)
+
+    def writer():
+        try:
+            while not stop.is_set():
+                n = rng_local.randrange(shared)
+                body = bytes(rng_local.getrandbits(8) for _ in range(8))
+                idx.add_assets(
+                    [
+                        IsccEntry(
+                            iscc_id=make_iscc_id(n),
+                            units=[_unit(body), make_unit(ic.MT.INSTANCE, 0, 64)],
+                        )
+                    ]
+                )
+        except Exception as e:
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(4)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == []
+
+    stale = 0
+    for n in range(shared):
+        asset = idx.get_asset(make_iscc_id(n))
+        current = {
+            ic.decode_base32(u.removeprefix("ISCC:"))[2:]
+            for u in asset.units
+            if "DATA" in IsccUnit(u).unit_type
+        }
+        body8 = common.extract_iscc_id_body(make_iscc_id(n))
+        rows = {k for k, v in idx.store.iter_range("unit:DATA_NONE_V0") if v == body8}
+        if rows != current:
+            stale += 1
+    idx.close()
+    assert stale == 0
