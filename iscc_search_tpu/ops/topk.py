@@ -52,6 +52,9 @@ def topk_scan_impl(
         raise ValueError(f"db size {n} not a multiple of chunk_size {chunk_size}")
     if k > chunk_size:
         raise ValueError(f"k={k} exceeds chunk_size={chunk_size}")
+    if metric not in ("nphd", "hamming"):
+        # an unknown string would silently fall through to the hamming branch
+        raise ValueError(f"unknown metric: {metric!r} (expected 'nphd' or 'hamming')")
     nchunks = n // chunk_size
 
     db_codes_c = db_codes.reshape(nchunks, chunk_size, max_lanes)

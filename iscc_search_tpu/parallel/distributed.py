@@ -34,7 +34,10 @@ def init_distributed(coordinator_address=None, num_processes=None, process_id=No
     num_processes = num_processes or _int_env("ISCC_SEARCH_NUM_HOSTS")
     process_id = process_id if process_id is not None else _int_env("ISCC_SEARCH_HOST_ID")
 
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and (num_processes is None or num_processes == 1):
+        # Explicit ISCC_SEARCH_NUM_HOSTS=1 with no coordinator IS the
+        # documented single-host mode; passing it to jax.distributed would
+        # crash on cluster auto-detection instead.
         logger.info("No coordinator configured - single-host mode")
         return
     jax.distributed.initialize(

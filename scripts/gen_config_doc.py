@@ -28,7 +28,10 @@ def render():
             var, rest = f"ISCC_SEARCH_{name.upper()}", desc
         default = field.get_default(call_default_factory=False)
         if callable(getattr(field, "default_factory", None)) and default is None:
-            default = "(platform data dir)"
+            # Key on the field, not on "has a factory": any future
+            # factory-backed field would otherwise be documented as a
+            # platform dir it has nothing to do with.
+            default = "(platform data dir)" if name == "index_uri" else "(computed)"
         lines.append(f"| `{var}` | `{default}` | {rest.replace('|', '/')} |")
     lines += [
         "",

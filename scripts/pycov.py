@@ -68,16 +68,32 @@ def _excluded_lines(path, text):
         return set()
     excluded = set(marked)
     tree = ast.parse(text, str(path))
+    block_types = (
+        ast.FunctionDef,
+        ast.AsyncFunctionDef,
+        ast.ClassDef,
+        ast.If,
+        ast.For,
+        ast.While,
+        ast.Try,
+        ast.With,
+        ast.ExceptHandler,  # 'except ...:  # pragma: no cover' excludes the handler BODY
+    )
     for node in ast.walk(tree):
         start_line = getattr(node, "lineno", None)
         end_line = getattr(node, "end_lineno", None)
         if start_line is None or end_line is None:
             continue
-        # A pragma on a block header (def/if/class line) excludes the block.
-        if start_line in marked and isinstance(
-            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.If, ast.For, ast.While, ast.Try, ast.With)
-        ):
+        # A pragma on a block header (def/if/except line) excludes the block.
+        if start_line in marked and isinstance(node, block_types):
             excluded.update(range(start_line, end_line + 1))
+        # 'else:' has no AST node of its own: a pragma on the else line of an
+        # if/for/while excludes the orelse body (found via its statements).
+        orelse = getattr(node, "orelse", None)
+        if isinstance(orelse, list) and orelse:  # IfExp.orelse is a single node, skip
+            else_line = orelse[0].lineno - 1
+            if else_line in marked and raw[else_line - 1].strip().startswith("else"):
+                excluded.update(range(else_line, orelse[-1].end_lineno + 1))
     return excluded
 
 
@@ -114,7 +130,7 @@ def report(out_path="COVERAGE.json"):
         executable = _code_lines(code) - _excluded_lines(path, text)
         hit = _covered.get(str(path), set()) & executable
         missing = sorted(executable - hit)
-        files[str(path.relative_to(PKG_ROOT.parent))] = {
+        files[rel] = {
             "lines": len(executable),
             "covered": len(hit),
             "pct": round(100 * len(hit) / len(executable), 1) if executable else 100.0,
@@ -138,13 +154,19 @@ def main():
     min_pct = 90.0
     if "--min" in args:
         i = args.index("--min")
-        min_pct = float(args[i + 1])
+        try:
+            min_pct = float(args[i + 1])
+        except (IndexError, ValueError):
+            print("usage: pycov.py [--min PCT] [pytest args...]", file=sys.stderr)
+            return 2
         del args[i : i + 2]
     else:
         try:
             import tomllib
 
-            cfg = tomllib.loads(Path("pyproject.toml").read_text())
+            # Absolute path: reading from the invoking CWD would silently
+            # fall back to the default gate when run from elsewhere.
+            cfg = tomllib.loads((PKG_ROOT.parent / "pyproject.toml").read_text())
             min_pct = float(cfg.get("tool", {}).get("pycov", {}).get("min", min_pct))
         except Exception:
             pass
