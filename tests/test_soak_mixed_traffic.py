@@ -154,3 +154,97 @@ def test_kv_concurrent_updates_leave_no_stale_rows(tmp_path):
             stale += 1
     idx.close()
     assert stale == 0
+
+
+def test_simprint_search_stable_under_updates_and_rebuilds(tmp_path):
+    """Chunk searches must keep finding an asset's CURRENT simprints while
+    concurrent updates replace chunk sets and simprint rebuilds run."""
+    idx = TpuIndex(tmp_path / "idx", flush_interval=300)
+    errors = []
+    stop = threading.Event()
+    rng_local = random.Random(5)
+    lock = threading.Lock()
+    live = {}  # iscc_id -> current simprint list
+
+    def writer():
+        n = 0
+        try:
+            while not stop.is_set():
+                if live and rng_local.random() < 0.5:
+                    with lock:
+                        iscc_id = rng_local.choice(list(live))
+                else:
+                    n += 1
+                    iscc_id = make_iscc_id(n)
+                sps = [
+                    ic.encode_base64(bytes(rng_local.getrandbits(8) for _ in range(16)))
+                    for _ in range(3)
+                ]
+                idx.add_assets(
+                    [
+                        IsccEntry(
+                            iscc_id=iscc_id,
+                            units=[make_unit(ic.MT.DATA, 0, 64), make_unit(ic.MT.INSTANCE, 0, 64)],
+                            simprints={
+                                "text": [
+                                    {"simprint": s, "offset": i * 10, "size": 10}
+                                    for i, s in enumerate(sps)
+                                ]
+                            },
+                        )
+                    ]
+                )
+                with lock:
+                    live[iscc_id] = sps
+        except Exception as e:
+            errors.append(f"writer: {e!r}")
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                with lock:
+                    if not live:
+                        continue
+                    iscc_id, sps = rng_local.choice(list(live.items()))
+                q = IsccQuery.model_construct(simprints={"text": [sps[0]]})
+                res = idx.search_assets(q, limit=5)
+                if iscc_id not in [m.iscc_id for m in res.chunk_matches]:
+                    # May be a mid-flight update: settle and check the
+                    # CURRENT chunk set (a completed state must be findable)
+                    time.sleep(0.3)
+                    with lock:
+                        cur = live.get(iscc_id)
+                    if cur is None:
+                        continue
+                    q2 = IsccQuery.model_construct(simprints={"text": [cur[0]]})
+                    res2 = idx.search_assets(q2, limit=5)
+                    if iscc_id not in [m.iscc_id for m in res2.chunk_matches]:
+                        with lock:
+                            if live.get(iscc_id) == cur:
+                                errors.append(f"{iscc_id} missing for its current chunk")
+                                return
+        except Exception as e:
+            errors.append(f"searcher: {e!r}")
+
+    def rebuilder():
+        try:
+            while not stop.is_set():
+                time.sleep(1.0)
+                idx.rebuild([], ["text"])
+        except Exception as e:
+            errors.append(f"rebuilder: {e!r}")
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=searcher),
+        threading.Thread(target=rebuilder),
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(SOAK_SECONDS)
+    stop.set()
+    for t in threads:
+        t.join(timeout=90)
+    wedged = [t.name for t in threads if t.is_alive()]
+    idx.close()
+    assert errors == [] and wedged == []
