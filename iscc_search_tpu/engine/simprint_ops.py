@@ -100,9 +100,14 @@ def calculate_idf(freq, total_assets):
 
 def count_doc_freq(store, db, simprint_key, dup_limit=DOC_FREQ_CAP):
     # type: (HostStore, str, bytes, int) -> int
-    """Distinct assets holding a simprint (scan capped at dup_limit values)."""
+    """Distinct assets holding a simprint (scan capped at dup_limit values).
+
+    Floor 1: a concurrent update can delete the store rows between the
+    device scan (which matched the simprint) and this lookup — a zero here
+    would fail the wire schema's freq >= 1 and 500 the whole search for a
+    benign race; the matched chunk itself proves at least one holder."""
     values = store.get_dups(db, simprint_key, limit=dup_limit)
-    return len({v[:8] for v in values})
+    return max(1, len({v[:8] for v in values}))
 
 
 def pack_inverse_entry(sp_bytes, offset, size):
