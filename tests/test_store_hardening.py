@@ -168,3 +168,67 @@ def test_session_pins_store_against_close(tmp_path):
     with pytest.raises(RuntimeError, match="closed"):
         with store.session():
             pass
+
+
+def test_store_concurrent_compaction_soak(tmp_path):
+    """Concurrent writers + readers + explicit compactions; durable state
+    after close/reopen must match the pre-close state exactly."""
+    import random
+    import time
+
+    store = HostStore(tmp_path / "s")
+    errors = []
+    stop = threading.Event()
+
+    def writer(tid):
+        rng = random.Random(tid)
+        try:
+            while not stop.is_set():
+                k = f"k{rng.randrange(60):03d}".encode()
+                r = rng.random()
+                if r < 0.5:
+                    store.put("plain", k, bytes(rng.getrandbits(8) for _ in range(rng.choice([8, 120]))))
+                elif r < 0.8:
+                    store.dup_put("dup", k, rng.randrange(20).to_bytes(8, "big"))
+                elif r < 0.9:
+                    store.delete("plain", k)
+                else:
+                    store.dup_delete("dup", k, rng.randrange(20).to_bytes(8, "big"))
+        except Exception as e:
+            errors.append(repr(e))
+
+    def reader():
+        try:
+            while not stop.is_set():
+                store.get("plain", b"k001")
+                store.get_dups("dup", b"k001")
+                list(store.iter_range("dup", batch=32))
+        except Exception as e:
+            errors.append(repr(e))
+
+    def compactor():
+        try:
+            while not stop.is_set():
+                time.sleep(0.4)
+                store.compact()
+        except Exception as e:
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    threads += [threading.Thread(target=reader), threading.Thread(target=compactor)]
+    for t in threads:
+        t.start()
+    time.sleep(4)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == []
+    before_plain = dict(store.iter_range("plain"))
+    before_dup = sorted(store.iter_range("dup"))
+    store.close()
+    s2 = HostStore(tmp_path / "s")
+    try:
+        assert dict(s2.iter_range("plain")) == before_plain
+        assert sorted(s2.iter_range("dup")) == before_dup
+    finally:
+        s2.close()
