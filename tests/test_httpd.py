@@ -95,3 +95,93 @@ def test_tpu_backend_concurrent_add_search(tmp_path, entry_factory):
     result = mgr.search_assets("idx", IsccQuery(units=entries[29].units), limit=3)
     assert result.global_matches[0].iscc_id == entries[29].iscc_id
     mgr.close()
+
+
+def test_http_soak_with_index_churn(tmp_path, entry_factory):
+    """Concurrent HTTP clients (add/search/get/status) against one index
+    while another index is created and deleted in a loop: zero 5xx."""
+    import json as _json
+    import random
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+    from wsgiref.simple_server import make_server
+
+    from iscc_search_tpu.options import SearchOptions, get_index
+    from iscc_search_tpu.server.app import create_app
+    from iscc_search_tpu.server.httpd import QuietHandler, ThreadingWSGIServer
+
+    opts = SearchOptions(index_uri=f"tpu://{tmp_path / 'srv'}")
+    index = get_index(opts.index_uri)
+    app = create_app(index=index, opts=opts)
+    srv = make_server("127.0.0.1", 0, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def req(method, path, payload=None):
+        data = _json.dumps(payload).encode() if payload is not None else None
+        r = urllib.request.Request(
+            base + path, data=data, method=method, headers={"Content-Type": "application/json"}
+        )
+        try:
+            with urllib.request.urlopen(r) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert req("POST", "/indexes", {"name": "main"}) == 201
+    errors = []
+    stop = threading.Event()
+    entries = [entry_factory() for _ in range(40)]
+
+    def client(tid):
+        rng = random.Random(tid)
+        try:
+            while not stop.is_set():
+                e = entries[rng.randrange(len(entries))]
+                op = rng.random()
+                if op < 0.4:
+                    code = req("POST", "/indexes/main/assets", [e])
+                    if code != 201:
+                        errors.append(f"add {code}")
+                        return
+                elif op < 0.8:
+                    code = req("POST", "/indexes/main/search", {"units": e["units"]})
+                    if code != 200:
+                        errors.append(f"search {code}")
+                        return
+                else:
+                    if req("GET", "/status") != 200:
+                        errors.append("status")
+                        return
+        except Exception as exc:
+            errors.append(repr(exc))
+
+    def churner():
+        try:
+            while not stop.is_set():
+                if req("POST", "/indexes", {"name": "temp"}) not in (201, 409):
+                    errors.append("create")
+                    return
+                time.sleep(0.1)
+                if req("DELETE", "/indexes/temp") not in (204, 404):
+                    errors.append("delete")
+                    return
+                time.sleep(0.1)
+        except Exception as exc:
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    threads.append(threading.Thread(target=churner))
+    for t in threads:
+        t.start()
+    time.sleep(5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    wedged = [t.name for t in threads if t.is_alive()]
+    srv.shutdown()
+    index.close()
+    assert errors == [] and wedged == []
