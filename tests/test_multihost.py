@@ -1,0 +1,135 @@
+"""
+Multi-host execution tests (SURVEY §2.3 distributed comms; BASELINE config 5).
+
+Two layers:
+- in-process: the 2-D (dcn x ici) mesh + hierarchical two-stage merge on the
+  8-device virtual CPU mesh, verified against brute force;
+- multi-process: a REAL two-process jax.distributed cluster on localhost
+  (gloo CPU collectives, 2 procs x 4 virtual devices), each process feeding
+  only its local row block — the configuration the reference explicitly
+  cannot run (/root/reference/iscc_search/indexes/usearch/manager.py:43-47).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iscc_search_tpu.ops import nphd_scores, pack_codes
+from iscc_search_tpu.ops.nphd import NEG_SCORE
+from iscc_search_tpu.ops.pm1_scan import prepare_queries
+from iscc_search_tpu.parallel import hier_pm1_topk, hier_topk, make_mesh_2d, shard_database_2d
+
+from tests.multihost_worker import brute_force_nphd
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh_2d(2, 4)
+
+
+def _data(n, seed=31, n_q=4):
+    rng = np.random.default_rng(seed)
+    bodies = [rng.integers(0, 256, int(rng.choice([8, 16, 24, 32])), dtype=np.uint8).tobytes() for _ in range(n)]
+    dc, dl = pack_codes(bodies)
+    qc, ql = pack_codes(bodies[:n_q])
+    valid = np.ones(n, dtype=bool)
+    valid[rng.integers(0, n, n // 10)] = False
+    return qc, ql, dc, dl, valid
+
+
+def test_mesh2d_shape(mesh2d):
+    assert mesh2d.shape == {"dcn": 2, "ici": 4}
+
+
+def test_mesh2d_rejects_oversubscription():
+    with pytest.raises(ValueError):
+        make_mesh_2d(4, 4)
+    with pytest.raises(ValueError):
+        make_mesh_2d(3)  # 8 devices not divisible by 3 hosts
+
+
+def test_hier_topk_matches_brute_force(mesh2d):
+    k, chunk = 10, 128
+    n = 8 * chunk * 2
+    qc, ql, dc, dl, valid = _data(n)
+    ref = brute_force_nphd(qc, ql, dc, dl, valid)
+
+    gc, gl, gv = shard_database_2d(mesh2d, jnp.asarray(dc), jnp.asarray(dl), jnp.asarray(valid))
+    scores, idx = hier_topk(mesh2d, jnp.asarray(qc), jnp.asarray(ql), gc, gl, gv, k, chunk_size=chunk)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    for qi in range(scores.shape[0]):
+        assert np.allclose(np.sort(scores[qi])[::-1], np.sort(ref[qi])[::-1][:k], atol=1e-5)
+        for r in range(k):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=1e-5)
+
+
+def test_hier_topk_matches_flat_jax_mirror(mesh2d):
+    """Cross-check vs the repo's own JAX full-scores path (different mirror)."""
+    k, chunk = 5, 128
+    n = 8 * chunk
+    qc, ql, dc, dl, valid = _data(n, seed=32)
+    gc, gl, gv = shard_database_2d(mesh2d, jnp.asarray(dc), jnp.asarray(dl), jnp.asarray(valid))
+    scores, idx = hier_topk(mesh2d, jnp.asarray(qc), jnp.asarray(ql), gc, gl, gv, k, chunk_size=chunk)
+    full = np.array(nphd_scores(jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(dc), jnp.asarray(dl)))
+    full[:, ~valid] = NEG_SCORE
+    for qi in range(4):
+        assert np.allclose(np.sort(np.asarray(scores)[qi])[::-1], np.sort(full[qi])[::-1][:k], atol=1e-5)
+
+
+def test_hier_pm1_topk_matches_brute_force(mesh2d):
+    k, chunk, n = 10, 128, 8 * 128 * 2
+    qc, ql, dc, dl, valid = _data(n, seed=33)
+    ref = brute_force_nphd(qc, ql, dc, np.full(n, 8, np.int32), valid)
+    q_pm1, q_scale = prepare_queries(qc, ql, 256)
+    gc, _, gv = shard_database_2d(mesh2d, jnp.asarray(dc), jnp.asarray(dl), jnp.asarray(valid))
+    scores, idx = hier_pm1_topk(mesh2d, jnp.asarray(q_pm1), jnp.asarray(q_scale), gc, gv, k, 256, chunk_size=chunk)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    for qi in range(scores.shape[0]):
+        assert np.allclose(np.sort(scores[qi])[::-1], np.sort(ref[qi])[::-1][:k], atol=2e-3)
+        for r in range(k):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=2e-3)
+
+
+def test_hier_merge_k_wider_than_k(mesh2d):
+    """merge_k > per-shard k returns the wider global candidate list."""
+    chunk, n = 128, 8 * 128
+    qc, ql, dc, dl, valid = _data(n, seed=34, n_q=2)
+    gc, gl, gv = shard_database_2d(mesh2d, jnp.asarray(dc), jnp.asarray(dl), jnp.asarray(valid))
+    scores, idx = hier_topk(mesh2d, jnp.asarray(qc), jnp.asarray(ql), gc, gl, gv, 4, chunk_size=chunk, merge_k=16)
+    assert scores.shape == (2, 16) and idx.shape == (2, 16)
+    ref = brute_force_nphd(qc, ql, dc, dl, valid)
+    got = np.sort(np.asarray(scores)[0])[::-1]
+    assert np.allclose(got, np.sort(ref[0])[::-1][:16], atol=1e-5)
+
+
+def test_shard_database_2d_rejects_uneven(mesh2d):
+    qc, ql, dc, dl, valid = _data(100, seed=35)
+    with pytest.raises(ValueError):
+        shard_database_2d(mesh2d, jnp.asarray(dc), jnp.asarray(dl), jnp.asarray(valid))
+
+
+def test_brute_force_mirror_agrees_with_jax_scores():
+    """The numpy mirror itself must agree with the repo NPHD implementation."""
+    qc, ql, dc, dl, valid = _data(256, seed=36)
+    ref = brute_force_nphd(qc, ql, dc, dl, valid)
+    full = np.array(nphd_scores(jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(dc), jnp.asarray(dl)))
+    full[:, ~valid] = -1.0
+    assert np.allclose(ref, full, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_end_to_end():
+    """Spawn a REAL two-process jax.distributed CPU cluster and verify both
+    processes complete the hierarchical search against brute force."""
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    out = g.run_multihost_cluster(num_processes=2, devices_per_process=4, timeout=600)
+    assert "multihost p0: OK" in out
+    assert "multihost p1: OK" in out
