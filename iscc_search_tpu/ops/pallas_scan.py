@@ -153,6 +153,34 @@ PERM_GROUP = 4096  # rows per permutation group (== _SUBTILE)
 PERM_CLASSES = PERM_GROUP // BLOCK  # 32 blocks interleaved per group
 
 
+def permute_packed_rows(packed, lanes):
+    # type: (jnp.ndarray, int) -> jnp.ndarray
+    """
+    Row permutation for the PACKED perm twin (same 32 B/row footprint).
+
+    Stored so that the natural (N*lanes//128, 128) uint32 view — minor dim
+    128, hence a native Mosaic operand layout with NO padded device copy —
+    unpacks in-kernel into dot columns ordered exactly as the halving-tree
+    epilogue requires (p = c*32 + v  <->  original row v*128 + c per
+    4096-row group; see _scan_kernel_packed_perm).
+
+    Derivation: with R = 128//lanes stored rows per view row, view row u,
+    group g = col//lanes puts stored row R*u + g at dot column
+    p = g*(4096//R) + u. Requiring p = c*32 + v with original row v*128 + c
+    gives stored[c2*32R + v*R + g] = orig[v*128 + g*(128//R) + c2]
+    (c2 < 128//R, v < 32, g < R) — a per-group reshape/transpose.
+
+    Requires lanes | 128 (lanes in {1, 2, 4, 8}) and N % 4096 == 0.
+    """
+    n = packed.shape[0]
+    r = 128 // lanes
+    if 128 % lanes or n % PERM_GROUP:
+        raise ValueError("perm-packed layout needs lanes | 128 and N % 4096 == 0")
+    rest = packed.shape[1:]
+    x = packed.reshape((n // PERM_GROUP, 32, r, 128 // r) + rest)
+    return x.transpose((0, 3, 1, 2) + tuple(range(4, x.ndim))).reshape(packed.shape)
+
+
 def permute_rows(x, group=PERM_GROUP, classes=PERM_CLASSES):
     # type: (jnp.ndarray, int, int) -> jnp.ndarray
     """
@@ -167,6 +195,132 @@ def permute_rows(x, group=PERM_GROUP, classes=PERM_CLASSES):
     n = x.shape[0]
     rest = x.shape[1:]
     return x.reshape((n // group, classes, group // classes) + rest).swapaxes(1, 2).reshape(x.shape)
+
+
+def bit_transpose_packed(packed):
+    # type: (jnp.ndarray) -> jnp.ndarray
+    """
+    Bit-transposed packed twin for the Pallas bitplane scan (32 B/row).
+
+    Within each 4096-row group, stored u32 word at view position (u, j) of
+    the natural (N//16, 128) view holds, at BIT s, bit u of original row
+    ``o = j0*128 + s*4 + j1`` (j = j1*32 + j0). The scan kernel then needs
+    only per-lane shift+mask to expose a full (256 bits, 128 rows) ±1 plane
+    per s — zero cross-lane data movement, the unpack cost that disqualified
+    the in-kernel row-major unpack (measured 3.7x slower per row than even
+    the XLA packed scan). Bit index u follows unpack_pm1 order (lanes in
+    order, MSB-first), so queries need no re-ordering.
+
+    256-bit partitions only (lanes == 8); N % 4096 == 0. Pure
+    reshape/transpose/shift ops — cheap to (re)build on device, jit-safe.
+    """
+    n, lanes = packed.shape
+    if lanes != 8 or n % PERM_GROUP:
+        raise ValueError("bitplane layout needs 256-bit rows and N % 4096 == 0")
+    g = n // PERM_GROUP
+    # bits[o, u] ∈ {0,1}: bit u of row o, unpack_pm1 order (MSB-first per lane)
+    shifts = (31 - np.arange(32, dtype=np.uint32))[None, None, :]
+    bits = ((packed[:, :, None] >> shifts) & jnp.uint32(1)).reshape(n, 256)
+    # regroup rows o = j0*128 + s*4 + j1 -> (j = j1*32 + j0, member s):
+    # source axes (g, j0, s, j1, u) -> (g, j1, j0, s, u)
+    b2 = bits.reshape(g, 32, 32, 4, 256).transpose(0, 3, 1, 2, 4).reshape(g, 128, 32, 256)
+    # pack member axis s into bit s of a u32 word; T[u, j] layout (g, 256, 128)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :, None]
+    t = (b2 * weights).sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)  # (g, 256, 128)
+    # view rows back to (N, 8): view (u, 8w+l) = stored row 16u+w lane l
+    return t.reshape(g, 256, 16, 8).reshape(n, 8)
+
+
+def bitplane_penalty_perm(penalty_flat):
+    # type: (jnp.ndarray) -> jnp.ndarray
+    """Reorder a per-row (N,) penalty into bitplane dot-column order
+    (p = s*128 + j1*32 + j0  <->  o = j0*128 + s*4 + j1 per 4096 group)."""
+    n = penalty_flat.shape[0]
+    g = n // PERM_GROUP
+    return penalty_flat.reshape(g, 32, 32, 4).transpose(0, 2, 3, 1).reshape(n)
+
+
+def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, planes_per_dot):
+    """Fused bitplane scan: per-lane shift/mask unpack + MXU dot + tree max.
+
+    db arrives as the (chunk//16, 128) u32 view of bit_transpose_packed().
+    For each bit s of a (256, 128) view tile, shift+mask exposes d_s — the
+    (256 bits x 128 rows) 0/1 matrix of 128 original rows — which dots
+    against the queries directly (contract over sublanes). ±1 conversion is
+    folded into the epilogue: dot_pm1 = 2*dot01 - sum(q). Dot columns land
+    in (s, j1, j0) order, which the halving tree reduces to per-original-
+    block maxima exactly as in the int8 perm kernel.
+    """
+    qv = q_ref[:]  # (Q, 256) bf16 ±1/0
+    qn = qv.shape[0]
+    qsum = jnp.sum(qv.astype(jnp.float32), axis=1, keepdims=True)  # (Q, 1)
+    slab = min(_SUBTILE, chunk)
+    nb = slab // BLOCK
+    vr = slab // 16  # 256 view rows per 4096-row slab
+    for t in range(chunk // slab):
+        tile = db_ref[t * vr : (t + 1) * vr, :]  # (256, 128) uint32
+        dots = []
+        for s0 in range(0, 32, planes_per_dot):
+            planes = []
+            for s in range(s0, s0 + planes_per_dot):
+                bits = (tile >> jnp.uint32(s)) & jnp.uint32(1)
+                # i32 compare + f32 select keeps 32-bit tiling end to end
+                planes.append(jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(0.0)))
+            d = planes[0] if len(planes) == 1 else jnp.concatenate(planes, axis=1)
+            dots.append(
+                jax.lax.dot_general(
+                    qv,
+                    d.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        dot01 = jnp.concatenate(dots, axis=1)  # (Q, slab) in (s, j1, j0) order
+        x = (2.0 * dot01 - qsum).astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
+        w = slab
+        while w > nb:
+            x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
+            w //= 2
+        out_ref[:, t * nb : (t + 1) * nb] = 0.5 + x.astype(jnp.float32) * qs_ref[:]
+
+
+def _scan_kernel_packed_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk, interpret):
+    """Fused unpack + MXU dot + tree-max straight from the PACKED perm twin.
+
+    db arrives as the natural (chunk*lanes//128, 128) uint32 view of the
+    permute_packed_rows() layout — minor dim 128, so XLA hands the custom
+    call the resting HBM bytes with no padded operand copy (the disqualifier
+    of the plain packed kernel, see module docstring). Column group g of the
+    view tile is a (view_rows, lanes) code matrix of stored rows R*u + g;
+    unpacking the R groups and stacking yields dot columns in exactly the
+    halving-tree order (p = c*32 + v per 4096-row group), so the epilogue
+    and penalty layout are identical to the int8 perm kernel — 32 B/row HBM
+    traffic with no int8 twin, the 100M-scale phase-1 path.
+    """
+    lanes = nbits // 32
+    r = 128 // lanes
+    qv = q_ref[:]
+    qn = qv.shape[0]
+    slab = min(_SUBTILE, chunk)
+    nb = slab // BLOCK
+    vr = slab // r  # view rows per slab
+    for t in range(chunk // slab):
+        tile = db_ref[t * vr : (t + 1) * vr, :]  # (vr, 128) uint32
+        pieces = [
+            _unpack_pm1_2d(tile[:, g * lanes : (g + 1) * lanes], nbits, jnp.bfloat16, interpret)
+            for g in range(r)
+        ]
+        d = jnp.concatenate(pieces, axis=0)  # (slab, nbits), dot-column order
+        dot = jax.lax.dot_general(
+            qv, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # bf16 tree is exact: dots are integers <= 256, penalty -65536
+        x = dot.astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
+        w = slab
+        while w > nb:
+            x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
+            w //= 2
+        out_ref[:, t * nb : (t + 1) * nb] = 0.5 + x.astype(jnp.float32) * qs_ref[:]
 
 
 def _scan_kernel_unpacked_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk):
@@ -195,10 +349,24 @@ def _scan_kernel_unpacked_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nbits", "chunk_size", "interpret", "unpacked", "permuted")
+    jax.jit,
+    static_argnames=(
+        "nbits", "chunk_size", "interpret", "unpacked", "permuted", "packed_perm", "bitplane", "planes_per_dot",
+    ),
 )
 def pallas_blockmax(
-    q_pm1, q_scale, db, db_valid, nbits, chunk_size=16384, interpret=False, unpacked=False, permuted=False
+    q_pm1,
+    q_scale,
+    db,
+    db_valid,
+    nbits,
+    chunk_size=16384,
+    interpret=False,
+    unpacked=False,
+    permuted=False,
+    packed_perm=False,
+    bitplane=False,
+    planes_per_dot=4,
 ):
     # type: (...) -> jnp.ndarray
     """
@@ -212,6 +380,12 @@ def pallas_blockmax(
     :param interpret: run the kernel in interpreter mode (CPU testing)
     :param permuted: ``db`` is the permute_rows() int8 layout; uses the fast
         2D halving-tree epilogue (requires unpacked and chunk_size % 4096 == 0)
+    :param packed_perm: ``db`` is the permute_packed_rows() PACKED twin
+        (32 B/row); fused in-kernel unpack + tree epilogue with no padded
+        operand copy — the 100M-scale path (requires chunk_size % 4096 == 0)
+    :param bitplane: ``db`` is the bit_transpose_packed() twin (32 B/row);
+        per-lane shift/mask unpack (no cross-lane movement) + plane dots —
+        the fast packed-resident kernel (256-bit, chunk_size % 4096 == 0)
     :return: (Q, N // 128) float32 block maxima (invalid rows excluded),
         block b = original rows [b*128, (b+1)*128) in both modes
     """
@@ -225,6 +399,10 @@ def pallas_blockmax(
         raise ValueError(f"chunk_size must be >= {BLOCK * 128} on TPU (got {chunk_size})")
     if permuted and (not unpacked or chunk_size % PERM_GROUP):
         raise ValueError("permuted scan needs the unpacked layout and chunk_size % 4096 == 0")
+    if packed_perm and (unpacked or permuted or chunk_size % PERM_GROUP or 128 % (nbits // 32)):
+        raise ValueError("packed_perm needs the packed layout, chunk_size % 4096 == 0, lanes | 128")
+    if bitplane and (unpacked or permuted or packed_perm or chunk_size % PERM_GROUP or nbits != 256):
+        raise ValueError("bitplane needs the 256-bit packed layout and chunk_size % 4096 == 0")
     nch = n // chunk_size
 
     # Validity as an additive penalty row in the DOT domain (broadcasts over
@@ -233,11 +411,28 @@ def pallas_blockmax(
     penalty = jnp.where(db_valid, 0, -65536).astype(jnp.float32)[None, :]  # (1, N)
 
     # int8 queries for the int8 MXU path (values ∈ {-1, 0, 1}); bf16 for the
-    # in-kernel unpack path (its select produces f32 -> bf16).
+    # in-kernel unpack paths (their select produces f32 -> bf16).
     q_in = q_pm1.astype(jnp.int8) if unpacked else q_pm1.astype(jnp.bfloat16)
     qs = q_scale.astype(jnp.float32)[:, None]  # (Q, 1)
 
-    if permuted:
+    if bitplane:
+        penalty = bitplane_penalty_perm(penalty.reshape(n)).reshape(1, n).astype(jnp.bfloat16)
+        db = db.reshape(n // 16, 128)  # free view: row-major bytes
+        kernel = functools.partial(
+            _scan_kernel_bitplane, chunk=chunk_size, planes_per_dot=planes_per_dot
+        )
+        db_block = (chunk_size // 16, 128)
+    elif packed_perm:
+        # Same dot-column interleave as the int8 perm path, so the penalty
+        # rides the same permutation (bf16 exact for 0/-65536).
+        penalty = permute_rows(penalty.reshape(n, 1)).reshape(1, n).astype(jnp.bfloat16)
+        lanes = nbits // 32
+        db = db.reshape(n * lanes // 128, 128)  # free view: row-major bytes
+        kernel = functools.partial(
+            _scan_kernel_packed_perm, nbits=nbits, chunk=chunk_size, interpret=interpret
+        )
+        db_block = (chunk_size * lanes // 128, 128)
+    elif permuted:
         # Penalty rides the same per-group interleave as the rows; bf16 is
         # exact for 0/-65536. The tree epilogue then indexes it 1:1.
         penalty = permute_rows(penalty.reshape(n, 1)).reshape(1, n).astype(jnp.bfloat16)
@@ -286,6 +481,8 @@ def pallas_blockmax_topk_impl(
     db_unpacked=None,
     unpacked=False,
     db_perm=None,
+    db_packed_perm=None,
+    db_bitplane=None,
 ):
     # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
     """
@@ -300,6 +497,13 @@ def pallas_blockmax_topk_impl(
     row order. Phase 3 gathers from ``db_unpacked`` when present (fastest),
     else falls back to packed-row takes + XLA unpack — so a perm-only twin
     (HBM budget for one int8 layout) still gets the fast phase 1.
+
+    At scales where no int8 twin fits (100M-class partitions), pass
+    ``db_bitplane`` (the bit_transpose_packed() twin, 32 B/row): phase 1
+    runs the bitplane kernel over it, phase 3 rescores from packed-row
+    takes — the fast path with only 2x the packed footprint.
+    (``db_packed_perm`` keeps the slower in-kernel row-unpack variant for
+    comparison; bitplane wins when both are given.)
     """
     n = db_packed.shape[0]
     q = q_pm1.shape[0]
@@ -308,7 +512,14 @@ def pallas_blockmax_topk_impl(
     if unpacked and db_unpacked is None and db_perm is None:
         raise ValueError("unpacked=True requires db_unpacked and/or db_perm")
     permuted = db_perm is not None
-    phase1_db = db_perm if permuted else (db_unpacked if unpacked else db_packed)
+    bitplane = db_bitplane is not None and not permuted and not unpacked
+    packed_perm = db_packed_perm is not None and not permuted and not unpacked and not bitplane
+    if bitplane:
+        phase1_db = db_bitplane
+    elif packed_perm:
+        phase1_db = db_packed_perm
+    else:
+        phase1_db = db_perm if permuted else (db_unpacked if unpacked else db_packed)
     block_max = pallas_blockmax(
         q_pm1,
         q_scale,
@@ -319,6 +530,8 @@ def pallas_blockmax_topk_impl(
         interpret=interpret,
         unpacked=unpacked,
         permuted=permuted,
+        packed_perm=packed_perm,
+        bitplane=bitplane,
     )
 
     kk = min(k, total_blocks)

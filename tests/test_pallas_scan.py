@@ -295,3 +295,157 @@ def test_engine_perm_only_budget(tmp_path, monkeypatch):
     assert int.from_bytes(k1[0].tobytes(), "big") == 611
     assert s1[0] == pytest.approx(1.0, abs=1e-3)
     idx.close()
+
+
+def test_permute_packed_rows_geometry():
+    """Stored view position (u, col) holds the derived original row's lane."""
+    from iscc_search_tpu.ops.pallas_scan import permute_packed_rows
+
+    n, lanes = 8192, 8
+    r = 128 // lanes
+    packed = np.arange(n, dtype=np.uint32)[:, None] * np.ones((1, lanes), np.uint32)
+    stored = np.asarray(permute_packed_rows(jnp.asarray(packed), lanes))
+    # stored[c2*32R + v*R + g] = orig[v*128 + g*(128//R) + c2] per 4096 group
+    for grp in range(n // 4096):
+        for c2 in range(128 // r):
+            for v in (0, 3, 31):
+                for g in (0, 1, r - 1):
+                    s = grp * 4096 + c2 * 32 * r + v * r + g
+                    o = grp * 4096 + v * 128 + g * (128 // r) + c2
+                    assert stored[s, 0] == o
+
+
+@pytest.mark.parametrize("nbits", [256, 128, 64])
+def test_packed_perm_blockmax_matches_plain(nbits):
+    from iscc_search_tpu.ops.pallas_scan import permute_packed_rows
+
+    rng = np.random.default_rng(77)
+    n, lanes = 8192, nbits // 32
+    packed = rng.integers(0, 2**32, (n, lanes), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 400)] = False
+    q_packed = packed[:8]
+    q_lanes = np.full(8, lanes, np.int32)
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, nbits)
+
+    plain = np.asarray(
+        pallas_blockmax(
+            jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), nbits,
+            chunk_size=4096, interpret=True,
+        )
+    )
+    pperm = permute_packed_rows(jnp.asarray(packed), lanes)
+    got = np.asarray(
+        pallas_blockmax(
+            jnp.asarray(q_pm1), jnp.asarray(q_scale), pperm, jnp.asarray(valid), nbits,
+            chunk_size=4096, interpret=True, packed_perm=True,
+        )
+    )
+    assert np.allclose(got, plain, atol=2e-3)
+
+
+def test_packed_perm_topk_exact_vs_brute_force():
+    from iscc_search_tpu.ops.pallas_scan import permute_packed_rows
+
+    rng = np.random.default_rng(78)
+    n = 8192
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 500)] = False
+    q_packed = packed[:8]
+    q_lanes = np.array([8, 8, 4, 2, 8, 6, 8, 8], np.int32)  # mixed query lengths
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    pperm = permute_packed_rows(jnp.asarray(packed), 8)
+
+    scores, idx = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 7, 256,
+        chunk_size=4096, interpret=True, db_packed_perm=pperm,
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    ref = reference_scores(packed, valid, q_packed, q_lanes)
+    for qi in range(8):
+        expected = np.sort(ref[qi])[::-1][:7]
+        assert np.allclose(np.sort(scores[qi])[::-1], expected, atol=2e-3)
+        for r in range(7):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=2e-3)
+
+
+def test_packed_perm_rejects_bad_config():
+    from iscc_search_tpu.ops.pallas_scan import permute_packed_rows
+
+    with pytest.raises(ValueError):
+        permute_packed_rows(jnp.zeros((100, 8), jnp.uint32), 8)  # N % 4096
+    q = jnp.zeros((8, 256), jnp.float32)
+    qs = jnp.ones(8, jnp.float32)
+    db = jnp.zeros((4096, 8), jnp.uint32)
+    with pytest.raises(ValueError):
+        pallas_blockmax(q, qs, db, jnp.ones(4096, bool), 256, chunk_size=256, interpret=True, packed_perm=True)
+
+
+def test_bitplane_twin_blockmax_matches_plain():
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
+
+    rng = np.random.default_rng(81)
+    n = 8192
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 400)] = False
+    q_packed = packed[:8]
+    q_lanes = np.array([8, 8, 4, 2, 8, 6, 8, 8], np.int32)
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+
+    plain = np.asarray(
+        pallas_blockmax(
+            jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 256,
+            chunk_size=4096, interpret=True,
+        )
+    )
+    bt = bit_transpose_packed(jnp.asarray(packed))
+    got = np.asarray(
+        pallas_blockmax(
+            jnp.asarray(q_pm1), jnp.asarray(q_scale), bt, jnp.asarray(valid), 256,
+            chunk_size=4096, interpret=True, bitplane=True,
+        )
+    )
+    assert np.allclose(got, plain, atol=2e-3)
+
+
+def test_bitplane_topk_exact_vs_brute_force():
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
+
+    rng = np.random.default_rng(82)
+    n = 8192
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 500)] = False
+    q_packed = packed[:8]
+    q_lanes = np.array([8, 8, 4, 2, 8, 6, 8, 8], np.int32)
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
+    bt = bit_transpose_packed(jnp.asarray(packed))
+
+    scores, idx = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 7, 256,
+        chunk_size=4096, interpret=True, db_bitplane=bt,
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    ref = reference_scores(packed, valid, q_packed, q_lanes)
+    for qi in range(8):
+        expected = np.sort(ref[qi])[::-1][:7]
+        assert np.allclose(np.sort(scores[qi])[::-1], expected, atol=2e-3)
+        for r in range(7):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=2e-3)
+
+
+def test_bitplane_rejects_bad_config():
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
+
+    with pytest.raises(ValueError):
+        bit_transpose_packed(jnp.zeros((4096, 4), jnp.uint32))  # not 256-bit
+    with pytest.raises(ValueError):
+        bit_transpose_packed(jnp.zeros((100, 8), jnp.uint32))  # N % 4096
+    q = jnp.zeros((8, 256), jnp.float32)
+    with pytest.raises(ValueError):
+        pallas_blockmax(q, jnp.ones(8, jnp.float32), jnp.zeros((4096, 8), jnp.uint32),
+                        jnp.ones(4096, bool), 256, chunk_size=256, interpret=True, bitplane=True)
