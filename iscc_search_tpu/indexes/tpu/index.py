@@ -447,7 +447,12 @@ class TpuIndex:
                     IsccGlobalMatch(iscc_id=iscc_id, score=total, types=unit_scores, metadata=metadata)
                 )
 
-        if query_iscc_id:
+        if query_iscc_id and chunk_matches:  # pragma: no cover
+            # Defensive parity (reference usearch/index.py:869-871): stored
+            # assets serialize without simprints, so an iscc_id-expanded query
+            # can't produce chunk matches in this backend today — but the
+            # self-exclusion guard must survive any future enrichment of
+            # get_asset with reconstructed simprints.
             chunk_matches = [m for m in chunk_matches if m.iscc_id != query_iscc_id]
 
         logger.debug(

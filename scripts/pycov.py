@@ -31,6 +31,14 @@ from pathlib import Path
 PKG_ROOT = Path(__file__).resolve().parent.parent / "iscc_search_tpu"
 
 _covered = {}  # type: dict[str, set[int]]
+_branches = {}  # type: dict[tuple[str, str, int], set[int]]
+
+# Conditional-branch opcodes on CPython 3.12 (the set the BRANCH monitoring
+# event fires for): two-successor instructions only — unconditional jumps
+# (JUMP_FORWARD/BACKWARD) never fire and are not branch sites.
+_COND_BRANCH_OPS = frozenset(
+    {"FOR_ITER", "POP_JUMP_IF_FALSE", "POP_JUMP_IF_TRUE", "POP_JUMP_IF_NONE", "POP_JUMP_IF_NOT_NONE", "SEND"}
+)
 
 
 def _on_line(code, line):
@@ -40,12 +48,26 @@ def _on_line(code, line):
     return sys.monitoring.DISABLE
 
 
+def _on_branch(code, offset, dest):
+    fname = code.co_filename
+    if not fname.startswith(str(PKG_ROOT)):
+        return sys.monitoring.DISABLE
+    seen = _branches.setdefault((fname, code.co_qualname, offset), set())
+    seen.add(dest)
+    # Conditional branches have exactly two successors: once both are
+    # observed this location is fully covered — stop monitoring it.
+    if len(seen) >= 2:
+        return sys.monitoring.DISABLE
+    return None
+
+
 def start():
     # type: () -> None
     tool = sys.monitoring.COVERAGE_ID
     sys.monitoring.use_tool_id(tool, "pycov")
     sys.monitoring.register_callback(tool, sys.monitoring.events.LINE, _on_line)
-    sys.monitoring.set_events(tool, sys.monitoring.events.LINE)
+    sys.monitoring.register_callback(tool, sys.monitoring.events.BRANCH, _on_branch)
+    sys.monitoring.set_events(tool, sys.monitoring.events.LINE | sys.monitoring.events.BRANCH)
 
 
 def _code_lines(code):
@@ -57,6 +79,57 @@ def _code_lines(code):
         if hasattr(const, "co_lines"):
             lines |= _code_lines(const)
     return lines
+
+
+def _branch_stmt_lines(tree):
+    # type: (ast.AST) -> set[int]
+    """Lines hosting source-level branch constructs (if/while/for/ternary/
+    comprehension filters) — the coverage.py-comparable branch universe.
+    Restricting the bytecode sites to these lines excludes branches the
+    source cannot reasonably exercise both ways (with-statement exception
+    exits, asserts, bare and/or shortcuts in straight-line code)."""
+    lines = set()
+
+    def span(node):
+        if hasattr(node, "lineno") and node.end_lineno:
+            lines.update(range(node.lineno, node.end_lineno + 1))
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.If, ast.While)):
+            span(node.test)
+        elif isinstance(node, (ast.For, ast.AsyncFor)):
+            lines.add(node.lineno)
+            span(node.iter)
+        elif isinstance(node, ast.IfExp):
+            span(node.test)
+        elif isinstance(node, ast.comprehension):
+            span(node.iter)
+            for cond in node.ifs:
+                span(cond)
+    return lines
+
+
+def _branch_sites(code, excluded, branch_lines):
+    # type: (...) -> dict[tuple[str, int], int]
+    """Static conditional-branch sites of a code object tree:
+    {(qualname, instruction offset): line}, excluding pragma'd lines and
+    lines outside the source-level branch universe."""
+    import dis
+
+    sites = {}
+    for instr in dis.get_instructions(code):
+        line = instr.positions.lineno if instr.positions else None
+        if (
+            instr.opname in _COND_BRANCH_OPS
+            and line
+            and line not in excluded
+            and line in branch_lines
+        ):
+            sites[(code.co_qualname, instr.offset)] = line
+    for const in code.co_consts:
+        if hasattr(const, "co_lines"):
+            sites.update(_branch_sites(const, excluded, branch_lines))
+    return sites
 
 
 def _excluded_lines(path, text):
@@ -118,6 +191,7 @@ def report(out_path="COVERAGE.json"):
     omit = _omit_patterns()
     files = {}
     total_exec = total_hit = 0
+    total_br = total_br_hit = 0
     for path in sorted(PKG_ROOT.rglob("*.py")):
         rel = str(path.relative_to(PKG_ROOT.parent))
         if any(fnmatch.fnmatch(rel, pat) for pat in omit):
@@ -127,21 +201,42 @@ def report(out_path="COVERAGE.json"):
             code = compile(text, str(path), "exec")
         except SyntaxError:  # pragma: no cover - source tree always compiles
             continue
-        executable = _code_lines(code) - _excluded_lines(path, text)
+        excluded = _excluded_lines(path, text)
+        executable = _code_lines(code) - excluded
         hit = _covered.get(str(path), set()) & executable
         missing = sorted(executable - hit)
+        # Branch outcomes: every conditional branch has two successors; a
+        # site is fully covered when the BRANCH event saw both destinations.
+        sites = _branch_sites(code, excluded, _branch_stmt_lines(ast.parse(text, str(path))))
+        br_total = 2 * len(sites)
+        br_hit = 0
+        missing_branches = []
+        for (qualname, offset), line in sorted(sites.items(), key=lambda kv: kv[1]):
+            seen = _branches.get((str(path), qualname, offset), ())
+            br_hit += min(len(seen), 2)
+            if len(seen) < 2:
+                missing_branches.append(line)
         files[rel] = {
             "lines": len(executable),
             "covered": len(hit),
             "pct": round(100 * len(hit) / len(executable), 1) if executable else 100.0,
             "missing": missing,
+            "branches": br_total,
+            "branches_covered": br_hit,
+            "branch_pct": round(100 * br_hit / br_total, 1) if br_total else 100.0,
+            "missing_branches": sorted(set(missing_branches)),
         }
         total_exec += len(executable)
         total_hit += len(hit)
+        total_br += br_total
+        total_br_hit += br_hit
     summary = {
         "total_lines": total_exec,
         "covered_lines": total_hit,
         "pct": round(100 * total_hit / max(total_exec, 1), 2),
+        "total_branches": total_br,
+        "covered_branches": total_br_hit,
+        "branch_pct": round(100 * total_br_hit / max(total_br, 1), 2),
         "files": files,
     }
     Path(out_path).write_text(json.dumps(summary, indent=1))
@@ -152,24 +247,33 @@ def main():
     # type: () -> int
     args = sys.argv[1:]
     min_pct = 90.0
+    branch_min = 85.0
+    try:
+        import tomllib
+
+        # Absolute path: reading from the invoking CWD would silently
+        # fall back to the default gate when run from elsewhere.
+        cfg = tomllib.loads((PKG_ROOT.parent / "pyproject.toml").read_text())
+        min_pct = float(cfg.get("tool", {}).get("pycov", {}).get("min", min_pct))
+        branch_min = float(cfg.get("tool", {}).get("pycov", {}).get("branch_min", branch_min))
+    except Exception:
+        pass
     if "--min" in args:
         i = args.index("--min")
         try:
             min_pct = float(args[i + 1])
         except (IndexError, ValueError):
-            print("usage: pycov.py [--min PCT] [pytest args...]", file=sys.stderr)
+            print("usage: pycov.py [--min PCT] [--branch-min PCT] [pytest args...]", file=sys.stderr)
             return 2
         del args[i : i + 2]
-    else:
+    if "--branch-min" in args:
+        i = args.index("--branch-min")
         try:
-            import tomllib
-
-            # Absolute path: reading from the invoking CWD would silently
-            # fall back to the default gate when run from elsewhere.
-            cfg = tomllib.loads((PKG_ROOT.parent / "pyproject.toml").read_text())
-            min_pct = float(cfg.get("tool", {}).get("pycov", {}).get("min", min_pct))
-        except Exception:
-            pass
+            branch_min = float(args[i + 1])
+        except (IndexError, ValueError):
+            print("usage: pycov.py [--min PCT] [--branch-min PCT] [pytest args...]", file=sys.stderr)
+            return 2
+        del args[i : i + 2]
 
     repo_root = str(PKG_ROOT.parent)
     if repo_root not in sys.path:
@@ -181,16 +285,29 @@ def main():
     rc = pytest.main(args or ["tests/", "-q"])
     summary = report()
     worst = sorted(summary["files"].items(), key=lambda kv: kv[1]["pct"])[:10]
-    print("\n---- pycov: line coverage over iscc_search_tpu ----")
+    print("\n---- pycov: line + branch coverage over iscc_search_tpu ----")
     for name, info in worst:
-        print(f"  {info['pct']:6.1f}%  {name}  ({info['covered']}/{info['lines']})")
-    print(f"TOTAL: {summary['pct']}% ({summary['covered_lines']}/{summary['total_lines']} lines), gate {min_pct}%")
+        print(
+            f"  {info['pct']:6.1f}% / {info['branch_pct']:6.1f}%br  {name}  "
+            f"({info['covered']}/{info['lines']} lines, {info['branches_covered']}/{info['branches']} branches)"
+        )
+    print(
+        f"TOTAL: {summary['pct']}% lines ({summary['covered_lines']}/{summary['total_lines']}), "
+        f"{summary['branch_pct']}% branches ({summary['covered_branches']}/{summary['total_branches']}), "
+        f"gates {min_pct}% / {branch_min}%br"
+    )
     if rc != 0:
         return int(rc)
+    failed = False
     if summary["pct"] < min_pct:
-        print(f"FAIL: coverage {summary['pct']}% is below the {min_pct}% gate")
+        print(f"FAIL: line coverage {summary['pct']}% is below the {min_pct}% gate")
+        failed = True
+    if summary["branch_pct"] < branch_min:
+        print(f"FAIL: branch coverage {summary['branch_pct']}% is below the {branch_min}% gate")
+        failed = True
+    if failed:
         return 2
-    print("coverage gate PASSED")
+    print("coverage gates PASSED")
     return 0
 
 
