@@ -81,8 +81,10 @@ uint32_t crc32(const uint8_t* data, size_t len, uint32_t seed = 0) {
 
 using Bytes = std::string;
 
-// Where a plain value's bytes live when not held in RAM.
-enum ValSrc : uint8_t { SRC_INLINE = 0, SRC_LOG = 1, SRC_SNAP = 2 };
+// Where a plain value's bytes live when not held in RAM. SRC_LOG0 is the
+// rotated previous log during (or after a crash within) an incremental
+// compaction — see ts_compact.
+enum ValSrc : uint8_t { SRC_INLINE = 0, SRC_LOG = 1, SRC_SNAP = 2, SRC_LOG0 = 3 };
 
 struct ValRef {
     uint64_t off = 0;
@@ -116,7 +118,9 @@ struct Store {
     std::string dir;
     int log_fd = -1;    // O_WRONLY append handle
     int log_rfd = -1;   // O_RDONLY handle for external value pread
+    int log0_rfd = -1;  // O_RDONLY handle for the rotated log (compaction)
     int snap_rfd = -1;  // O_RDONLY handle for the current snapshot (-1 = none)
+    bool compacting = false;  // an incremental compaction is in flight
     std::unordered_map<std::string, Db> dbs;
     mutable std::shared_mutex mtx;
     std::string wbuf;         // pending appends not yet written to the fd
@@ -133,6 +137,7 @@ struct Store {
     ~Store() {  // error paths in ts_open must not leak fds
         if (log_fd >= 0) ::close(log_fd);
         if (log_rfd >= 0) ::close(log_rfd);
+        if (log0_rfd >= 0) ::close(log0_rfd);
         if (snap_rfd >= 0) ::close(snap_rfd);
     }
 };
@@ -169,7 +174,7 @@ bool read_val(const Store& s, const ValRef& r, Bytes& out) {
         memcpy(out.data(), s.wbuf.data() + woff, r.len);
         return true;
     }
-    int fd = r.src == SRC_LOG ? s.log_rfd : s.snap_rfd;
+    int fd = r.src == SRC_LOG ? s.log_rfd : (r.src == SRC_LOG0 ? s.log0_rfd : s.snap_rfd);
     if (fd < 0) return false;
     size_t done = 0;
     while (done < r.len) {
@@ -549,6 +554,62 @@ bool write_snapshot(Store& s, std::vector<PendingRef>& pending) {
     return true;
 }
 
+// Full-stall compaction: write a snapshot and truncate the log, all under
+// the caller-held EXCLUSIVE lock. External value references are rewritten to
+// the new snapshot before the log is truncated, so no reference can dangle;
+// on any failure the old refs (and old files) stay valid. Used at open
+// (store.log.0 residue, no concurrency) and as the fallback when residue
+// blocks the incremental path.
+int compact_full(Store& s) {
+    if (!flush_wbuf(s)) return 0;
+    std::vector<PendingRef> pending;
+    if (!write_snapshot(s, pending)) return 0;
+    // Open the NEW snapshot's read fd BEFORE swapping refs or truncating:
+    // if this open fails (EMFILE...), the old refs, the old snap fd (which
+    // keeps the replaced inode alive), and the intact log keep every value
+    // readable, and the next compact simply retries.
+    int new_rfd = ::open((s.dir + "/store.snap").c_str(), O_RDONLY);
+    if (new_rfd < 0) {
+        s.set_error(std::string("snapshot reopen failed: ") + strerror(errno));
+        return 0;
+    }
+    // Snapshot is durably in place: point refs at it and swap the read fd.
+    for (auto& p : pending) {
+        p.entry->vals.clear();
+        p.entry->ref = p.ref;
+    }
+    if (s.snap_rfd >= 0) ::close(s.snap_rfd);
+    s.snap_rfd = new_rfd;
+    // The snapshot covers the rotated log too (it dumps full state): the
+    // residue file and its refs (all swapped to SRC_SNAP above) are obsolete.
+    if (s.log0_rfd >= 0) {
+        ::close(s.log0_rfd);
+        s.log0_rfd = -1;
+        ::unlink((s.dir + "/store.log.0").c_str());
+    }
+    // From here every ref is valid against the new snapshot; a failed log
+    // truncation just means the (idempotent) log replays over it next open.
+    if (ftruncate(s.log_fd, 0) != 0) return 0;
+    if (lseek(s.log_fd, 0, SEEK_SET) < 0) return 0;
+    s.log_bytes = 0;
+    return 1;
+}
+
+// Pending reference swap for the incremental compaction: identified by
+// (db, key, old ref) instead of Entry* — the entry may be deleted or
+// rewritten while the snapshot streams, and the swap must then be skipped
+// (the new value's bytes live in the new log, which survives compaction).
+struct PendingKeyRef {
+    std::string db;
+    Bytes key;
+    ValRef oldref;
+    ValRef newref;
+};
+
+bool same_ref(const ValRef& a, const ValRef& b) {
+    return a.src == b.src && a.off == b.off && a.len == b.len;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -592,6 +653,22 @@ void* ts_open(const char* dir) {
         if (s->snap_rfd < 0) return nullptr;  // externalized values need it
     }
 
+    // Rotated-log residue from a crash mid-incremental-compaction: replay it
+    // between the snapshot and the live log (its ops are older than the
+    // log's). Values stay readable through log0_rfd; the first explicit
+    // compact (or the post-open compact below) retires the file.
+    std::string log0_path = s->dir + "/store.log.0";
+    int l0fd = ::open(log0_path.c_str(), O_RDONLY);
+    bool had_log0 = l0fd >= 0;
+    if (had_log0) {
+        size_t consumed = 0;
+        bool ok = replay_fd(*s, l0fd, SRC_LOG0, consumed);
+        ::close(l0fd);
+        if (!ok) return nullptr;
+        s->log0_rfd = ::open(log0_path.c_str(), O_RDONLY);
+        if (s->log0_rfd < 0) return nullptr;
+    }
+
     std::string log_path = s->dir + "/store.log";
     size_t valid = 0;
     bool log_existed = false;
@@ -616,6 +693,12 @@ void* ts_open(const char* dir) {
     s->log_bytes = valid;
     s->log_rfd = ::open(log_path.c_str(), O_RDONLY);
     if (s->log_rfd < 0) return nullptr;
+    if (had_log0) {
+        // Retire the residue now (single-threaded: no stall concern). A
+        // failure is benign — LOG0 refs stay served via log0_rfd and the
+        // next compact retries.
+        compact_full(*s);
+    }
     return s.release();  // fds on failure paths are closed by ~Store
 }
 
@@ -628,9 +711,12 @@ void ts_close(void* h) {
         if (s->log_fd >= 0) {
             fdatasync(s->log_fd);
             ::close(s->log_fd);
+            s->log_fd = -1;  // ~Store closes too: don't double-close the fd
         }
         if (s->log_rfd >= 0) ::close(s->log_rfd);
+        if (s->log0_rfd >= 0) ::close(s->log0_rfd);
         if (s->snap_rfd >= 0) ::close(s->snap_rfd);
+        s->log_rfd = s->log0_rfd = s->snap_rfd = -1;
     }
     delete s;
 }
@@ -953,37 +1039,194 @@ int ts_sync(void* h) {
     return fdatasync(s->log_fd) == 0 ? 1 : 0;
 }
 
-// Write a compacted snapshot and truncate the log. External value references
-// are rewritten to the new snapshot before the log is truncated, so no
-// reference can dangle; on any failure the old refs (and old files) stay
-// valid.
+// Incremental compaction: bounded write stalls instead of a full-store
+// pause (a 1M-asset aggregator store measured a 15.5s ingest stall on the
+// old full-lock path — benchmarks/AGGREGATOR_INGEST.json).
+//
+//   Phase A (exclusive, O(entries) pointer walk, no I/O): flush the write
+//     buffer, rotate store.log -> store.log.0 (the old read fd keeps serving
+//     rotated refs, retagged SRC_LOG -> SRC_LOG0), start a fresh empty log.
+//   Phase B (shared, sliced): stream a snapshot of the live tables in
+//     SLICE-entry slices — serialize under the shared lock, write the file
+//     between slices with NO lock held. The snapshot need not be a
+//     point-in-time image: every mutation since rotation is in the NEW log,
+//     and all ops are idempotent absolute state-setters, so
+//     "snapshot-of-any-interleaving + full new-log replay" converges to the
+//     live state (same argument per key: the last logged op wins).
+//   Phase C (exclusive, O(pending)): swap external refs that are still
+//     byte-identical to their captured form into the new snapshot, install
+//     the new snap fd, drop store.log.0 (every LOG0 ref was either swapped
+//     here or superseded by a newer op whose bytes live in the new log).
+//
+// A crash at any point leaves {snap, log.0, log} replayable in that order
+// (ts_open); failure mid-phase leaves the rotated state serving correctly
+// and the next explicit compact falls back to the full-stall path.
 int ts_compact(void* h) {
     Store* s = static_cast<Store*>(h);
-    std::unique_lock lock(s->mtx);
-    if (!flush_wbuf(*s)) return 0;
-    std::vector<PendingRef> pending;
-    if (!write_snapshot(*s, pending)) return 0;
-    // Open the NEW snapshot's read fd BEFORE swapping refs or truncating:
-    // if this open fails (EMFILE...), the old refs, the old snap fd (which
-    // keeps the replaced inode alive), and the intact log keep every value
-    // readable, and the next compact simply retries.
-    int new_rfd = ::open((s->dir + "/store.snap").c_str(), O_RDONLY);
-    if (new_rfd < 0) {
-        s->set_error(std::string("snapshot reopen failed: ") + strerror(errno));
+    constexpr int SLICE = 8192;
+
+    std::string log_path = s->dir + "/store.log";
+    std::string log0_path = s->dir + "/store.log.0";
+
+    // Pre-sync the log with NO exclusive lock held: rotation must fdatasync
+    // the rotated file (post-rotation ts_sync calls only cover the new log,
+    // but they promise durability of EVERYTHING ingested so far), and doing
+    // the bulk of that fsync here bounds the locked one below to the delta
+    // written since this line.
+    {
+        std::shared_lock lock(s->mtx);
+        if (s->compacting) return 1;
+        fdatasync(s->log_fd);
+    }
+
+    // ---- Phase A: rotate the log (exclusive, short) ----
+    {
+        std::unique_lock lock(s->mtx);
+        if (s->compacting) return 1;  // another thread is already compacting
+        if (s->log0_rfd >= 0) {
+            // Residue from a failed earlier attempt: the simple path heals it.
+            return compact_full(*s);
+        }
+        if (!flush_wbuf(*s)) return 0;
+        if (fdatasync(s->log_fd) != 0) {
+            s->set_error(std::string("log sync failed: ") + strerror(errno));
+            return 0;
+        }
+        if (::rename(log_path.c_str(), log0_path.c_str()) != 0) {
+            s->set_error(std::string("log rotate failed: ") + strerror(errno));
+            return 0;
+        }
+        int new_wfd = ::open(log_path.c_str(), O_WRONLY | O_CREAT, 0644);
+        int new_rfd = ::open(log_path.c_str(), O_RDONLY);
+        if (new_wfd < 0 || new_rfd < 0) {
+            // Roll the rename back; the old fds still point at the inode.
+            if (new_wfd >= 0) ::close(new_wfd);
+            if (new_rfd >= 0) ::close(new_rfd);
+            ::unlink(log_path.c_str());
+            ::rename(log0_path.c_str(), log_path.c_str());
+            s->set_error(std::string("log reopen failed: ") + strerror(errno));
+            return 0;
+        }
+        s->log0_rfd = s->log_rfd;
+        ::close(s->log_fd);
+        s->log_fd = new_wfd;
+        s->log_rfd = new_rfd;
+        s->log_bytes = 0;
+        for (auto& [dbname, db] : s->dbs) {
+            for (auto& [key, entry] : db.data) {
+                if (entry.ref.src == SRC_LOG) entry.ref.src = SRC_LOG0;
+            }
+        }
+        s->compacting = true;
+    }
+
+    // ---- Phase B: stream the snapshot in slices (shared, bounded) ----
+    auto fail = [&](const char* msg) {
+        std::unique_lock lock(s->mtx);
+        if (msg) s->set_error(msg);
+        s->compacting = false;  // log.0 stays; next compact heals via compact_full
+        ::unlink((s->dir + "/store.snap.tmp").c_str());
         return 0;
+    };
+
+    std::vector<std::string> names;
+    {
+        std::shared_lock lock(s->mtx);
+        names.reserve(s->dbs.size());
+        for (auto& [dbname, db] : s->dbs) names.push_back(dbname);
     }
-    // Snapshot is durably in place: point refs at it and swap the read fd.
-    for (auto& p : pending) {
-        p.entry->vals.clear();
-        p.entry->ref = p.ref;
+
+    std::string tmp_path = s->dir + "/store.snap.tmp";
+    FileWriter w;
+    w.fd = ::open(tmp_path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (w.fd < 0) return fail("snapshot open failed");
+    std::vector<PendingKeyRef> pending;
+    std::string batch, rec;
+    Bytes vbuf;
+
+    for (const auto& name : names) {
+        Bytes last;
+        bool first = true;
+        while (true) {
+            batch.clear();
+            bool more = false;
+            {
+                std::shared_lock lock(s->mtx);
+                auto dbit = s->dbs.find(name);
+                if (dbit == s->dbs.end()) break;  // dropped mid-compact: the new log has the drop
+                Db& db = dbit->second;
+                auto it = first ? db.data.begin() : db.data.upper_bound(last);
+                for (int n = 0; it != db.data.end() && n < SLICE; ++it, ++n) {
+                    const Bytes& key = it->first;
+                    Entry& entry = it->second;
+                    if (db.dupsort) {
+                        for (const auto& v : entry.vals) {
+                            rec.clear();
+                            encode_record(rec, OP_DUP_PUT, name, key, v);
+                            batch.append(rec);
+                        }
+                    } else {
+                        if (!plain_value(*s, entry, vbuf)) {
+                            lock.unlock();
+                            ::close(w.fd);
+                            return fail("snapshot: external value read failed");
+                        }
+                        uint64_t rec_off = w.offset() + batch.size();
+                        rec.clear();
+                        encode_record(rec, OP_PUT, name, key, vbuf);
+                        batch.append(rec);
+                        if (s->ext_min && vbuf.size() >= s->ext_min) {
+                            pending.push_back(
+                                {name, key, entry.ref,
+                                 ValRef{value_off(rec_off, name.size(), key.size()),
+                                        static_cast<uint32_t>(vbuf.size()), SRC_SNAP}});
+                        }
+                    }
+                    last = key;
+                }
+                first = false;
+                more = it != db.data.end();
+            }
+            w.append(batch);  // file I/O with no lock held
+            if (!w.ok) {
+                ::close(w.fd);
+                return fail("snapshot write failed");
+            }
+            if (!more) break;
+        }
     }
-    if (s->snap_rfd >= 0) ::close(s->snap_rfd);
-    s->snap_rfd = new_rfd;
-    // From here every ref is valid against the new snapshot; a failed log
-    // truncation just means the (idempotent) log replays over it next open.
-    if (ftruncate(s->log_fd, 0) != 0) return 0;
-    if (lseek(s->log_fd, 0, SEEK_SET) < 0) return 0;
-    s->log_bytes = 0;
+    w.flush();
+    bool synced = w.ok && fdatasync(w.fd) == 0;
+    bool closed = ::close(w.fd) == 0;  // close exactly once, success or not
+    if (!synced || !closed) return fail("snapshot sync failed");
+    if (::rename(tmp_path.c_str(), (s->dir + "/store.snap").c_str()) != 0) {
+        return fail("snapshot rename failed");
+    }
+    if (!sync_dir(*s)) return fail(nullptr);  // set_error done by sync_dir
+    int new_snap_rfd = ::open((s->dir + "/store.snap").c_str(), O_RDONLY);
+    if (new_snap_rfd < 0) return fail("snapshot reopen failed");
+
+    // ---- Phase C: swap refs + drop the rotated log (exclusive, short) ----
+    {
+        std::unique_lock lock(s->mtx);
+        for (auto& p : pending) {
+            auto dbit = s->dbs.find(p.db);
+            if (dbit == s->dbs.end()) continue;
+            auto it = dbit->second.data.find(p.key);
+            if (it == dbit->second.data.end()) continue;
+            Entry& entry = it->second;
+            if (same_ref(entry.ref, p.oldref)) {
+                entry.vals.clear();
+                entry.ref = p.newref;
+            }
+        }
+        if (s->snap_rfd >= 0) ::close(s->snap_rfd);
+        s->snap_rfd = new_snap_rfd;
+        ::close(s->log0_rfd);
+        s->log0_rfd = -1;
+        ::unlink(log0_path.c_str());
+        s->compacting = false;
+    }
     return 1;
 }
 

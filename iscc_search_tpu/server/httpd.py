@@ -26,6 +26,12 @@ class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
     """Thread-per-request WSGI server."""
 
     daemon_threads = True
+    # The socketserver default listen backlog is 5. Clients without
+    # keep-alive (one TCP connect per request) overflow that under modest
+    # concurrency, and a dropped SYN retransmits after exactly 1s — measured
+    # as a 1074ms p99 at 16 clients vs an 89ms p50
+    # (benchmarks/LATENCY_16clients.json, round 2).
+    request_queue_size = 128
 
 
 class QuietHandler(WSGIRequestHandler):

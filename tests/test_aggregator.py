@@ -243,8 +243,12 @@ def test_poll_hub_once_resumes_from_cursor(agg_setup):
     assert result.last_size == 300
 
 
-def test_poll_hub_once_bundle_failure_keeps_progress(agg_setup):
+def test_poll_hub_once_bundle_failure_keeps_progress(agg_setup, monkeypatch):
+    """A failed bundle ends the poll but keeps prior committed progress.
+    Retry granularity is the bundle GROUP (poller.GROUP_BUNDLES); pin the
+    group size to 1 so the boundary under test is a single bundle."""
     index, opts = agg_setup
+    monkeypatch.setattr(poller, "GROUP_BUNDLES", 1)
     records = [make_record(i) for i in range(1, 600)]
     fake = FakeLog(records)
     fake.fail_bundles = {1}
@@ -258,6 +262,27 @@ def test_poll_hub_once_bundle_failure_keeps_progress(agg_setup):
     result = run_async(go())
     assert result.error is not None
     assert result.last_size == 256  # bundle 0 landed, bundle 1 failed
+
+
+def test_poll_hub_once_group_failure_keeps_group_progress(agg_setup):
+    """With the default group size, a failure inside group 2 keeps group 1's
+    committed records (cursor lands on the group boundary)."""
+    index, opts = agg_setup
+    group_records = poller.GROUP_BUNDLES * 256
+    records = [make_record(i) for i in range(1, group_records + 600)]
+    fake = FakeLog(records)
+    fake.fail_bundles = {poller.GROUP_BUNDLES + 1}
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        stop = asyncio.Event()
+        return await poller.poll_hub_once(client, hub, 0, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.error is not None
+    assert result.last_size == group_records  # first group landed
+    assert result.counts["ok"] == group_records
 
 
 def test_poll_hub_once_regression_resets(agg_setup):
