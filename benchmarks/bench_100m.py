@@ -46,11 +46,20 @@ def main():
     q_pm1, q_scale = prepare_queries(q_packed, np.full(q_batch, 8, np.int32), 256)
     qp, qs = jnp.asarray(q_pm1), jnp.asarray(q_scale)
 
-    # XLA packed-layout scan only: the packed-Pallas kernel's dense operand
-    # layout constraint forces a 16x lane-padded copy of u32[N,8] (51 GB at
-    # 100M — exceeds HBM), while the XLA scan reads the compact resting
-    # layout and only pads transient per-chunk slices.
+    # Bitplane Pallas kernel (the 100M fast path: bit_transpose_packed twin,
+    # 2x packed HBM, stored as its native (N/16, 128) view so the operand
+    # tiles compactly — the u32[N,8] shape would lane-pad 16x, 51 GB) vs the
+    # XLA packed block-max scan (the no-twin fallback).
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed, pallas_blockmax_topk
+
+    t0 = time.perf_counter()
+    bt = jax.block_until_ready(jax.jit(bit_transpose_packed)(db))
+    results["bitplane_build_s"] = round(time.perf_counter() - t0, 2)
+
     modes = {
+        "bitplane": lambda: pallas_blockmax_topk(
+            qp, qs, db, valid, k, 256, chunk_size=chunk, db_bitplane=bt
+        ),
         "xla": lambda: pm1_blockmax_topk(qp, qs, db, valid, k, 256, chunk_size=chunk),
     }
     repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 5))

@@ -8,6 +8,7 @@ benchmarks/exp_packed_perm.py [n_million]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -49,10 +50,13 @@ def main():
     valid = jnp.ones(n, bool)
     print(f"gen {time.perf_counter()-t0:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    build = jax.jit(lambda p: permute_packed_rows(p, 8))
-    pperm = jax.block_until_ready(build(packed))
-    print(f"perm-packed twin build {time.perf_counter()-t0:.1f}s", flush=True)
+    skip_perm_early = bool(int(os.environ.get("ISCC_EXP_SKIP_PERM", "0")))
+    pperm = None
+    if not skip_perm_early:
+        t0 = time.perf_counter()
+        build = jax.jit(lambda p: permute_packed_rows(p, 8))
+        pperm = jax.block_until_ready(build(packed))
+        print(f"perm-packed twin build {time.perf_counter()-t0:.1f}s", flush=True)
 
     q_packed = np.asarray(packed[:q_n])
     q_lanes = np.full(q_n, 8, np.int32)
@@ -63,25 +67,29 @@ def main():
     results = {"n": n, "q": q_n, "chunk": chunk}
 
     # Phase-1 only: packed-perm Pallas kernel
-    t0 = time.perf_counter()
-    f = lambda: pallas_blockmax(q_pm1, q_scale, pperm, valid, 256, chunk_size=chunk, packed_perm=True)
-    jax.block_until_ready(f())
-    results["packed_perm_phase1_compile_s"] = round(time.perf_counter() - t0, 1)
-    dt = timeit(f)
-    results["packed_perm_phase1_ms"] = round(dt * 1e3, 2)
-    print(f"packed-perm phase1: {dt*1e3:.2f} ms", flush=True)
+    skip_perm = bool(int(os.environ.get("ISCC_EXP_SKIP_PERM", "0")))
+    if not skip_perm:
+        t0 = time.perf_counter()
+        f = lambda: pallas_blockmax(
+            q_pm1, q_scale, pperm, valid, 256, chunk_size=chunk, packed_perm=True
+        )
+        jax.block_until_ready(f())
+        results["packed_perm_phase1_compile_s"] = round(time.perf_counter() - t0, 1)
+        dt = timeit(f)
+        results["packed_perm_phase1_ms"] = round(dt * 1e3, 2)
+        print(f"packed-perm phase1: {dt*1e3:.2f} ms", flush=True)
 
-    # Full top-k: packed-perm phase1 + XLA-take rescore
-    t0 = time.perf_counter()
-    g = lambda: pallas_blockmax_topk(
-        q_pm1, q_scale, packed, valid, k, 256, chunk_size=chunk, db_packed_perm=pperm
-    )
-    jax.block_until_ready(g())
-    results["packed_perm_topk_compile_s"] = round(time.perf_counter() - t0, 1)
-    dt = timeit(g)
-    results["packed_perm_topk_ms"] = round(dt * 1e3, 2)
-    results["packed_perm_topk_qps"] = round(q_n / dt)
-    print(f"packed-perm topk: {dt*1e3:.2f} ms -> {q_n/dt:,.0f} QPS", flush=True)
+        # Full top-k: packed-perm phase1 + XLA-take rescore
+        t0 = time.perf_counter()
+        g = lambda: pallas_blockmax_topk(
+            q_pm1, q_scale, packed, valid, k, 256, chunk_size=chunk, db_packed_perm=pperm
+        )
+        jax.block_until_ready(g())
+        results["packed_perm_topk_compile_s"] = round(time.perf_counter() - t0, 1)
+        dt = timeit(g)
+        results["packed_perm_topk_ms"] = round(dt * 1e3, 2)
+        results["packed_perm_topk_qps"] = round(q_n / dt)
+        print(f"packed-perm topk: {dt*1e3:.2f} ms -> {q_n/dt:,.0f} QPS", flush=True)
 
     # Bitplane twin: per-lane shift/mask unpack + plane dots
     from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
@@ -129,11 +137,13 @@ def main():
     print(f"xla packed topk: {dt*1e3:.2f} ms -> {q_n/dt:,.0f} QPS", flush=True)
 
     # Exactness cross-check on this hardware (top-k score sets match)
-    s1, i1 = g()
     s2, i2 = h()
     s3, i3 = g2()
-    s1, s2, s3 = np.asarray(s1), np.asarray(s2), np.asarray(s3)
-    assert np.allclose(np.sort(s1, 1), np.sort(s2, 1), atol=2e-3), "packed-perm != xla top-k"
+    s2, s3 = np.asarray(s2), np.asarray(s3)
+    if not skip_perm:
+        s1, i1 = g()
+        s1 = np.asarray(s1)
+        assert np.allclose(np.sort(s1, 1), np.sort(s2, 1), atol=2e-3), "packed-perm != xla top-k"
     assert np.allclose(np.sort(s3, 1), np.sort(s2, 1), atol=2e-3), "bitplane != xla top-k"
     results["exact_match"] = True
 

@@ -80,13 +80,17 @@ def _unpacked_budget_bytes():
 class _Partition:
     """Device mirror of one code-length partition."""
 
-    __slots__ = ("packed_dev", "valid_dev", "unpacked_dev", "perm_dev", "row_map", "cap", "count")
+    __slots__ = (
+        "packed_dev", "valid_dev", "unpacked_dev", "perm_dev", "bitplane_dev",
+        "row_map", "cap", "count",
+    )
 
-    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count, perm_dev=None):
+    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count, perm_dev=None, bitplane_dev=None):
         self.packed_dev = packed_dev
         self.valid_dev = valid_dev
         self.unpacked_dev = unpacked_dev  # plain ±1 int8 (phase-3 gather)
         self.perm_dev = perm_dev  # permute_rows() twin (fast phase-1 tree kernel)
+        self.bitplane_dev = bitplane_dev  # bit_transpose_packed() twin (beyond-int8-budget phase 1)
         self.row_map = row_map  # (cap,) int32 global row per device row (junk rows -> 0, invalid)
         self.cap = cap
         self.count = count  # real rows uploaded
@@ -116,6 +120,31 @@ def _perm_group_rewrite(perm_dev, packed_dev, nbits, start, end):
         _perm_group_rewrite._fn = jax.jit(_rewrite, static_argnums=(3,))
     packed_slice = jax.lax.dynamic_slice_in_dim(packed_dev, g0, g1 - g0, axis=0)
     return _perm_group_rewrite._fn(perm_dev, packed_slice, g0, nbits)
+
+
+def _bitplane_group_rewrite(bt_dev, packed_dev, start, end):
+    # type: (..., ..., int, int) -> ...
+    """
+    Refresh the bitplane twin for original rows [start, end): re-transpose
+    the covering 4096-row groups from the packed mirror and write their
+    (group*256, 128) view rows back (functional update — concurrent search
+    snapshots stay valid).
+    """
+    import jax
+
+    from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed
+
+    g0 = (start // PERM_GROUP) * PERM_GROUP
+    g1 = -(-end // PERM_GROUP) * PERM_GROUP
+    if not hasattr(_bitplane_group_rewrite, "_fn"):
+
+        def _rewrite(bt, packed_slice, view_offset):
+            view_rows = bit_transpose_packed(packed_slice)
+            return jax.lax.dynamic_update_slice(bt, view_rows, (view_offset, 0))
+
+        _bitplane_group_rewrite._fn = jax.jit(_rewrite)
+    packed_slice = jax.lax.dynamic_slice_in_dim(packed_dev, g0, g1 - g0, axis=0)
+    return _bitplane_group_rewrite._fn(bt_dev, packed_slice, g0 // 16)
 
 
 def _device_append(buf, new, start):
@@ -402,7 +431,7 @@ class PackedCodeIndex:
             # rebind partition attributes, and a consistent (buffer, validity,
             # row_map) triple must be used per partition.
             partitions = {
-                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev)
+                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev, p.bitplane_dev)
                 for lanes, p in synced.items()
             }
             # Reference snapshot is race-safe: rows are append-only (keys of
@@ -428,7 +457,7 @@ class PackedCodeIndex:
         # instead of one per partition).
         pending = []  # type: list[tuple[np.ndarray, object, object]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev) in partitions.items():
+        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
@@ -493,11 +522,15 @@ class PackedCodeIndex:
                     recall_target=self.recall_target,
                     merge_k=merge_k,
                 )
-            elif self.recall_target is None and pallas_ok and (unpacked_dev is not None or perm_dev is not None):
+            elif self.recall_target is None and pallas_ok and (
+                unpacked_dev is not None or perm_dev is not None or bitplane_dev is not None
+            ):
                 # Exact: fused device query prep + Pallas kernel over the ±1
-                # int8 layout, one upload + one dispatch per partition
+                # int8 layout (or the bitplane twin beyond the int8 budget),
+                # one upload + one dispatch per partition
                 from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_packedq
 
+                has_int8 = unpacked_dev is not None or perm_dev is not None
                 scores, idx = pallas_blockmax_topk_packedq(
                     q_codes_dev,
                     q_lanes_dev,
@@ -507,8 +540,9 @@ class PackedCodeIndex:
                     nbits,
                     chunk_size=max(chunk, _PALLAS_MIN_CHUNK),
                     db_unpacked=unpacked_dev,
-                    unpacked=True,
+                    unpacked=has_int8,
                     db_perm=perm_dev,
+                    db_bitplane=None if has_int8 else bitplane_dev,
                     interpret=self._pallas_interpret(),
                 )
             elif self.recall_target is None:
@@ -939,6 +973,7 @@ class PackedCodeIndex:
             packed_dev = jax.device_put(jnp.asarray(packed))
             valid_dev = jax.device_put(jnp.asarray(valid))
             layout_bytes = cap * lanes * 32
+            bitplane_dev = None
             if (
                 self._use_pallas()
                 and cap >= _PALLAS_MIN_CHUNK
@@ -959,6 +994,20 @@ class PackedCodeIndex:
                     unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
                 if perm_ok:
                     perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
+            elif self._use_pallas() and cap >= _PALLAS_MIN_CHUNK and lanes == 8:
+                # Beyond the int8 budget (100M-class partitions): the
+                # bit-transposed packed twin costs only 2x the packed bytes
+                # and keeps phase 1 on the MXU — measured 145.3 ms vs the XLA
+                # packed scan's 293.9 ms at 100.7M x 256-bit / Q=256 on v5e
+                # (2.0x, exact-verified; benchmarks/exp_packed_perm.py).
+                from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed
+
+                if cap % PERM_GROUP == 0:
+                    bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
+            return _Partition(
+                packed_dev, valid_dev, unpacked_dev, full_map, cap, n,
+                perm_dev=perm_dev, bitplane_dev=bitplane_dev,
+            )
         return _Partition(packed_dev, valid_dev, unpacked_dev, full_map, cap, n, perm_dev=perm_dev)
 
     def _append_to_partition(self, part, lanes, new_rows):
@@ -992,6 +1041,12 @@ class PackedCodeIndex:
             # packed mirror instead of appending rows.
             part.perm_dev = _perm_group_rewrite(
                 part.perm_dev, part.packed_dev, lanes * 32, start, part.count
+            )
+        if part.bitplane_dev is not None:
+            # Same group locality: the bitplane transform mixes rows only
+            # within their 4096-row group.
+            part.bitplane_dev = _bitplane_group_rewrite(
+                part.bitplane_dev, part.packed_dev, start, part.count
             )
 
     def _use_pallas(self):

@@ -213,22 +213,40 @@ def bit_transpose_packed(packed):
 
     256-bit partitions only (lanes == 8); N % 4096 == 0. Pure
     reshape/transpose/shift ops — cheap to (re)build on device, jit-safe.
+    The bit-expansion intermediate costs 32x the packed bytes, so large
+    inputs stream through ``lax.map`` in bounded row steps (peak extra HBM
+    ~= rows_per_step KiB) instead of materializing an (N, 256) u32 tensor
+    (68 GiB at 16M rows — over any single-chip HBM).
     """
     n, lanes = packed.shape
     if lanes != 8 or n % PERM_GROUP:
         raise ValueError("bitplane layout needs 256-bit rows and N % 4096 == 0")
-    g = n // PERM_GROUP
-    # bits[o, u] ∈ {0,1}: bit u of row o, unpack_pm1 order (MSB-first per lane)
-    shifts = (31 - np.arange(32, dtype=np.uint32))[None, None, :]
-    bits = ((packed[:, :, None] >> shifts) & jnp.uint32(1)).reshape(n, 256)
-    # regroup rows o = j0*128 + s*4 + j1 -> (j = j1*32 + j0, member s):
-    # source axes (g, j0, s, j1, u) -> (g, j1, j0, s, u)
-    b2 = bits.reshape(g, 32, 32, 4, 256).transpose(0, 3, 1, 2, 4).reshape(g, 128, 32, 256)
-    # pack member axis s into bit s of a u32 word; T[u, j] layout (g, 256, 128)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :, None]
-    t = (b2 * weights).sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)  # (g, 256, 128)
-    # view rows back to (N, 8): view (u, 8w+l) = stored row 16u+w lane l
-    return t.reshape(g, 256, 16, 8).reshape(n, 8)
+
+    def _transpose_groups(chunk_rows):
+        g = chunk_rows.shape[0] // PERM_GROUP
+        m = chunk_rows.shape[0]
+        # bits[o, u] ∈ {0,1}: bit u of row o, unpack_pm1 order (MSB-first/lane)
+        shifts = (31 - np.arange(32, dtype=np.uint32))[None, None, :]
+        bits = ((chunk_rows[:, :, None] >> shifts) & jnp.uint32(1)).reshape(m, 256)
+        # regroup rows o = j0*128 + s*4 + j1 -> (j = j1*32 + j0, member s):
+        # source axes (g, j0, s, j1, u) -> (g, j1, j0, s, u)
+        b2 = bits.reshape(g, 32, 32, 4, 256).transpose(0, 3, 1, 2, 4).reshape(g, 128, 32, 256)
+        # pack member axis s into bit s of a u32 word; T[u, j] layout (g, 256, 128)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :, None]
+        t = (b2 * weights).sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)  # (g, 256, 128)
+        # Keep the NATIVE (rows/16, 128) view as the stored shape: a minor
+        # dim of 128 tiles compactly in HBM. Storing the logically-equivalent
+        # (m, 8) shape instead lane-pads 8 -> 128 on the Pallas operand path —
+        # a measured 16x HBM copy (51 GiB at 100M rows, an instant OOM).
+        return t.reshape(m // 16, 128)
+
+    step = 1 << 19  # 512Ki rows/step: ~512 MiB bit-expansion working set
+    while n % step:
+        step >>= 1  # groups stay 4096-aligned (n % 4096 == 0 guaranteed above)
+    if n <= step:
+        return _transpose_groups(packed)
+    out = jax.lax.map(_transpose_groups, packed.reshape(n // step, step, 8))
+    return out.reshape(n // 16, 128)
 
 
 def bitplane_penalty_perm(penalty_flat):
@@ -389,7 +407,9 @@ def pallas_blockmax(
     :return: (Q, N // 128) float32 block maxima (invalid rows excluded),
         block b = original rows [b*128, (b+1)*128) in both modes
     """
-    n = db.shape[0]
+    # Logical db rows: the bitplane twin is stored as its native
+    # (rows // 16, 128) u32 view (see bit_transpose_packed).
+    n = db.shape[0] * 16 if bitplane else db.shape[0]
     q = q_pm1.shape[0]
     if n % chunk_size or chunk_size % BLOCK:
         raise ValueError("db rows must divide by chunk_size, chunk_size by 128")
@@ -417,7 +437,8 @@ def pallas_blockmax(
 
     if bitplane:
         penalty = bitplane_penalty_perm(penalty.reshape(n)).reshape(1, n).astype(jnp.bfloat16)
-        db = db.reshape(n // 16, 128)  # free view: row-major bytes
+        if db.shape != (n // 16, 128):  # the native stored view (see builder)
+            raise ValueError(f"bitplane twin must be (rows//16, 128), got {db.shape}")
         kernel = functools.partial(
             _scan_kernel_bitplane, chunk=chunk_size, planes_per_dot=planes_per_dot
         )

@@ -307,3 +307,32 @@ def test_build_library_paths(tmp_path, monkeypatch):
     monkeypatch.setattr(kv, "_lib_is_fresh", lambda: next(seq))
     kv._build_library()
     assert calls["n"] == 1  # inner re-check returned before make
+
+
+def test_bitplane_layout_beyond_budget(tmp_path, monkeypatch):
+    """256-bit partitions past the int8 budget build the bitplane twin
+    (2x packed bytes) and search exactly through the bitplane Pallas path,
+    including after an append (group-local twin rewrite)."""
+    rng = np.random.default_rng(40)
+    n = 16384
+    monkeypatch.setattr(di, "_unpacked_budget_bytes", lambda: 1)  # no int8 twin fits
+    idx = DeviceNphdIndex(tmp_path / "d", scan_kernel="pallas")
+    vs = [vec(rng, 32) for _ in range(n)]
+    idx.add(list(range(n)), vs)
+    part = idx._sync_device()[8]
+    assert part.unpacked_dev is None and part.perm_dev is None
+    assert part.bitplane_dev is not None
+    assert part.bitplane_dev.shape == (part.cap // 16, 128)
+    ((keys, scores),) = idx.search([vs[777]], 1)
+    assert int.from_bytes(keys[0].tobytes(), "big") == 777
+    assert scores[0] == pytest.approx(1.0)
+    # Append within capacity: the twin rewrites only the touched groups
+    extra = [vec(rng, 32) for _ in range(64)]
+    idx.add(list(range(n, n + 64)), extra)
+    ((keys, scores),) = idx.search([extra[5]], 1)
+    assert int.from_bytes(keys[0].tobytes(), "big") == n + 5
+    assert scores[0] == pytest.approx(1.0)
+    # Old rows still found after the rewrite
+    ((keys, _),) = idx.search([vs[3]], 1)
+    assert int.from_bytes(keys[0].tobytes(), "big") == 3
+    idx.close()
