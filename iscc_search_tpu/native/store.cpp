@@ -1068,15 +1068,23 @@ int ts_compact(void* h) {
     std::string log_path = s->dir + "/store.log";
     std::string log0_path = s->dir + "/store.log.0";
 
-    // Pre-sync the log with NO exclusive lock held: rotation must fdatasync
-    // the rotated file (post-rotation ts_sync calls only cover the new log,
-    // but they promise durability of EVERYTHING ingested so far), and doing
-    // the bulk of that fsync here bounds the locked one below to the delta
-    // written since this line.
+    // Pre-sync the log with NO lock held: rotation must fdatasync the
+    // rotated file (post-rotation ts_sync calls only cover the new log, but
+    // they promise durability of EVERYTHING ingested so far), and doing the
+    // bulk of that fsync here bounds the locked one below to the delta
+    // written since this line. Even a shared lock would stall writers for
+    // the full fsync (seconds at 256 MB of dirty log). The fd snapshot is
+    // safe: only THIS function replaces log_fd (compacting-flag serialized)
+    // and ts_close can't run concurrently (the Python in-flight gate pins
+    // the store for the duration of this call).
     {
-        std::shared_lock lock(s->mtx);
-        if (s->compacting) return 1;
-        fdatasync(s->log_fd);
+        int fd;
+        {
+            std::shared_lock lock(s->mtx);
+            if (s->compacting) return 1;
+            fd = s->log_fd;
+        }
+        if (fd >= 0) fdatasync(fd);
     }
 
     // ---- Phase A: rotate the log (exclusive, short) ----
