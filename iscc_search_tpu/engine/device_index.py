@@ -268,7 +268,8 @@ class PackedCodeIndex:
         self._nlanes = np.zeros((cap,), dtype=np.int32)
         self._valid = np.zeros((cap,), dtype=bool)
         self._rows = 0  # appended rows (including tombstoned)
-        self._key_to_row = {}  # type: dict[bytes, int]
+        self._key_to_row = {}  # type: dict[bytes, int] | None  # None = lazy (built by _keymap)
+        self._live = 0  # live (non-tombstoned) key count; size/search need no map
         self.dirty = 0  # unsaved key mutations since last save
         self._segments = []  # type: list[dict]  # {"file", "start", "rows"} sealed on disk
         # Device mirror: rows partitioned by code length (lane count) so the
@@ -311,17 +312,43 @@ class PackedCodeIndex:
 
     def __len__(self):
         # type: () -> int
-        return len(self._key_to_row)
+        return self._live
 
     @property
     def size(self):
         # type: () -> int
         """Number of live (non-tombstoned) keys."""
-        return len(self._key_to_row)
+        return self._live
 
     def __contains__(self, key):
         # type: (bytes | int) -> bool
-        return self._key(key) in self._key_to_row
+        return self._key(key) in self._keymap
+
+    @property
+    def _keymap(self):
+        # type: () -> dict[bytes, int]
+        """
+        key -> row map, built lazily after a snapshot load.
+
+        Opening a 10M snapshot spent ~10 s in the eager build loop, yet a
+        restarted *serving* process only searches — which never consults the
+        map (``_live`` answers the emptiness/size questions). Mutation paths
+        (add/remove/get/contains) pay the one-time build on first use.
+        """
+        km = self._key_to_row
+        if km is None:
+            with self._lock:
+                km = self._key_to_row
+                if km is None:
+                    rows = self._rows
+                    width = self.key_bytes
+                    buf = self._keys[:rows].tobytes()
+                    km = {}
+                    for i in np.flatnonzero(self._valid[:rows]).tolist():
+                        off = i * width
+                        km[buf[off : off + width]] = i
+                    self._key_to_row = km
+        return km
 
     @property
     def shard_count(self):
@@ -340,7 +367,7 @@ class PackedCodeIndex:
         # type: () -> float
         if self._rows == 0:
             return 0.0
-        return 1.0 - len(self._key_to_row) / self._rows
+        return 1.0 - self._live / self._rows
 
     def add(self, keys, vectors):
         # type: (list, list[bytes]) -> None
@@ -358,10 +385,13 @@ class PackedCodeIndex:
             n = len(kbs)
             self._ensure_capacity(self._rows + n)
             start = self._rows
+            keymap = self._keymap
             batch_dup_rows = []  # rows within THIS batch superseded by a later duplicate key
             for i, kb in enumerate(kbs):
-                old = self._key_to_row.get(kb)
-                if old is not None:
+                old = keymap.get(kb)
+                if old is None:
+                    self._live += 1
+                else:
                     self._valid[old] = False
                     self._valid_dirty = True  # tombstone must reach the device mirror
                     if old >= start:
@@ -370,7 +400,7 @@ class PackedCodeIndex:
                         batch_dup_rows.append(old)
                 row = start + i
                 self._keys[row] = np.frombuffer(kb, dtype=np.uint8)
-                self._key_to_row[kb] = row
+                keymap[kb] = row
             self._codes[start : start + n] = packed
             self._nlanes[start : start + n] = nlanes
             self._valid[start : start + n] = True
@@ -385,11 +415,13 @@ class PackedCodeIndex:
         """Tombstone keys; returns the number of keys actually removed."""
         removed = 0
         with self._lock:
+            keymap = self._keymap
             for k in keys:
                 kb = self._key(k)
-                row = self._key_to_row.pop(kb, None)
+                row = keymap.pop(kb, None)
                 if row is not None:
                     self._valid[row] = False
+                    self._live -= 1
                     removed += 1
                     self.dirty += 1
             if removed:
@@ -401,7 +433,7 @@ class PackedCodeIndex:
         # type: (bytes | int) -> bytes | None
         """Stored code body for a key, or None."""
         with self._lock:
-            row = self._key_to_row.get(self._key(key))
+            row = self._keymap.get(self._key(key))
             if row is None:
                 return None
             return unpack_code(self._codes[row], int(self._nlanes[row]))
@@ -421,7 +453,7 @@ class PackedCodeIndex:
         :return: per query a (keys (m, key_bytes) uint8 array, scores (m,)
             float32 array) pair, sorted by score descending; m <= count
         """
-        if not query_bodies or self._rows == 0 or not self._key_to_row:
+        if not query_bodies or self._rows == 0 or self._live == 0:
             return [(np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32)) for _ in query_bodies]
         import jax.numpy as jnp
 
@@ -803,6 +835,7 @@ class PackedCodeIndex:
             self._valid = np.zeros((cap,), dtype=bool)
             self._rows = 0
             self._key_to_row = {}
+            self._live = 0
             self._segments = []
             self._unconfirmed_seals = set()
             self._partitions = None
@@ -864,16 +897,19 @@ class PackedCodeIndex:
         if needed <= cap:
             return
         new_cap = _pow2ceil(needed)
-        self._keys = np.resize(self._keys, (new_cap, self.key_bytes))
-        self._codes = np.resize(self._codes, (new_cap, self.max_lanes))
-        self._nlanes = np.resize(self._nlanes, (new_cap,))
-        valid = np.zeros((new_cap,), dtype=bool)
-        valid[:cap] = self._valid[:cap]
-        self._valid = valid
-        # np.resize repeats data; zero the tail explicitly for codes/lanes
-        self._codes[self._rows :] = 0
-        self._nlanes[self._rows :] = 0
-        self._keys[self._rows :] = 0
+
+        # Grow by allocate+copy, NOT np.resize: np.resize fills the tail by
+        # *tiling* the old data (then we'd zero it again) — measured 9.5 s of
+        # pure waste opening a 10M snapshot.
+        def grow(arr, shape):
+            out = np.zeros(shape, dtype=arr.dtype)
+            out[: self._rows] = arr[: self._rows]
+            return out
+
+        self._keys = grow(self._keys, (new_cap, self.key_bytes))
+        self._codes = grow(self._codes, (new_cap, self.max_lanes))
+        self._nlanes = grow(self._nlanes, (new_cap,))
+        self._valid = grow(self._valid, (new_cap,))
 
     def _sync_device(self):
         # type: () -> dict[int, tuple]
@@ -1085,6 +1121,7 @@ class PackedCodeIndex:
         self._keys, self._codes, self._nlanes, self._valid = keys, codes, nlanes, valid
         self._rows = n
         self._key_to_row = {self._keys[i].tobytes(): i for i in range(n)}
+        self._live = n
         # All previously sealed segments are invalidated by the rewrite —
         # but the committed manifest still references them, so deletion must
         # wait until a NEW manifest lands (a crash before that must reload
@@ -1139,11 +1176,11 @@ class PackedCodeIndex:
                 self._valid[: min(len(v), pos)] = v[: min(len(v), pos)]
         else:  # pragma: no cover - the valid file is written with state.json
             self._valid[:pos] = True
-        # Rebuild key map: later rows supersede earlier ones
-        self._key_to_row = {}
-        for i in range(pos):
-            if self._valid[i]:
-                self._key_to_row[self._keys[i].tobytes()] = i
+        # Key map is rebuilt lazily (first mutation/get) — see _keymap. The
+        # persisted validity bitmap already encodes supersession, so the live
+        # count is just its popcount.
+        self._key_to_row = None
+        self._live = int(np.count_nonzero(self._valid[:pos]))
         self._partitions = None
         self._synced_rows = 0
         self._valid_dirty = False

@@ -29,6 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from iscc_search_tpu.compile_cache import ensure_compile_cache
+
+# Restart parity: persist compiled executables before the first trace
+# (minutes of per-process recompiles otherwise — see compile_cache.py).
+ensure_compile_cache()
+
 NEG_SCORE = -1.0
 
 def _mark_varying(x, axes):

@@ -75,6 +75,12 @@ class SearchOptions(BaseModel):
         description="ISCC_SEARCH_MESH_DEVICES - shard NPHD partitions over this many devices "
         "(0 = single device; >1 enables the sharded scan with all-gather top-k merge)",
     )
+    compile_cache_dir: str | None = Field(
+        None,
+        description="ISCC_SEARCH_COMPILE_CACHE_DIR - persistent XLA compile cache directory "
+        "(unset = platform cache dir; 'off' disables). Restart cold-start fix: compiled scan "
+        "kernels are reloaded instead of recompiled",
+    )
     scan_kernel: str = Field(
         "auto",
         pattern="^(auto|pallas|xla)$",
@@ -213,6 +219,12 @@ def manager_for(scheme, path, uri=None):
         return KvIndexManager(path)
 
     if scheme in ("tpu", "usearch"):
+        # Configure the persistent compile cache before the backend import
+        # pulls in the ops modules (first ensure_compile_cache call wins).
+        from iscc_search_tpu.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache(search_opts.compile_cache_dir)
+
         from iscc_search_tpu.indexes.tpu import TpuIndexManager
 
         return TpuIndexManager(path)

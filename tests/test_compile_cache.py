@@ -1,0 +1,53 @@
+"""Persistent XLA compile cache configuration (compile_cache.py)."""
+
+import jax
+
+from iscc_search_tpu import compile_cache
+
+
+def _reset(monkeypatch):
+    monkeypatch.setattr(compile_cache, "_configured", False)
+
+
+def test_default_dir_is_platform_cache():
+    assert compile_cache.default_cache_dir().endswith("xla")
+    assert "iscc-search-tpu" in compile_cache.default_cache_dir()
+
+
+def test_explicit_path_configures_jax(monkeypatch, tmp_path):
+    _reset(monkeypatch)
+    target = tmp_path / "xlacache"
+    got = compile_cache.ensure_compile_cache(str(target))
+    assert got == str(target)
+    assert target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+
+def test_disabled_values(monkeypatch, tmp_path):
+    for value in ("off", "OFF", "none", "0", ""):
+        _reset(monkeypatch)
+        assert compile_cache.ensure_compile_cache(value) is None
+
+
+def test_env_fallback(monkeypatch, tmp_path):
+    _reset(monkeypatch)
+    target = tmp_path / "envcache"
+    monkeypatch.setenv("ISCC_SEARCH_COMPILE_CACHE_DIR", str(target))
+    assert compile_cache.ensure_compile_cache() == str(target)
+
+
+def test_first_caller_wins(monkeypatch, tmp_path):
+    _reset(monkeypatch)
+    first = tmp_path / "first"
+    compile_cache.ensure_compile_cache(str(first))
+    # Second call is a no-op reporting the active dir.
+    assert compile_cache.ensure_compile_cache(str(tmp_path / "second")) == str(first)
+
+
+def test_default_fallback_uses_platform_dir(monkeypatch, tmp_path):
+    _reset(monkeypatch)
+    monkeypatch.delenv("ISCC_SEARCH_COMPILE_CACHE_DIR", raising=False)
+    monkeypatch.setattr(
+        compile_cache, "default_cache_dir", lambda: str(tmp_path / "plat")
+    )
+    assert compile_cache.ensure_compile_cache() == str(tmp_path / "plat")
