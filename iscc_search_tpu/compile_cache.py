@@ -15,10 +15,13 @@ The reference engine has no analog (usearch mmap-loads a prebuilt graph —
 its "compile" is the index build itself); this module restores restart
 parity for the scan engine.
 
-First caller wins: :func:`ensure_compile_cache` is invoked at ops-module
-import with the env/default path, and earlier by backends that carry an
-explicit ``SearchOptions.compile_cache_dir``. JAX only reads the setting at
-first compile, so any pre-compile call site is early enough.
+Call precedence: ops modules invoke :func:`ensure_compile_cache` with no
+argument at import time (env/default path); backends created through
+``SearchOptions.compile_cache_dir`` pass that value explicitly. An explicit
+call overrides an earlier implicit one (importing any ops module before
+``manager_for()`` must not swallow the configured option); among explicit
+calls the first wins. JAX consults the setting on each compile, so a
+post-import reconfiguration still applies to every not-yet-compiled kernel.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from iscc_search_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 _DISABLED = {"off", "none", "0", "disabled"}
-_configured = False
+_configured = None  # type: str | None  # "implicit" | "explicit" once set
 
 
 def default_cache_dir():
@@ -44,22 +47,25 @@ def default_cache_dir():
 def ensure_compile_cache(path=None):
     # type: (str | None) -> str | None
     """
-    Point JAX's persistent compilation cache at ``path`` (idempotent,
-    first caller wins). ``None`` falls back to ``ISCC_SEARCH_COMPILE_CACHE_DIR``
-    then the platform cache dir; ``"off"`` (or empty) disables persistence.
+    Point JAX's persistent compilation cache at ``path``. ``None`` falls back
+    to ``ISCC_SEARCH_COMPILE_CACHE_DIR`` then the platform cache dir; ``"off"``
+    (or empty) disables persistence. Explicit paths override an earlier
+    implicit (env/default) configuration; the first explicit path wins.
 
     Returns the directory in use, or None when disabled/unavailable.
     """
     global _configured
-    if _configured:
+    explicit = path is not None
+    if _configured == "explicit" or (_configured is not None and not explicit):
         return _current()
-    _configured = True
+    _configured = "explicit" if explicit else "implicit"
 
     if path is None:
         path = os.environ.get("ISCC_SEARCH_COMPILE_CACHE_DIR")
     if path is None:
         path = default_cache_dir()
     if not path or str(path).strip().lower() in _DISABLED:
+        _disable()
         return None
 
     path = str(path)
@@ -77,6 +83,18 @@ def ensure_compile_cache(path=None):
         logger.warning(f"persistent compile cache unavailable at {path}: {exc}")
         return None
     return path
+
+
+def _disable():
+    # type: () -> None
+    """Clear any cache dir a prior implicit call installed ('off' override)."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:  # pragma: no cover - jax absent/misconfigured
+        pass
 
 
 def _current():

@@ -33,6 +33,7 @@
 // reference's single-writer lock). pread() keeps reads lock-compatible.
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -121,6 +122,7 @@ struct Store {
     int log0_rfd = -1;  // O_RDONLY handle for the rotated log (compaction)
     int snap_rfd = -1;  // O_RDONLY handle for the current snapshot (-1 = none)
     bool compacting = false;  // an incremental compaction is in flight
+    std::condition_variable_any compact_cv;  // signaled when compacting clears
     std::unordered_map<std::string, Db> dbs;
     mutable std::shared_mutex mtx;
     std::string wbuf;         // pending appends not yet written to the fd
@@ -1073,24 +1075,33 @@ int ts_compact(void* h) {
     // they promise durability of EVERYTHING ingested so far), and doing the
     // bulk of that fsync here bounds the locked one below to the delta
     // written since this line. Even a shared lock would stall writers for
-    // the full fsync (seconds at 256 MB of dirty log). The fd snapshot is
-    // safe: only THIS function replaces log_fd (compacting-flag serialized)
-    // and ts_close can't run concurrently (the Python in-flight gate pins
-    // the store for the duration of this call).
+    // the full fsync (seconds at 256 MB of dirty log). The fd is dup'd
+    // under the lock: a concurrent compaction's Phase A closes log_fd and
+    // could let the number be recycled, but the dup keeps this open file
+    // description alive regardless. Skipped while another compaction is in
+    // flight (its rotation already syncs; Phase A's locked sync covers any
+    // delta).
     {
-        int fd;
+        int fd = -1;
         {
             std::shared_lock lock(s->mtx);
-            if (s->compacting) return 1;
-            fd = s->log_fd;
+            if (!s->compacting && s->log_fd >= 0) fd = ::dup(s->log_fd);
         }
-        if (fd >= 0) fdatasync(fd);
+        if (fd >= 0) {
+            fdatasync(fd);
+            ::close(fd);
+        }
     }
 
     // ---- Phase A: rotate the log (exclusive, short) ----
     {
         std::unique_lock lock(s->mtx);
-        if (s->compacting) return 1;  // another thread is already compacting
+        // Wait out any in-flight compaction rather than returning early:
+        // callers of ts_compact are promised a snapshot+truncated log that
+        // reflect at least the state at call time, and an in-flight pass
+        // rotated BEFORE this call began. The wait holds no other locks;
+        // Phase B/C of the other thread make progress and notify.
+        s->compact_cv.wait(lock, [&] { return !s->compacting; });
         if (s->log0_rfd >= 0) {
             // Residue from a failed earlier attempt: the simple path heals it.
             return compact_full(*s);
@@ -1130,10 +1141,13 @@ int ts_compact(void* h) {
 
     // ---- Phase B: stream the snapshot in slices (shared, bounded) ----
     auto fail = [&](const char* msg) {
-        std::unique_lock lock(s->mtx);
-        if (msg) s->set_error(msg);
-        s->compacting = false;  // log.0 stays; next compact heals via compact_full
-        ::unlink((s->dir + "/store.snap.tmp").c_str());
+        {
+            std::unique_lock lock(s->mtx);
+            if (msg) s->set_error(msg);
+            s->compacting = false;  // log.0 stays; next compact heals via compact_full
+            ::unlink((s->dir + "/store.snap.tmp").c_str());
+        }
+        s->compact_cv.notify_all();
         return 0;
     };
 
@@ -1235,6 +1249,7 @@ int ts_compact(void* h) {
         ::unlink(log0_path.c_str());
         s->compacting = false;
     }
+    s->compact_cv.notify_all();
     return 1;
 }
 

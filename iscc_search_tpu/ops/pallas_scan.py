@@ -318,7 +318,6 @@ def _scan_kernel_packed_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, 
     lanes = nbits // 32
     r = 128 // lanes
     qv = q_ref[:]
-    qn = qv.shape[0]
     slab = min(_SUBTILE, chunk)
     nb = slab // BLOCK
     vr = slab // r  # view rows per slab
@@ -350,7 +349,6 @@ def _scan_kernel_unpacked_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk
     values and the -65536 penalty are bf16-representable integers.
     """
     qv = q_ref[:]
-    qn = qv.shape[0]
     slab = min(_SUBTILE, chunk)
     nb = slab // BLOCK
     for t in range(chunk // slab):

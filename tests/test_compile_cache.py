@@ -6,7 +6,7 @@ from iscc_search_tpu import compile_cache
 
 
 def _reset(monkeypatch):
-    monkeypatch.setattr(compile_cache, "_configured", False)
+    monkeypatch.setattr(compile_cache, "_configured", None)
 
 
 def test_default_dir_is_platform_cache():
@@ -36,12 +36,38 @@ def test_env_fallback(monkeypatch, tmp_path):
     assert compile_cache.ensure_compile_cache() == str(target)
 
 
-def test_first_caller_wins(monkeypatch, tmp_path):
+def test_first_explicit_caller_wins(monkeypatch, tmp_path):
     _reset(monkeypatch)
     first = tmp_path / "first"
     compile_cache.ensure_compile_cache(str(first))
-    # Second call is a no-op reporting the active dir.
+    # A later explicit call is a no-op reporting the active dir.
     assert compile_cache.ensure_compile_cache(str(tmp_path / "second")) == str(first)
+
+
+def test_explicit_overrides_implicit(monkeypatch, tmp_path):
+    # Importing an ops module configures the env/default path implicitly;
+    # the user's SearchOptions.compile_cache_dir must still take effect.
+    _reset(monkeypatch)
+    monkeypatch.setenv("ISCC_SEARCH_COMPILE_CACHE_DIR", str(tmp_path / "envdir"))
+    compile_cache.ensure_compile_cache()  # implicit (ops import)
+    chosen = tmp_path / "chosen"
+    assert compile_cache.ensure_compile_cache(str(chosen)) == str(chosen)
+    assert jax.config.jax_compilation_cache_dir == str(chosen)
+
+
+def test_explicit_off_overrides_implicit(monkeypatch, tmp_path):
+    _reset(monkeypatch)
+    monkeypatch.setenv("ISCC_SEARCH_COMPILE_CACHE_DIR", str(tmp_path / "envdir"))
+    compile_cache.ensure_compile_cache()  # implicit: installs envdir
+    assert compile_cache.ensure_compile_cache("off") is None
+    assert not jax.config.jax_compilation_cache_dir
+
+
+def test_implicit_never_overrides(monkeypatch, tmp_path):
+    _reset(monkeypatch)
+    chosen = tmp_path / "chosen"
+    compile_cache.ensure_compile_cache(str(chosen))
+    assert compile_cache.ensure_compile_cache() == str(chosen)  # implicit no-op
 
 
 def test_default_fallback_uses_platform_dir(monkeypatch, tmp_path):

@@ -154,8 +154,10 @@ def test_background_autocompact_trigger(tmp_path):
     s.close()
 
 
-def test_compact_while_compacting_returns_immediately(tmp_path):
-    """A second compact during an in-flight one is a no-op (single flag)."""
+def test_compact_while_compacting_waits_then_compacts(tmp_path):
+    """A second compact during an in-flight one waits it out and then runs
+    its own pass (the postcondition — snapshot + truncated log reflecting at
+    least call-time state — must hold for every caller, not just the first)."""
     s = HostStore(tmp_path / "s")
     fill(s, 5000, vbytes=300)
     done = threading.Event()
@@ -166,8 +168,12 @@ def test_compact_while_compacting_returns_immediately(tmp_path):
 
     t = threading.Thread(target=bg)
     t.start()
-    s.compact()  # either runs after bg's or no-ops mid-flight; must not hang
+    s.compact()  # waits for bg's pass if mid-flight, then compacts; no hang
     t.join(30)
     assert done.is_set()
+    # Nothing was written after the second compact returned, so ITS pass
+    # (not merely bg's) must have left the log empty.
+    with s._use() as h:
+        assert s._lib.ts_log_bytes(h) == 0
     check(s, 5000, vbytes=300)
     s.close()
