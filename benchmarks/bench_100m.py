@@ -63,6 +63,7 @@ def main():
         "xla": lambda: pm1_blockmax_topk(qp, qs, db, valid, k, 256, chunk_size=chunk),
     }
     repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 5))
+    first_scores = {}
     for label, run in modes.items():
         t0 = time.perf_counter()
         fs, fi = run()
@@ -70,6 +71,13 @@ def main():
         results[label] = {"compile_s": round(time.perf_counter() - t0, 2)}
         assert np.array_equal(fi[:, 0], qi), f"{label}: self-match failed"
         assert np.allclose(fs[:, 0], 1.0, atol=1e-3)
+        first_scores[label] = fs
+    # Exactness across kernels: both are exact top-k, so the score
+    # multisets must agree everywhere (not just the self-match column).
+    assert np.allclose(first_scores["bitplane"], first_scores["xla"], atol=2e-3), (
+        "bitplane vs XLA top-k scores diverge"
+    )
+    for label, run in modes.items():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -259,7 +259,7 @@ def bitplane_penalty_perm(penalty_flat):
 
 
 def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, planes_per_dot):
-    """Fused bitplane scan: per-lane shift/mask unpack + MXU dot + tree max.
+    """Fused bitplane scan: per-lane shift/mask unpack + int8 MXU dot + tree max.
 
     db arrives as the (chunk//16, 128) u32 view of bit_transpose_packed().
     For each bit s of a (256, 128) view tile, shift+mask exposes d_s — the
@@ -268,10 +268,16 @@ def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, pla
     folded into the epilogue: dot_pm1 = 2*dot01 - sum(q). Dot columns land
     in (s, j1, j0) order, which the halving tree reduces to per-original-
     block maxima exactly as in the int8 perm kernel.
+
+    Planes are int8 (0/1 via u32 astype — Mosaic supports the narrowing;
+    u32->bf16 does NOT lower, which forced the original f32-select) so the
+    dot runs on the int8 MXU path: measured 11.46 -> 6.93 ms per sweep at
+    8.4M x 256-bit / Q=256 vs the bf16-select variant, exact
+    (benchmarks/exp_bitplane_int8.py) — the ~2x int8-vs-bf16 MXU peak,
+    less unchanged unpack/epilogue cost.
     """
-    qv = q_ref[:]  # (Q, 256) bf16 ±1/0
-    qn = qv.shape[0]
-    qsum = jnp.sum(qv.astype(jnp.float32), axis=1, keepdims=True)  # (Q, 1)
+    qv = q_ref[:]  # (Q, 256) int8 ±1/0
+    qsum = jnp.sum(qv.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)  # (Q, 1)
     slab = min(_SUBTILE, chunk)
     nb = slab // BLOCK
     vr = slab // 16  # 256 view rows per 4096-row slab
@@ -282,16 +288,15 @@ def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, pla
             planes = []
             for s in range(s0, s0 + planes_per_dot):
                 bits = (tile >> jnp.uint32(s)) & jnp.uint32(1)
-                # i32 compare + f32 select keeps 32-bit tiling end to end
-                planes.append(jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(0.0)))
+                planes.append(bits.astype(jnp.int8))
             d = planes[0] if len(planes) == 1 else jnp.concatenate(planes, axis=1)
             dots.append(
                 jax.lax.dot_general(
                     qv,
-                    d.astype(jnp.bfloat16),
+                    d,
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
             )
         dot01 = jnp.concatenate(dots, axis=1)  # (Q, slab) in (s, j1, j0) order
         x = (2.0 * dot01 - qsum).astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
@@ -428,9 +433,10 @@ def pallas_blockmax(
     # row's block max far below every valid score after scaling.
     penalty = jnp.where(db_valid, 0, -65536).astype(jnp.float32)[None, :]  # (1, N)
 
-    # int8 queries for the int8 MXU path (values ∈ {-1, 0, 1}); bf16 for the
-    # in-kernel unpack paths (their select produces f32 -> bf16).
-    q_in = q_pm1.astype(jnp.int8) if unpacked else q_pm1.astype(jnp.bfloat16)
+    # int8 queries for the int8 MXU paths (values ∈ {-1, 0, 1}): the
+    # pre-unpacked twins and the bitplane kernel (int8 0/1 planes). bf16 for
+    # the in-kernel row-unpack paths (their select produces f32 -> bf16).
+    q_in = q_pm1.astype(jnp.int8) if (unpacked or bitplane) else q_pm1.astype(jnp.bfloat16)
     qs = q_scale.astype(jnp.float32)[:, None]  # (Q, 1)
 
     if bitplane:
