@@ -269,18 +269,40 @@ def pm1_blockmax_topk_impl(
     # takes fuse into the unpack+dot consumer and measure 38.9 ms vs 45.3 ms
     # for blocked gathers (benchmarks/exp_pm1_gather.py) — the opposite of
     # the Pallas path, where blocked validity gathers won 2.6 ms.
-    cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)  # (Q*k*block, L)
-    cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, k * block)
-    cand_pm1 = unpack_pm1(cand_packed, nbits, dtype).reshape(q, k * block, nbits)
+    #
+    # The rescore streams over candidate segments: materializing all
+    # (Q, k*block, nbits) unpacked candidates at once is O(Q*k) HBM — 8 GB at
+    # Q=256, k=256, nbits=256, which OOMs a 16 GB chip for a legal API call
+    # (limit > ~128 routes here whenever no fast twin fits). lax.map keeps
+    # one (Q, seg, nbits) working set live at a time; flops are unchanged.
     acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
-    dots = jax.lax.dot_general(
-        q_pm1.astype(dtype)[:, None, :],
-        cand_pm1,
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=acc_t,
-    ).reshape(q, k * block)
-    scores = 0.5 + dots.astype(jnp.float32) * q_scale[:, None]
-    scores = jnp.where(cand_valid, scores, NEG_SCORE)
+    q_d = q_pm1.astype(dtype)
+    # ~1 GiB unpacked-candidate budget; powers of two throughout, so the
+    # chosen segment always divides k*block and small calls stay unsegmented.
+    seg_budget = max(2048, 1 << max(11, ((1 << 30) // (q * nbits * 4)).bit_length() - 1))
+    seg = min(k * block, seg_budget)
+    n_seg = (k * block) // seg
+
+    def rescore_seg(rows_seg):
+        # rows_seg: (Q, seg) global row ids
+        cand_packed = jnp.take(db_packed, rows_seg.reshape(-1), axis=0)  # (Q*seg, L)
+        cand_valid = jnp.take(db_valid, rows_seg.reshape(-1), axis=0).reshape(q, seg)
+        cand_pm1 = unpack_pm1(cand_packed, nbits, dtype).reshape(q, seg, nbits)
+        dots = jax.lax.dot_general(
+            q_d[:, None, :],
+            cand_pm1,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc_t,
+        ).reshape(q, seg)
+        s = 0.5 + dots.astype(jnp.float32) * q_scale[:, None]
+        return jnp.where(cand_valid, s, NEG_SCORE)
+
+    if n_seg == 1:
+        scores = rescore_seg(rows)
+    else:
+        rows_segs = rows.reshape(q, n_seg, seg).transpose(1, 0, 2)  # (n_seg, Q, seg)
+        scores = jax.lax.map(rescore_seg, rows_segs)  # (n_seg, Q, seg)
+        scores = scores.transpose(1, 0, 2).reshape(q, k * block)
 
     fs, pos = jax.lax.top_k(scores, k)
     fi = jnp.take_along_axis(rows, pos, axis=1)

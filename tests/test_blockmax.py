@@ -159,3 +159,19 @@ def test_blockmax_hier_engaged_exact():
         assert np.allclose(scores[0], 1.0, atol=1e-3)
         # row 7 is the query itself, also an exact copy
         assert set(idx[0]).issubset(set(plant.tolist()) | {7})
+
+def test_blockmax_large_k_segmented_rescore():
+    """k*block beyond the rescore segment budget: the lax.map-segmented
+    phase 2 must stay exact (regression for the 8 GB OOM at Q=256, k=256 —
+    the unsegmented rescore materialized all (Q, k*block, nbits) unpacked
+    candidates at once)."""
+    rng = np.random.default_rng(63)
+    n = 16384
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 300)] = False
+    # Q=64, nbits=256 -> seg budget 16384, k=128 -> k*block = 16384 = 1 seg;
+    # force multiple segments with a tighter Q: Q=512 -> budget 2048, 8 segs.
+    q_rows = rng.integers(0, n, 512)
+    q_packed = packed[q_rows]
+    check_exact(packed, valid, q_packed[:512], np.full(512, 8, np.int32), 128, 2048, 128)
