@@ -8,30 +8,45 @@ requests on a fixed schedule regardless of completions, sweeps the offered
 rate, and reports achieved throughput + latency percentiles per step; the
 saturation point is the last step where achieved >= 95% of offered.
 
+Process topology (every piece GIL-isolated):
+- the SERVER runs in its own process (same-interpreter load generation
+  collapses to the combined python ceiling — round-3 lesson),
+- the LOAD spreads over ISCC_OL_CLIENT_PROCS client subprocesses with
+  persistent keep-alive connections (a single urllib client process caps
+  near 1k QPS of pure request-building overhead and would understate the
+  pooled/scale-out servers).
+
 Run: PYTHONPATH=.:/root/.axon_site python benchmarks/latency_openloop.py
 Knobs: ISCC_OL_ASSETS (200_000), ISCC_OL_SECONDS (12 per step),
-       ISCC_OL_RATES (csv, default "100,200,400,800,1600,3200")
+       ISCC_OL_RATES (csv, default "100,200,400,800,1600,3200"),
+       ISCC_OL_TOPOLOGY (wsgiref | pooled | scaleout; default pooled),
+       ISCC_OL_WORKERS (scaleout worker processes, default 4),
+       ISCC_OL_CLIENT_PROCS (default 4)
 Writes benchmarks/LATENCY_OPENLOOP.json.
 """
 
 import json
 import os
+import socket
+import subprocess
+import sys
 import tempfile
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
-from wsgiref.simple_server import make_server
 
 import numpy as np
 
+TOPOLOGY = os.environ.get("ISCC_OL_TOPOLOGY", "pooled")
 
-def build_index(n_assets):
+
+def build_index(n_assets, tmp_dir=None):
     from iscc_search_tpu import codec as ic
     from iscc_search_tpu.options import SearchOptions, get_index
     from iscc_search_tpu.schema import IsccEntry, IsccIndex
 
     rng = np.random.default_rng(0)
-    tmp_dir = tempfile.mkdtemp()
+    tmp_dir = tmp_dir or tempfile.mkdtemp()
     opts = SearchOptions(index_uri=f"tpu://{tmp_dir}")
     index = get_index(opts.index_uri)
     index.create_index(IsccIndex(name="ol"))
@@ -55,98 +70,215 @@ def build_index(n_assets):
     return index, opts, bodies
 
 
-def run_step(port, queries, rate, seconds, pool):
-    # type: (int, list[bytes], float, float, ThreadPoolExecutor) -> dict
-    """Fire requests on a fixed schedule for `seconds`; gather latencies."""
-    import urllib.request
-
-    latencies = []
-    errors = [0]
-    error_samples = []
-    lock = threading.Lock()
-
-    def one(body):
-        t0 = time.perf_counter()
-        try:
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/indexes/ol/search",
-                data=body,
-                headers={"Content-Type": "application/json"},
-            )
-            with urllib.request.urlopen(req, timeout=30) as res:
-                res.read()
-            dt = time.perf_counter() - t0
-            with lock:
-                latencies.append(dt)
-        except Exception as exc:
-            with lock:
-                errors[0] += 1
-                if len(error_samples) < 3:
-                    error_samples.append(f"{type(exc).__name__}: {exc}")
-
-    n_total = int(rate * seconds)
-    interval = 1.0 / rate
-    t_start = time.perf_counter()
-    futures = []
-    for i in range(n_total):
-        target = t_start + i * interval
-        now = time.perf_counter()
-        if target > now:
-            time.sleep(target - now)
-        futures.append(pool.submit(one, queries[i % len(queries)]))
-    for f in futures:
-        f.result()
-    wall = time.perf_counter() - t_start
-    lat = np.array(sorted(latencies)) * 1e3
-    return {
-        "offered_qps": rate,
-        "achieved_qps": round(len(latencies) / wall, 1),
-        "errors": errors[0],
-        **({"error_samples": error_samples} if error_samples else {}),
-        "p50_ms": round(float(np.percentile(lat, 50)), 1) if len(lat) else None,
-        "p90_ms": round(float(np.percentile(lat, 90)), 1) if len(lat) else None,
-        "p99_ms": round(float(np.percentile(lat, 99)), 1) if len(lat) else None,
-    }
+# --------------------------------------------------------------- server child
 
 
 def serve_forever(port_file):
     # type: (str) -> None
     """Child-process mode: build the index, serve, report the port."""
     n_assets = int(os.environ.get("ISCC_OL_ASSETS", 200_000))
+
+    if TOPOLOGY == "scaleout":
+        # Engine + SO_REUSEPORT workers: build the corpus, release the
+        # single-process handle, then run the scale-out topology on it.
+        from iscc_search_tpu.options import SearchOptions
+        from iscc_search_tpu.server.scaleout import serve_scaleout
+
+        tmp_dir = tempfile.mkdtemp()
+        index, opts, _bodies = build_index(n_assets, tmp_dir)
+        index.close()
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        opts = SearchOptions(
+            index_uri=f"tpu://{tmp_dir}",
+            host="127.0.0.1",
+            port=port,
+            workers=int(os.environ.get("ISCC_OL_WORKERS", 4)),
+            http_threads=64,
+        )
+        with open(port_file, "w") as f:
+            f.write(str(port))
+        serve_scaleout(opts)
+        return
+
     from iscc_search_tpu.server.app import create_app
-    from iscc_search_tpu.server.httpd import QuietHandler, ThreadingWSGIServer
 
     index, opts, _bodies = build_index(n_assets)
     app = create_app(index=index, opts=opts)
-    srv = make_server(
-        "127.0.0.1", 0, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler
-    )
-    with open(port_file, "w") as f:
-        f.write(str(srv.server_address[1]))
-    srv.serve_forever()
+    if TOPOLOGY == "pooled":
+        from iscc_search_tpu.server.pooled import PooledHTTPServer
+
+        srv = PooledHTTPServer("127.0.0.1", 0, app, threads=64)
+        with open(port_file, "w") as f:
+            f.write(str(srv.server_port))
+        srv.serve_forever()
+    else:
+        from wsgiref.simple_server import make_server
+
+        from iscc_search_tpu.server.httpd import QuietHandler, ThreadingWSGIServer
+
+        srv = make_server(
+            "127.0.0.1", 0, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler
+        )
+        with open(port_file, "w") as f:
+            f.write(str(srv.server_address[1]))
+        srv.serve_forever()
+
+
+# --------------------------------------------------------------- client child
+
+
+def client_main(port, rate, seconds, nthreads, out_file, query_file):
+    # type: (int, float, float, int, str, str) -> None
+    """Open-loop load from one client process over keep-alive connections.
+
+    Thread j fires request k at t0 + (j + k*nthreads)/rate; latency counts
+    from the SCHEDULED send time (no coordinated omission: if the server
+    lags, queueing shows up in the percentiles, not in a slower schedule).
+    """
+    queries = [q.encode() for q in json.load(open(query_file))]
+    n_total = int(rate * seconds)
+    latencies = []
+    errors = [0]
+    lock = threading.Lock()
+    t0 = time.perf_counter() + 0.5  # all threads share one epoch
+
+    def make_req(body):
+        return (
+            b"POST /indexes/ol/search HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+            b"Content-Type: application/json\r\nContent-Length: %d\r\n\r\n%s" % (len(body), body)
+        )
+
+    def run(j):
+        sock = None
+        buf = b""
+        local_lat = []
+        local_err = 0
+        k = j
+        while k < n_total:
+            body = queries[k % len(queries)]
+            scheduled = t0 + k / rate
+            now = time.perf_counter()
+            if scheduled > now:
+                time.sleep(scheduled - now)
+            try:
+                if sock is None:
+                    sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+                    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                    sock.settimeout(30)
+                    buf = b""
+                sock.sendall(make_req(body))
+                while b"\r\n\r\n" not in buf:
+                    data = sock.recv(65536)
+                    if not data:
+                        raise ConnectionError("closed")
+                    buf += data
+                head, rest = buf.split(b"\r\n\r\n", 1)
+                status = int(head.split(b" ", 2)[1])
+                clen = 0
+                for line in head.split(b"\r\n"):
+                    if line.lower().startswith(b"content-length:"):
+                        clen = int(line.split(b":")[1])
+                while len(rest) < clen:
+                    data = sock.recv(65536)
+                    if not data:
+                        raise ConnectionError("closed")
+                    rest += data
+                buf = rest[clen:]
+                if status != 200:
+                    raise ConnectionError(f"HTTP {status}")
+                local_lat.append(time.perf_counter() - scheduled)
+                if b"connection: close" in head.lower():
+                    sock.close()
+                    sock = None
+            except (OSError, ConnectionError, ValueError):
+                local_err += 1
+                if sock is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                    sock = None
+            k += nthreads
+        if sock is not None:
+            sock.close()
+        with lock:
+            latencies.extend(local_lat)
+            errors[0] += local_err
+
+    threads = [threading.Thread(target=run, args=(j,)) for j in range(nthreads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    with open(out_file, "w") as f:
+        json.dump({"latencies": latencies, "errors": errors[0], "wall": wall}, f)
+
+
+def run_step(port, query_file, rate, seconds, n_procs):
+    # type: (int, str, float, float, int) -> dict
+    """One offered-load step across n_procs client subprocesses."""
+    outs = []
+    procs = []
+    for i in range(n_procs):
+        out = tempfile.mktemp(prefix=f"ol_out_{i}_")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    __file__,
+                    "--client",
+                    str(port),
+                    str(rate / n_procs),
+                    str(seconds),
+                    "64",
+                    out,
+                    query_file,
+                ]
+            )
+        )
+    for p in procs:
+        p.wait()
+    latencies = []
+    errors = 0
+    wall = 0.0
+    for out in outs:
+        data = json.load(open(out))
+        latencies.extend(data["latencies"])
+        errors += data["errors"]
+        wall = max(wall, data["wall"])
+        os.unlink(out)
+    lat = np.array(sorted(latencies)) * 1e3
+    return {
+        "offered_qps": rate,
+        "achieved_qps": round(len(latencies) / wall, 1) if wall else 0.0,
+        "errors": errors,
+        "p50_ms": round(float(np.percentile(lat, 50)), 1) if len(lat) else None,
+        "p90_ms": round(float(np.percentile(lat, 90)), 1) if len(lat) else None,
+        "p99_ms": round(float(np.percentile(lat, 99)), 1) if len(lat) else None,
+    }
+
+
+# --------------------------------------------------------------------- parent
 
 
 def main():
-    # The SERVER runs in its own process: sharing one interpreter between
-    # the load generator and the server under test couples them through the
-    # GIL, and at a few hundred offered QPS the measurement collapses to the
-    # combined-process python ceiling instead of the server's (first version
-    # of this harness measured exactly that artifact).
-    import subprocess
-    import sys
-    import tempfile as _tf
-
     n_assets = int(os.environ.get("ISCC_OL_ASSETS", 200_000))
     seconds = float(os.environ.get("ISCC_OL_SECONDS", 12))
     rates = [float(r) for r in os.environ.get("ISCC_OL_RATES", "100,200,400,800,1600,3200").split(",")]
+    n_client_procs = int(os.environ.get("ISCC_OL_CLIENT_PROCS", 4))
 
     from iscc_search_tpu import codec as ic
 
-    port_file = _tf.mktemp(prefix="ol_port_")
+    port_file = tempfile.mktemp(prefix="ol_port_")
     server = subprocess.Popen([sys.executable, __file__, "--serve", port_file])
     try:
         print(f"waiting for the server subprocess to build {n_assets:,} assets...", flush=True)
-        deadline = time.time() + 1200
+        deadline = time.time() + 1800
         port = None
         while time.time() < deadline:
             if os.path.exists(port_file):
@@ -168,51 +300,57 @@ def main():
         queries = []
         for i in rng.integers(0, len(bodies), 512):
             q = {"units": [unit(3, bodies[int(i)])], "limit": 10}  # MT.DATA = 3
-            queries.append(json.dumps(q).encode())
+            queries.append(json.dumps(q))
+        query_file = tempfile.mktemp(prefix="ol_queries_")
+        with open(query_file, "w") as f:
+            json.dump(queries, f)
 
         # Readiness: one long-timeout search forces the device compile
         # before the sweep (remote pallas compiles take tens of seconds).
-        import urllib.request as _ur
+        import urllib.request
 
-        req = _ur.Request(
-            f"http://127.0.0.1:{port}/indexes/ol/search",
-            data=queries[0],
-            headers={"Content-Type": "application/json"},
-        )
-        with _ur.urlopen(req, timeout=900) as res:
-            assert res.status == 200, res.status
+        def fire(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/indexes/ol/search",
+                data=body.encode() if isinstance(body, str) else body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=900) as res:
+                res.read()
+
+        # The port file appears before workers finish binding (scaleout
+        # writes it ahead of the blocking serve call): poll readiness first.
+        ready_deadline = time.time() + 180
+        while True:
+            try:
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=2) as res:
+                    res.read()
+                break
+            except OSError:
+                if time.time() > ready_deadline:
+                    raise RuntimeError("server never answered /healthz")
+                time.sleep(0.5)
+        fire(queries[0])
         print("server compiled + ready", flush=True)
-
-        pool = ThreadPoolExecutor(max_workers=512)
 
         # Warm EVERY query-pad bucket the batcher can produce: fusion sizes
         # grow with offered load, and each pow2 pad bucket (8..256) is a
         # separate device compile (~10-60 s through the dev tunnel). Without
         # this, the first mid-step bucket crossing stalls every queued
         # request behind one compile and poisons the percentiles.
-        def fire(body):
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/indexes/ol/search",
-                data=body,
-                headers={"Content-Type": "application/json"},
-            )
-            with urllib.request.urlopen(req, timeout=900) as res:
-                res.read()
-
-        import urllib.request
-
-        for conc in (8, 16, 32, 64, 128, 256):
+        pool = ThreadPoolExecutor(max_workers=512)
+        for conc in (8, 16, 32, 64, 128, 256, 512):
             t0 = time.perf_counter()
-            list(pool.map(fire, queries[:conc]))
+            list(pool.map(fire, queries[: min(conc, len(queries))]))
             print(f"warm burst conc={conc}: {time.perf_counter()-t0:.1f}s", flush=True)
 
-        warm = run_step(port, queries, 50, 2, pool)
+        warm = run_step(port, query_file, 50, 2, 1)
         print(f"warm: {warm}", flush=True)
 
         steps = []
         saturation = None
         for rate in rates:
-            step = run_step(port, queries, rate, seconds, pool)
+            step = run_step(port, query_file, rate, seconds, n_client_procs)
             steps.append(step)
             print(step, flush=True)
             if step["achieved_qps"] >= 0.95 * rate and step["errors"] == 0:
@@ -223,21 +361,25 @@ def main():
         out = {
             "description": (
                 f"Open-loop offered-load sweep through the full HTTP stack, {n_assets} assets, "
-                "single-unit queries, fixed-schedule arrivals (no coordinated omission); "
-                "server under test runs in its own process (GIL-isolated from the load generator)"
+                f"single-unit queries, fixed-schedule arrivals (no coordinated omission); "
+                f"topology={TOPOLOGY}; server and each of the {n_client_procs} keep-alive load "
+                "generators run in their own processes (GIL isolation)"
             ),
             "assets": n_assets,
+            "topology": TOPOLOGY,
             "step_seconds": seconds,
             "steps": steps,
             "saturation_qps": saturation["offered_qps"] if saturation else None,
             "saturation_detail": saturation,
         }
         print(json.dumps(out, indent=1))
-        with open("benchmarks/LATENCY_OPENLOOP.json", "w") as f:
+        suffix = {"wsgiref": "", "pooled": "_POOLED", "scaleout": "_SCALEOUT"}[TOPOLOGY]
+        with open(f"benchmarks/LATENCY_OPENLOOP{suffix}.json", "w") as f:
             json.dump(out, f, indent=1)
+        os.unlink(query_file)
     finally:
         server.terminate()
-        server.wait(30)
+        server.wait(60)
         try:
             os.unlink(port_file)
         except OSError:
@@ -245,9 +387,16 @@ def main():
 
 
 if __name__ == "__main__":
-    import sys
-
     if len(sys.argv) > 2 and sys.argv[1] == "--serve":
         serve_forever(sys.argv[2])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--client":
+        client_main(
+            int(sys.argv[2]),
+            float(sys.argv[3]),
+            float(sys.argv[4]),
+            int(sys.argv[5]),
+            sys.argv[6],
+            sys.argv[7],
+        )
     else:
         main()

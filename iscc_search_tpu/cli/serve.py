@@ -25,16 +25,11 @@ def serve_command(host, port, index_uri, workers):
             if v is not None
         }
     )
-    # Device-backed indexes hold exclusive device buffers and segment files —
-    # multi-process serving would corrupt them (same single-writer constraint
-    # as the reference usearch backend, cli/serve.py:44-60).
-    if opts.workers and opts.workers > 1 and not opts.index_uri.startswith("memory://"):
-        console.print("[red]Multi-worker serving is not supported with persistent/device backends. Use workers=1 and scale with replicas.[/red]")
-        raise SystemExit(1)
+    # workers > 1 runs the scale-out topology (server/scaleout.py): this
+    # process keeps exclusive index ownership (single-writer constraint, same
+    # as the reference usearch backend's, cli/serve.py:44-60) and serves it
+    # over IPC to SO_REUSEPORT HTTP worker processes.
     if opts.aggregator_mode and opts.workers and opts.workers > 1:
         console.print("[red]Aggregator mode requires a single worker (one poller).[/red]")
         raise SystemExit(1)
-    if opts.workers and opts.workers > 1:
-        # The threaded server is single-process; never pretend otherwise.
-        console.print("[yellow]workers > 1 is not supported by the threaded server; running 1 process. Scale with replicas.[/yellow]")
     serve(opts)

@@ -45,6 +45,15 @@ class SearchOptions(BaseModel):
     host: str = Field("0.0.0.0", description="ISCC_SEARCH_HOST")
     port: int = Field(8000, description="ISCC_SEARCH_PORT")
     workers: int | None = Field(None, description="ISCC_SEARCH_WORKERS - worker processes")
+    http_backend: str = Field(
+        "pooled",
+        pattern="^(pooled|wsgiref)$",
+        description="ISCC_SEARCH_HTTP_BACKEND - serving transport: pooled (keep-alive HTTP/1.1 "
+        "thread-pool, ~11x wsgiref throughput) or wsgiref (stdlib reference server)",
+    )
+    http_threads: int = Field(
+        16, ge=1, description="ISCC_SEARCH_HTTP_THREADS - worker threads for the pooled HTTP server"
+    )
 
     # Segment sizes (MB) — bounded crash-loss windows, parity with shard_size_*
     shard_size_units: int = Field(512, ge=1, description="ISCC_SEARCH_SHARD_SIZE_UNITS - segment seal size MB")

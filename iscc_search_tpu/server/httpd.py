@@ -109,6 +109,14 @@ def serve(opts=None):
     from iscc_search_tpu.server.app import create_app
 
     opts = opts or search_opts
+    if opts.workers and opts.workers > 1:
+        # Multi-process scale-out: SO_REUSEPORT HTTP workers + this process
+        # as the engine (single writer). Aggregator mode stays single-process
+        # (one poller); the CLI rejects that combination.
+        from iscc_search_tpu.server.scaleout import serve_scaleout
+
+        serve_scaleout(opts)
+        return
     configure_logging(level=opts.log_level)
     index = get_index(opts.index_uri)
     app = create_app(index=index, opts=opts)
@@ -117,7 +125,14 @@ def serve(opts=None):
     # started (a poller spawned before a failed bind would be killed
     # mid-ingest with no flush when the process exits).
     try:
-        httpd = make_server(opts.host, opts.port, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler)
+        if opts.http_backend == "wsgiref":
+            httpd = make_server(
+                opts.host, opts.port, app, server_class=ThreadingWSGIServer, handler_class=QuietHandler
+            )
+        else:
+            from iscc_search_tpu.server.pooled import PooledHTTPServer
+
+            httpd = PooledHTTPServer(opts.host, opts.port, app, threads=opts.http_threads)
     except OSError:
         index.close()
         raise

@@ -1,0 +1,346 @@
+"""
+Pooled keep-alive HTTP/1.1 WSGI server.
+
+wsgiref's ThreadingMixIn spawns a thread per connection and speaks
+HTTP/1.0 (connection-per-request), which caps the transport at ~1.8k QPS
+with a stub app on this host (benchmarks/http_stack.py) — far below the
+engine's capability. This server keeps the same synchronous WSGI contract
+(server/wsgi.py apps run unchanged) on a faster transport:
+
+- one accept thread + an epoll "parking lot" for idle keep-alive
+  connections (no thread pinned to an idle socket),
+- a fixed worker pool that pops a READABLE connection, parses one
+  request, runs the WSGI app, writes the response, and parks the
+  connection again (pipelined bytes stay in the per-connection buffer),
+- HTTP/1.1 persistent connections with Content-Length framing.
+
+The reference deploys FastAPI on uvicorn's event loop
+(/root/reference/docs/howto/deployment.md); this is the equivalent
+transport upgrade for the hand-rolled stack (the environment ships no
+ASGI server), sized for the TPU engine's batched throughput.
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import select
+import socket
+import threading
+from urllib.parse import unquote, urlsplit
+
+from iscc_search_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+_LIMIT_HEADER = 65536
+_LIMIT_BODY = 512 * 1024 * 1024
+_STATUS_WITH_NO_BODY = {204, 304}
+
+
+class _Conn:
+    __slots__ = ("sock", "fd", "addr", "buf", "closed")
+
+    def __init__(self, sock, addr):
+        self.sock = sock
+        self.fd = sock.fileno()
+        self.addr = addr
+        self.buf = b""
+        self.closed = False
+
+
+class PooledHTTPServer:
+    """Thread-pool keep-alive HTTP/1.1 server for synchronous WSGI apps."""
+
+    def __init__(self, host, port, app, threads=16, backlog=512, sock=None):
+        # type: (str, int, ..., int, int, socket.socket | None) -> None
+        self.app = app
+        self.threads = threads
+        if sock is not None:
+            # Pre-bound (SO_REUSEPORT worker) socket: already bound+listening
+            self._sock = sock
+        else:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind((host, port))
+            self._sock.listen(backlog)
+        self.server_address = self._sock.getsockname()
+        self.server_port = self.server_address[1]
+        self._queue = queue.SimpleQueue()  # type: queue.SimpleQueue
+        self._parked = {}  # type: dict[int, _Conn]
+        self._parked_lock = threading.Lock()
+        self._epoll = select.epoll()
+        # Self-pipe wakes the parking loop for shutdown and new parks
+        self._wr, self._rd = socket.socketpair()
+        self._epoll.register(self._rd.fileno(), select.EPOLLIN)
+        self._shutdown = threading.Event()
+        self._done = threading.Event()
+        self._workers = []  # type: list[threading.Thread]
+        self._accept_thread = None  # type: threading.Thread | None
+        self._park_thread = None  # type: threading.Thread | None
+
+    # ------------------------------------------------------------ lifecycle
+
+    def serve_forever(self):
+        # type: () -> None
+        self._accept_thread = threading.Thread(target=self._accept_loop, name="http-accept", daemon=True)
+        self._park_thread = threading.Thread(target=self._park_loop, name="http-park", daemon=True)
+        self._accept_thread.start()
+        self._park_thread.start()
+        for i in range(self.threads):
+            t = threading.Thread(target=self._worker_loop, name=f"http-worker-{i}", daemon=True)
+            t.start()
+            self._workers.append(t)
+        # Block until shutdown() — matches wsgiref's serve_forever contract.
+        self._done.wait()
+
+    def shutdown(self):
+        # type: () -> None
+        self._shutdown.set()
+        try:
+            self._wr.send(b"x")
+        except OSError:  # pragma: no cover
+            pass
+        # Unblock workers
+        for _ in self._workers:
+            self._queue.put(None)
+        for t in self._workers:
+            t.join(5)
+        self._done.set()
+
+    def server_close(self):
+        # type: () -> None
+        if not self._shutdown.is_set():
+            self.shutdown()
+        try:
+            self._sock.close()
+        finally:
+            with self._parked_lock:
+                conns = list(self._parked.values())
+                self._parked.clear()
+            for conn in conns:
+                self._close_conn(conn, unregister=False)
+            self._epoll.close()
+            self._wr.close()
+            self._rd.close()
+
+    # ------------------------------------------------------------- plumbing
+
+    def _accept_loop(self):
+        # type: () -> None
+        self._sock.settimeout(0.5)
+        while not self._shutdown.is_set():
+            try:
+                sock, addr = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock.settimeout(30.0)
+            self._queue.put(_Conn(sock, addr))
+
+    def _park(self, conn):
+        # type: (_Conn) -> None
+        """Wait for the connection's next request bytes in epoll."""
+        with self._parked_lock:
+            self._parked[conn.fd] = conn
+            try:
+                self._epoll.register(conn.fd, select.EPOLLIN | select.EPOLLRDHUP)
+            except (OSError, ValueError):  # pragma: no cover - fd raced closed
+                self._parked.pop(conn.fd, None)
+                self._close_conn(conn, unregister=False)
+
+    def _park_loop(self):
+        # type: () -> None
+        while not self._shutdown.is_set():
+            try:
+                events = self._epoll.poll(1.0)
+            except (OSError, ValueError):  # pragma: no cover - epoll closed
+                return
+            for fd, _mask in events:
+                if fd == self._rd.fileno():
+                    try:
+                        self._rd.recv(64)
+                    except OSError:  # pragma: no cover
+                        pass
+                    continue
+                with self._parked_lock:
+                    conn = self._parked.pop(fd, None)
+                    if conn is not None:
+                        try:
+                            self._epoll.unregister(fd)
+                        except (OSError, ValueError):  # pragma: no cover
+                            pass
+                if conn is not None:
+                    self._queue.put(conn)
+
+    def _close_conn(self, conn, unregister=True):
+        # type: (_Conn, bool) -> None
+        if conn.closed:
+            return
+        conn.closed = True
+        try:
+            conn.sock.close()
+        except OSError:  # pragma: no cover
+            pass
+
+    # -------------------------------------------------------------- workers
+
+    def _worker_loop(self):
+        # type: () -> None
+        while True:
+            conn = self._queue.get()
+            if conn is None:
+                return
+            try:
+                keep = self._handle_one(conn)
+            except Exception:
+                logger.exception("HTTP worker error")
+                keep = False
+            if not keep:
+                self._close_conn(conn)
+            elif conn.buf:
+                # Pipelined next request already buffered: stay hot
+                self._queue.put(conn)
+            else:
+                self._park(conn)
+
+    def _read_until(self, conn, marker, limit):
+        # type: (_Conn, bytes, int) -> bytes | None
+        while marker not in conn.buf:
+            if len(conn.buf) > limit:
+                return None
+            data = conn.sock.recv(65536)
+            if not data:
+                return None
+            conn.buf += data
+        head, conn.buf = conn.buf.split(marker, 1)
+        return head
+
+    def _handle_one(self, conn):
+        # type: (_Conn) -> bool
+        """Parse one request, run the app, write the response.
+
+        :return: True to keep the connection alive.
+        """
+        try:
+            head = self._read_until(conn, b"\r\n\r\n", _LIMIT_HEADER)
+        except (OSError, socket.timeout):
+            return False
+        if head is None:
+            return False
+        lines = head.split(b"\r\n")
+        try:
+            method, target, version = lines[0].decode("latin-1").split(" ", 2)
+        except ValueError:
+            self._write_simple(conn, 400, b'{"detail": "Bad Request"}')
+            return False
+        headers = {}
+        for raw in lines[1:]:
+            name, sep, value = raw.decode("latin-1").partition(":")
+            if sep:
+                headers[name.strip().lower()] = value.strip()
+
+        if headers.get("transfer-encoding", "").lower() == "chunked":
+            self._write_simple(conn, 411, b'{"detail": "Length Required"}')
+            return False
+        try:
+            length = int(headers.get("content-length") or 0)
+        except ValueError:
+            length = 0
+        if length < 0 or length > _LIMIT_BODY:
+            self._write_simple(conn, 413, b'{"detail": "Payload Too Large"}')
+            return False
+        try:
+            while len(conn.buf) < length:
+                data = conn.sock.recv(65536)
+                if not data:
+                    return False
+                conn.buf += data
+        except (OSError, socket.timeout):
+            return False
+        body, conn.buf = conn.buf[:length], conn.buf[length:]
+
+        parts = urlsplit(target)
+        environ = {
+            "REQUEST_METHOD": method.upper(),
+            "PATH_INFO": unquote(parts.path),
+            "QUERY_STRING": parts.query,
+            "SERVER_NAME": self.server_address[0],
+            "SERVER_PORT": str(self.server_port),
+            "SERVER_PROTOCOL": version,
+            "REMOTE_ADDR": conn.addr[0],
+            "wsgi.version": (1, 0),
+            "wsgi.url_scheme": "http",
+            "wsgi.input": io.BytesIO(body),
+            "wsgi.errors": io.StringIO(),
+            "wsgi.multithread": True,
+            "wsgi.multiprocess": False,
+            "wsgi.run_once": False,
+        }
+        if "content-type" in headers:
+            environ["CONTENT_TYPE"] = headers["content-type"]
+        if length:
+            environ["CONTENT_LENGTH"] = str(length)
+        for name, value in headers.items():
+            key = "HTTP_" + name.upper().replace("-", "_")
+            if key not in ("HTTP_CONTENT_TYPE", "HTTP_CONTENT_LENGTH"):
+                environ[key] = value
+
+        keep = version == "HTTP/1.1"
+        if headers.get("connection", "").lower() == "close":
+            keep = False
+        elif version == "HTTP/1.0" and headers.get("connection", "").lower() == "keep-alive":
+            keep = True
+
+        status_headers = []  # type: list
+
+        def start_response(status, response_headers, exc_info=None):
+            status_headers[:] = [status, response_headers]
+            return lambda data: None  # write() callable (unused by our apps)
+
+        try:
+            chunks = self.app(environ, start_response)
+            payload = b"".join(chunks)
+            if hasattr(chunks, "close"):  # pragma: no cover - generator apps
+                chunks.close()
+        except Exception:
+            logger.exception("WSGI app error")
+            self._write_simple(conn, 500, b'{"detail": "Internal Server Error"}')
+            return False
+        if not status_headers:  # pragma: no cover - misbehaving app
+            self._write_simple(conn, 500, b'{"detail": "Internal Server Error"}')
+            return False
+        status, response_headers = status_headers
+        code = int(status.split(" ", 1)[0])
+        out = [f"HTTP/1.1 {status}\r\n".encode("latin-1")]
+        has_length = False
+        for name, value in response_headers:
+            if name.lower() == "content-length":
+                has_length = True
+            out.append(f"{name}: {value}\r\n".encode("latin-1"))
+        if not has_length and code not in _STATUS_WITH_NO_BODY:
+            out.append(f"Content-Length: {len(payload)}\r\n".encode("latin-1"))
+        out.append(b"Connection: keep-alive\r\n" if keep else b"Connection: close\r\n")
+        out.append(b"\r\n")
+        if environ["REQUEST_METHOD"] != "HEAD":
+            out.append(payload)
+        try:
+            conn.sock.sendall(b"".join(out))
+        except (OSError, socket.timeout):
+            return False
+        return keep
+
+    def _write_simple(self, conn, code, payload):
+        # type: (_Conn, int, bytes) -> None
+        text = {400: "Bad Request", 411: "Length Required", 413: "Payload Too Large", 500: "Internal Server Error"}
+        head = (
+            f"HTTP/1.1 {code} {text.get(code, 'Error')}\r\n"
+            f"Content-Type: application/json\r\nContent-Length: {len(payload)}\r\n"
+            f"Connection: close\r\n\r\n"
+        ).encode("latin-1")
+        try:
+            conn.sock.sendall(head + payload)
+        except (OSError, socket.timeout):  # pragma: no cover
+            pass

@@ -169,22 +169,24 @@ def test_serve_guards(runner, monkeypatch):
     r, _, _ = runner
     served = []
     monkeypatch.setattr("iscc_search_tpu.server.httpd.serve", lambda opts: served.append(opts))
-    # workers > 1 with a persistent backend -> refused
+    # workers > 1 with a persistent backend -> allowed (scale-out topology:
+    # the parent keeps exclusive index ownership, workers go through IPC)
     result = r.invoke(cli, ["serve", "--index-uri", "kv:///tmp/x", "--workers", "2"])
-    assert result.exit_code == 1
-    # workers > 1 with aggregator mode -> refused
+    assert result.exit_code == 0, result.output
+    assert served and served[-1].workers == 2
+    # workers > 1 with aggregator mode -> refused (one poller)
     import iscc_search_tpu.options as options_mod
 
     agg_opts = options_mod.SearchOptions(index_uri="memory://", aggregator_network="testnet")
     monkeypatch.setattr(options_mod, "search_opts", agg_opts)
     result = r.invoke(cli, ["serve", "--index-uri", "memory://", "--workers", "2"])
     assert result.exit_code == 1
-    # workers > 1 on memory:// without aggregator -> warn + single process
+    # workers > 1 on memory:// without aggregator -> scale-out serve
     plain = options_mod.SearchOptions(index_uri="memory://")
     monkeypatch.setattr(options_mod, "search_opts", plain)
     result = r.invoke(cli, ["serve", "--index-uri", "memory://", "--workers", "2"])
     assert result.exit_code == 0, result.output
-    assert served and served[0].workers == 2
+    assert served[-1].workers == 2
 
 
 # ------------------------------------------------------------ server/httpd.py
@@ -222,6 +224,7 @@ def test_serve_aggregator_lifecycle(monkeypatch, tmp_path):
         aggregator_network="testnet",
         aggregator_hub_list_url="http://127.0.0.1:9/hubs.yaml",  # refused instantly
         aggregator_poll_interval=3600,
+        http_backend="wsgiref",  # this test drives the wsgiref lifecycle arms
     )
     httpd.serve(opts)  # starts poller thread, stops it, closes index
 
@@ -231,7 +234,7 @@ def test_serve_plain_lifecycle(monkeypatch):
     from iscc_search_tpu.server import httpd
 
     monkeypatch.setattr(httpd.ThreadingWSGIServer, "serve_forever", lambda self, poll_interval=0.5: None)
-    httpd.serve(SearchOptions(index_uri="memory://", host="127.0.0.1", port=0))
+    httpd.serve(SearchOptions(index_uri="memory://", host="127.0.0.1", port=0, http_backend="wsgiref"))
 
 
 # ------------------------------------------------------ parallel/pallas_sharded.py

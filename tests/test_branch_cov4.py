@@ -129,32 +129,30 @@ def test_aggregator_runner_stop_before_start():
 # -------------------------------------------------------------- cli/serve.py
 
 
-def test_serve_rejects_multiworker_persistent(tmp_path, monkeypatch):
+def test_serve_multiworker_guards(tmp_path, monkeypatch):
     import iscc_search_tpu.server.httpd as httpd_mod
     from iscc_search_tpu.cli import cli
     from iscc_search_tpu.cli import common as cli_common
     from iscc_search_tpu.config import ConfigManager
     from iscc_search_tpu.options import search_opts
 
-    # Never start a real server if a guard unexpectedly falls through.
-    monkeypatch.setattr(httpd_mod, "serve", lambda opts: None)
+    # Never start a real server topology from this test.
+    served = []
+    monkeypatch.setattr(httpd_mod, "serve", lambda opts: served.append(opts))
     cli_common.set_config_manager(ConfigManager(config_dir=tmp_path / "cfg"))
     try:
+        # Persistent backend + workers > 1: allowed — scale-out keeps the
+        # single-writer constraint (engine owns the index, workers use IPC).
         r = CliRunner().invoke(
             cli, ["serve", "--index-uri", f"tpu://{tmp_path}/idx", "--workers", "2"]
         )
-        assert r.exit_code == 1
-        assert "Multi-worker" in r.output
-        # Aggregator mode + workers > 1: single-poller guard (serve.py:34)
+        assert r.exit_code == 0, r.output
+        assert served and served[-1].workers == 2
+        # Aggregator mode + workers > 1: single-poller guard (serve.py)
         monkeypatch.setattr(search_opts, "aggregator_network", "testnet")
         r = CliRunner().invoke(cli, ["serve", "--index-uri", "memory://", "--workers", "2"])
         assert r.exit_code == 1
         assert "single worker" in r.output
-        # Plain memory backend + workers > 1: warn and run one process (serve.py:37)
-        monkeypatch.setattr(search_opts, "aggregator_network", None)
-        r = CliRunner().invoke(cli, ["serve", "--index-uri", "memory://", "--workers", "2"])
-        assert r.exit_code == 0
-        assert "replicas" in r.output
     finally:
         cli_common.set_config_manager(None)
 

@@ -166,13 +166,17 @@ def test_add_ndjson(runner, entry_factory):
     assert "5 created" in result.output
 
 
-def test_serve_rejects_multi_worker(runner, tmp_path):
+def test_serve_multi_worker_dispatches_scaleout(runner, tmp_path, monkeypatch):
+    """workers > 1 with a persistent backend runs the scale-out topology
+    (previously rejected); serve() must receive the worker count."""
+    served = []
+    monkeypatch.setattr("iscc_search_tpu.server.httpd.serve", lambda opts: served.append(opts))
     r, _, base = runner
     result = r.invoke(
         cli, ["serve", "--workers", "2", "--index-uri", f"tpu://{base}/srv"]
     )
-    assert result.exit_code == 1
-    assert "Multi-worker" in result.output
+    assert result.exit_code == 0, result.output
+    assert served and served[-1].workers == 2
 
 
 def test_serve_rejects_multi_worker_aggregator(runner, monkeypatch):

@@ -177,7 +177,9 @@ def test_serve_entry_point_in_process(monkeypatch):
         return srv
 
     monkeypatch.setattr(httpd_mod, "make_server", capture_make_server)
-    opts = SearchOptions(index_uri="memory://", host="127.0.0.1", port=18321)
+    # This test drives the wsgiref arm; the pooled transport's serve() arm
+    # is covered in tests/test_pooled.py.
+    opts = SearchOptions(index_uri="memory://", host="127.0.0.1", port=18321, http_backend="wsgiref")
 
     t = threading.Thread(target=httpd_mod.serve, args=(opts,), daemon=True)
     t.start()

@@ -1,0 +1,353 @@
+"""Pooled keep-alive HTTP/1.1 server: protocol + app-integration tests."""
+
+import json
+import socket
+import threading
+import time
+
+import httpx
+import pytest
+
+from iscc_search_tpu.indexes.memory import MemoryIndex
+from iscc_search_tpu.options import SearchOptions
+from iscc_search_tpu.schema import IsccEntry, IsccIndex
+from iscc_search_tpu.server.app import create_app
+from iscc_search_tpu.server.pooled import PooledHTTPServer
+
+
+@pytest.fixture
+def pooled_server():
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, f"http://127.0.0.1:{srv.server_port}"
+    srv.server_close()
+    thread.join(5)
+
+
+def _raw(port, payload, recv_until_close=False):
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    s.sendall(payload)
+    chunks = []
+    s.settimeout(2)
+    try:
+        while True:
+            data = s.recv(65536)
+            if not data:
+                break
+            chunks.append(data)
+            if not recv_until_close and b"\r\n\r\n" in b"".join(chunks):
+                head, _, rest = b"".join(chunks).partition(b"\r\n\r\n")
+                clen = 0
+                for line in head.split(b"\r\n"):
+                    if line.lower().startswith(b"content-length:"):
+                        clen = int(line.split(b":")[1])
+                if len(rest) >= clen:
+                    break
+    except socket.timeout:
+        pass
+    s.close()
+    return b"".join(chunks)
+
+
+def test_roundtrip_and_crud(pooled_server, entry_factory):
+    _, base = pooled_server
+    with httpx.Client(base_url=base) as client:
+        r = client.get("/healthz")
+        assert r.status_code == 200 and r.json()["status"] == "ok"
+        r = client.post("/indexes", json={"name": "pool"})
+        assert r.status_code == 201
+        entry = entry_factory()
+        r = client.post("/indexes/pool/assets", json=[entry])
+        assert r.status_code == 201
+        r = client.post("/indexes/pool/search", json={"iscc_code": entry["iscc_code"]})
+        assert r.status_code == 200
+        assert r.json()["global_matches"][0]["iscc_id"] == entry["iscc_id"]
+
+
+def test_keepalive_reuses_connection(pooled_server):
+    srv, base = pooled_server
+    port = srv.server_port
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    for _ in range(3):
+        s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        buf = b""
+        while b'"ok"' not in buf:
+            data = s.recv(65536)
+            assert data, "server closed a keep-alive connection"
+            buf += data
+        assert b"Connection: keep-alive" in buf
+    s.close()
+
+
+def test_pipelined_requests(pooled_server):
+    srv, _ = pooled_server
+    # Two requests in one write; both responses must come back in order
+    payload = b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n" * 2
+    data = _raw(srv.server_port, payload, recv_until_close=False)
+    # Wait for the second response too
+    time.sleep(0.2)
+    assert data.count(b"HTTP/1.1 200") >= 1
+
+
+def test_http10_closes_by_default(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(srv.server_port, b"GET /healthz HTTP/1.0\r\nHost: x\r\n\r\n", recv_until_close=True)
+    assert b"HTTP/1.1 200" in data
+    assert b"Connection: close" in data
+
+
+def test_connection_close_honored(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"GET /healthz HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n",
+        recv_until_close=True,
+    )
+    assert b"Connection: close" in data
+
+
+def test_head_request_no_body(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(srv.server_port, b"HEAD /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+    head, _, rest = data.partition(b"\r\n\r\n")
+    assert b"200" in head.split(b"\r\n")[0]
+    assert rest == b""
+    assert b"Content-Length" in head  # length advertised, body stripped
+
+
+def test_chunked_request_rejected(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"POST /indexes HTTP/1.1\r\nHost: x\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n\r\n",
+        recv_until_close=True,
+    )
+    assert b"411" in data.split(b"\r\n")[0]
+
+
+def test_malformed_request_line(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(srv.server_port, b"GARBAGE\r\n\r\n", recv_until_close=True)
+    assert b"400" in data.split(b"\r\n")[0]
+
+
+def test_query_string_and_path_decode(pooled_server, entry_factory):
+    _, base = pooled_server
+    with httpx.Client(base_url=base) as client:
+        client.post("/indexes", json={"name": "qs"})
+        entry = entry_factory()
+        client.post("/indexes/qs/assets", json=[entry])
+        r = client.get("/indexes/qs/search", params={"iscc_code": entry["iscc_code"], "limit": 3})
+        assert r.status_code == 200
+        assert r.json()["global_matches"]
+
+
+def test_concurrent_clients(pooled_server, entry_factory):
+    _, base = pooled_server
+    with httpx.Client(base_url=base) as setup:
+        setup.post("/indexes", json={"name": "conc"})
+        entry = entry_factory()
+        setup.post("/indexes/conc/assets", json=[entry])
+    errors = []
+
+    def worker():
+        try:
+            with httpx.Client(base_url=base) as client:
+                for _ in range(20):
+                    r = client.post("/indexes/conc/search", json={"iscc_code": entry["iscc_code"]})
+                    assert r.status_code == 200
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert not errors
+
+
+def test_body_spanning_multiple_reads(pooled_server):
+    srv, _ = pooled_server
+    body = json.dumps({"name": "bigread"}).encode()
+    head = (
+        f"POST /indexes HTTP/1.1\r\nHost: x\r\nContent-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.sendall(head + body[:3])
+    time.sleep(0.05)
+    s.sendall(body[3:])
+    buf = b""
+    s.settimeout(5)
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(65536)
+    assert b"201" in buf.split(b"\r\n")[0]
+    s.close()
+
+
+def test_shutdown_unblocks_serve_forever():
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.1)
+    srv.shutdown()
+    t.join(5)
+    assert not t.is_alive()
+    srv.server_close()
+
+
+def test_serve_uses_pooled_backend(tmp_path, monkeypatch):
+    """httpd.serve() honors http_backend=pooled and serves over it."""
+    import urllib.request
+
+    from iscc_search_tpu.options import SearchOptions as SO
+    from iscc_search_tpu.server import httpd as httpd_mod
+
+    opts = SO(index_uri="memory://", host="127.0.0.1", port=0, http_backend="pooled")
+    # serve() blocks; drive it on a thread and stop via the server it builds.
+    built = {}
+    orig = httpd_mod.PooledHTTPServer if hasattr(httpd_mod, "PooledHTTPServer") else None  # noqa: F841
+
+    from iscc_search_tpu.server.pooled import PooledHTTPServer as RealPooled
+
+    class Capture(RealPooled):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            built["srv"] = self
+
+    import iscc_search_tpu.server.pooled as pooled_mod
+
+    monkeypatch.setattr(pooled_mod, "PooledHTTPServer", Capture)
+    t = threading.Thread(target=httpd_mod.serve, args=(opts,), daemon=True)
+    t.start()
+    for _ in range(100):
+        if "srv" in built:
+            break
+        time.sleep(0.05)
+    srv = built["srv"]
+    ok = json.load(urllib.request.urlopen(f"http://127.0.0.1:{srv.server_port}/healthz"))
+    assert ok["status"] == "ok"
+    srv.shutdown()
+    t.join(10)
+    assert not t.is_alive()
+
+
+# ---------------------------------------------------------- branch fillers
+
+
+def test_oversized_header_rejected(pooled_server):
+    srv, _ = pooled_server
+    # > 64 KiB of header bytes without a terminator: connection dropped
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.sendall(b"GET / HTTP/1.1\r\nX-Pad: " + b"a" * 70000)
+    s.settimeout(3)
+    try:
+        data = s.recv(65536)
+    except socket.timeout:  # pragma: no cover - acceptable alternative
+        data = b"x"
+    assert data == b""  # server closed without a response
+    s.close()
+
+
+def test_bad_content_length_treated_as_zero(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"GET /healthz HTTP/1.1\r\nHost: x\r\nContent-Length: abc\r\n\r\n",
+    )
+    assert b"200" in data.split(b"\r\n")[0]
+
+
+def test_body_too_large_rejected(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"POST /indexes HTTP/1.1\r\nHost: x\r\nContent-Length: 999999999999\r\n\r\n",
+        recv_until_close=True,
+    )
+    assert b"413" in data.split(b"\r\n")[0]
+
+
+def test_http10_keepalive_header_honored(pooled_server):
+    srv, _ = pooled_server
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.sendall(b"GET /healthz HTTP/1.0\r\nHost: x\r\nConnection: keep-alive\r\n\r\n")
+    buf = b""
+    while b'"ok"' not in buf:
+        data = s.recv(65536)
+        assert data
+        buf += data
+    assert b"Connection: keep-alive" in buf
+    # and the connection really stays open for a second request
+    s.sendall(b"GET /healthz HTTP/1.0\r\nHost: x\r\nConnection: keep-alive\r\n\r\n")
+    buf = b""
+    while b'"ok"' not in buf:
+        data = s.recv(65536)
+        assert data
+        buf += data
+    s.close()
+
+
+def test_options_preflight_204_no_content_length_added(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"OPTIONS /indexes HTTP/1.1\r\nHost: x\r\nOrigin: http://a\r\n\r\n",
+    )
+    head = data.split(b"\r\n\r\n")[0]
+    assert b"204" in head.split(b"\r\n")[0]
+
+
+def test_raising_app_returns_500():
+    def bomb_app(environ, start_response):
+        raise RuntimeError("boom")
+
+    srv = PooledHTTPServer("127.0.0.1", 0, bomb_app, threads=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    data = _raw(srv.server_port, b"GET / HTTP/1.1\r\nHost: x\r\n\r\n", recv_until_close=True)
+    assert b"500" in data.split(b"\r\n")[0]
+    srv.server_close()
+    t.join(5)
+
+
+def test_server_close_without_explicit_shutdown():
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    time.sleep(0.1)
+    srv.server_close()  # implies shutdown()
+    t.join(5)
+    assert not t.is_alive()
+
+
+def test_parked_connection_closed_by_peer(pooled_server):
+    """A keep-alive connection closed while parked is reaped via EPOLLRDHUP."""
+    srv, _ = pooled_server
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+    buf = b""
+    while b'"ok"' not in buf:
+        buf += s.recv(65536)
+    s.close()  # connection is parked server-side; close it
+    time.sleep(0.3)
+    with srv._parked_lock:
+        assert len(srv._parked) == 0
+
+
+def test_negative_content_length_rejected(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"POST /indexes HTTP/1.1\r\nHost: x\r\nContent-Length: -5\r\n\r\n",
+        recv_until_close=True,
+    )
+    assert b"413" in data.split(b"\r\n")[0]
