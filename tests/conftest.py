@@ -19,6 +19,19 @@ os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if _platform == "cpu":
+    # Subprocess hermeticity: dev environments that tunnel a remote TPU
+    # inject a sitecustomize via PYTHONPATH whose plugin registration dials
+    # the tunnel at interpreter start — a child process spawned by a test
+    # (scale-out workers, multihost cluster procs) would hang on a dead or
+    # busy tunnel even with JAX_PLATFORMS=cpu. Strip those entries so test
+    # children get a plain CPU interpreter.
+    _pp = [
+        p
+        for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p
+    ]
+    os.environ["PYTHONPATH"] = os.pathsep.join(_pp)
 
 import jax
 

@@ -481,3 +481,72 @@ def test_ping_times_out_without_engine(tmp_path):
     t0 = time.monotonic()
     assert client.ping(timeout=0.3) is False
     assert time.monotonic() - t0 < 5
+
+
+SCALEOUT_TPU_MAIN = """
+import sys
+from iscc_search_tpu.options import SearchOptions
+from iscc_search_tpu.server.scaleout import serve_scaleout
+
+opts = SearchOptions(
+    index_uri="tpu://" + sys.argv[2],
+    host="127.0.0.1",
+    port=int(sys.argv[1]),
+    workers=2,
+    http_threads=4,
+)
+serve_scaleout(opts)
+"""
+
+
+def test_scaleout_device_backend_end_to_end(tmp_path, entry_factory):
+    """Scale-out over the real device engine (CPU jax): adds and NPHD
+    searches flow worker -> RPC -> engine -> batcher -> scan."""
+    port = _free_port()
+    script = tmp_path / "main.py"
+    script.write_text(SCALEOUT_TPU_MAIN)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    data_dir = tmp_path / "idx"
+    proc = subprocess.Popen([sys.executable, str(script), str(port), str(data_dir)], env=env)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=1) as res:
+                    if json.load(res)["status"] == "ok":
+                        break
+            except OSError:
+                time.sleep(0.25)
+        else:
+            pytest.fail("scale-out device server did not come up")
+
+        with httpx.Client(base_url=base, timeout=120) as client:
+            assert client.post("/indexes", json={"name": "dev"}).status_code == 201
+            entries = [entry_factory() for _ in range(8)]
+            assert client.post("/indexes/dev/assets", json=entries).status_code == 201
+            # Similarity search (not exact-code): exercises the NPHD scan
+            r = client.post(
+                "/indexes/dev/search", json={"units": [entries[3]["units"][0]], "limit": 5}
+            )
+            assert r.status_code == 200
+            got = [m["iscc_id"] for m in r.json()["global_matches"]]
+            assert entries[3]["iscc_id"] in got
+            # get_asset through RPC
+            r = client.get(f"/indexes/dev/assets/{entries[0]['iscc_id']}")
+            assert r.status_code == 200
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            code = proc.wait(60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            pytest.fail("device scale-out did not exit on SIGTERM")
+    assert code == 0
+    # The engine flushed its segments on shutdown (durability contract)
+    assert (data_dir / "dev").exists()
