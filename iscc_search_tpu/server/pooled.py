@@ -27,6 +27,7 @@ import queue
 import select
 import socket
 import threading
+import time
 from urllib.parse import unquote, urlsplit
 
 from iscc_search_tpu.utils import get_logger
@@ -39,7 +40,7 @@ _STATUS_WITH_NO_BODY = {204, 304}
 
 
 class _Conn:
-    __slots__ = ("sock", "fd", "addr", "buf", "closed")
+    __slots__ = ("sock", "fd", "addr", "buf", "closed", "parked_at")
 
     def __init__(self, sock, addr):
         self.sock = sock
@@ -47,15 +48,20 @@ class _Conn:
         self.addr = addr
         self.buf = b""
         self.closed = False
+        self.parked_at = 0.0
 
 
 class PooledHTTPServer:
     """Thread-pool keep-alive HTTP/1.1 server for synchronous WSGI apps."""
 
-    def __init__(self, host, port, app, threads=16, backlog=512, sock=None):
-        # type: (str, int, ..., int, int, socket.socket | None) -> None
+    def __init__(self, host, port, app, threads=16, backlog=512, sock=None, idle_timeout=120.0, request_timeout=30.0):
+        # type: (str, int, ..., int, int, socket.socket | None, float, float) -> None
         self.app = app
         self.threads = threads
+        self.idle_timeout = idle_timeout
+        # Whole-request read budget: per-recv timeouts alone let a trickling
+        # client renew 30 s per byte and pin a pool worker indefinitely.
+        self.request_timeout = request_timeout
         if sock is not None:
             # Pre-bound (SO_REUSEPORT worker) socket: already bound+listening
             self._sock = sock
@@ -134,8 +140,17 @@ class PooledHTTPServer:
                 sock, addr = self._sock.accept()
             except socket.timeout:
                 continue
-            except OSError:
-                return
+            except OSError as exc:
+                # Transient accept errors (ECONNABORTED: peer reset between
+                # SYN-ACK and accept; EMFILE/ENFILE: fd pressure) must NOT
+                # kill the accept thread — that would silently stop serving
+                # new connections forever. Only a closed listener (shutdown)
+                # ends the loop.
+                if self._shutdown.is_set() or self._sock.fileno() < 0:
+                    return
+                logger.warning(f"accept() error (continuing): {exc}")
+                time.sleep(0.05)
+                continue
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             sock.settimeout(30.0)
             self._queue.put(_Conn(sock, addr))
@@ -144,6 +159,7 @@ class PooledHTTPServer:
         # type: (_Conn) -> None
         """Wait for the connection's next request bytes in epoll."""
         with self._parked_lock:
+            conn.parked_at = time.monotonic()
             self._parked[conn.fd] = conn
             try:
                 self._epoll.register(conn.fd, select.EPOLLIN | select.EPOLLRDHUP)
@@ -153,6 +169,7 @@ class PooledHTTPServer:
 
     def _park_loop(self):
         # type: () -> None
+        last_sweep = time.monotonic()
         while not self._shutdown.is_set():
             try:
                 events = self._epoll.poll(1.0)
@@ -174,6 +191,23 @@ class PooledHTTPServer:
                             pass
                 if conn is not None:
                     self._queue.put(conn)
+            # Reap idle keep-alive connections: each parked socket holds an
+            # fd; without a sweep, idle clients accumulate until EMFILE.
+            now = time.monotonic()
+            if now - last_sweep >= 5.0:
+                last_sweep = now
+                stale = []
+                with self._parked_lock:
+                    for fd, conn in list(self._parked.items()):
+                        if now - conn.parked_at > self.idle_timeout:
+                            self._parked.pop(fd, None)
+                            try:
+                                self._epoll.unregister(fd)
+                            except (OSError, ValueError):  # pragma: no cover
+                                pass
+                            stale.append(conn)
+                for conn in stale:
+                    self._close_conn(conn, unregister=False)
 
     def _close_conn(self, conn, unregister=True):
         # type: (_Conn, bool) -> None
@@ -206,11 +240,15 @@ class PooledHTTPServer:
             else:
                 self._park(conn)
 
-    def _read_until(self, conn, marker, limit):
-        # type: (_Conn, bytes, int) -> bytes | None
+    def _read_until(self, conn, marker, limit, deadline):
+        # type: (_Conn, bytes, int, float) -> bytes | None
         while marker not in conn.buf:
             if len(conn.buf) > limit:
                 return None
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return None
+            conn.sock.settimeout(min(30.0, remaining))
             data = conn.sock.recv(65536)
             if not data:
                 return None
@@ -224,8 +262,9 @@ class PooledHTTPServer:
 
         :return: True to keep the connection alive.
         """
+        deadline = time.monotonic() + self.request_timeout
         try:
-            head = self._read_until(conn, b"\r\n\r\n", _LIMIT_HEADER)
+            head = self._read_until(conn, b"\r\n\r\n", _LIMIT_HEADER, deadline)
         except (OSError, socket.timeout):
             return False
         if head is None:
@@ -248,12 +287,28 @@ class PooledHTTPServer:
         try:
             length = int(headers.get("content-length") or 0)
         except ValueError:
-            length = 0
+            # An unparseable Content-Length desyncs keep-alive framing if
+            # treated as 0 (the actual body bytes would parse as the next
+            # request) — RFC 7230 §3.3.2: respond 400 and close.
+            self._write_simple(conn, 400, b'{"detail": "Invalid Content-Length"}')
+            return False
         if length < 0 or length > _LIMIT_BODY:
             self._write_simple(conn, 413, b'{"detail": "Payload Too Large"}')
             return False
+        if length and headers.get("expect", "").lower() == "100-continue" and len(conn.buf) < length:
+            # Conforming clients wait for the interim response before
+            # sending the body; without it they stall out their expect
+            # timeout while a pool worker sits in the body read.
+            try:
+                conn.sock.sendall(b"HTTP/1.1 100 Continue\r\n\r\n")
+            except (OSError, socket.timeout):
+                return False
         try:
             while len(conn.buf) < length:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                conn.sock.settimeout(min(30.0, remaining))
                 data = conn.sock.recv(65536)
                 if not data:
                     return False
@@ -327,6 +382,8 @@ class PooledHTTPServer:
         if environ["REQUEST_METHOD"] != "HEAD":
             out.append(payload)
         try:
+            # Reset from any shortened deadline-read timeout before writing
+            conn.sock.settimeout(30.0)
             conn.sock.sendall(b"".join(out))
         except (OSError, socket.timeout):
             return False

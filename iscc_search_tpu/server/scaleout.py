@@ -229,16 +229,28 @@ class EngineRPCIndex:
 
     def _roundtrip(self, frame):
         # type: (tuple) -> object
+        """One RPC round trip with retry ONLY on failed send.
+
+        A failed send means the engine never received a complete frame (a
+        torn frame makes its reader drop the connection without executing),
+        so resending is safe. A failure AFTER the send must NOT resend:
+        the engine may have executed a non-idempotent mutation
+        (create_index, add_assets) whose reply was lost — re-executing
+        would double-apply and surface phantom 409s.
+        """
         try:
             conn = self._conn()
             _send_frame(conn, frame)
-            reply = _recv_frame(conn)
         except (ConnectionError, OSError):
-            # One reconnect attempt (engine restarted a listener, stale fd)
+            # Engine restarted its listener / stale fd: reconnect and resend
             self._drop_conn()
             conn = self._conn()
             _send_frame(conn, frame)
+        try:
             reply = _recv_frame(conn)
+        except (ConnectionError, OSError):
+            self._drop_conn()
+            raise ConnectionError("engine connection lost awaiting reply (request may have executed)")
         if reply[0] == "ok":
             return reply[1]
         _, exc_name, message = reply
@@ -311,6 +323,21 @@ def worker_main(argv=None):
     from iscc_search_tpu.server.pooled import PooledHTTPServer
     from iscc_search_tpu.utils import configure_logging
 
+    # Kernel-delivered SIGTERM if the engine dies without cleanup (e.g.
+    # SIGKILL): workers must never outlive the engine as orphans holding
+    # the public port. Set here in the exec'd child (single-threaded at
+    # this point) — a parent-side preexec_fn would dlopen between fork and
+    # exec in a multithreaded process.
+    try:  # pragma: no cover - exercised by the subprocess e2e tests
+        import ctypes
+
+        PR_SET_PDEATHSIG = 1
+        ctypes.CDLL(None).prctl(PR_SET_PDEATHSIG, signal.SIGTERM)
+        if os.getppid() == 1:
+            raise SystemExit("engine died before worker start")
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+
     cfg = json.loads(os.environ["ISCC_SCALEOUT_CONFIG"])
     opts = SearchOptions(**cfg["opts"])
     configure_logging(level=opts.log_level)
@@ -351,17 +378,32 @@ def serve_scaleout(opts, stop=None):
     from iscc_search_tpu.utils import configure_logging
 
     configure_logging(level=opts.log_level)
+
+    # Validate the public port is free BEFORE opening the index, and WITHOUT
+    # SO_REUSEPORT: a reuseport probe would bind happily next to another
+    # running instance — two engines would then open the same store
+    # (dual-writer corruption) and split traffic between divergent views.
+    # A plain bind fails EADDRINUSE against both server flavors.
+    probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    try:
+        # SO_REUSEADDR (not REUSEPORT): restart during TIME_WAIT works, but
+        # a live listener still fails EADDRINUSE.
+        probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        probe.bind((opts.host, opts.port))
+    finally:
+        probe.close()
+
     index = get_index(opts.index_uri)
-
-    # Validate the public port is free before anything heavy starts
-    # (workers bind SO_REUSEPORT; this probe closes immediately).
-    probe = reuseport_socket(opts.host, opts.port)
-    probe.close()
-
-    run_dir = tempfile.mkdtemp(prefix="iscc-scaleout-")
-    os.chmod(run_dir, 0o700)
-    socket_path = os.path.join(run_dir, "engine.sock")
-    ipc = EngineIPCServer(index, socket_path)
+    try:
+        run_dir = tempfile.mkdtemp(prefix="iscc-scaleout-")
+        os.chmod(run_dir, 0o700)
+        socket_path = os.path.join(run_dir, "engine.sock")
+        ipc = EngineIPCServer(index, socket_path)
+    except BaseException:
+        # Same cleanup contract as httpd.serve's failed bind: the index must
+        # not leak unflushed when startup dies between open and serving.
+        index.close()
+        raise
     ipc.start()
 
     cfg = json.dumps({"opts": json.loads(opts.model_dump_json()), "socket_path": socket_path})
@@ -380,19 +422,12 @@ def serve_scaleout(opts, stop=None):
     n_workers = max(1, int(opts.workers or 1))
     procs = []  # type: list[subprocess.Popen]
 
-    def _pdeathsig():  # pragma: no cover - runs in the forked child pre-exec
-        # Kernel-delivered SIGTERM if the engine dies without cleanup (e.g.
-        # SIGKILL): workers must never outlive the engine as orphans holding
-        # the public port.
-        import ctypes
-
-        PR_SET_PDEATHSIG = 1
-        ctypes.CDLL(None).prctl(PR_SET_PDEATHSIG, signal.SIGTERM)
-
     def spawn():
-        return subprocess.Popen(
-            [sys.executable, "-m", "iscc_search_tpu.server.worker"], env=env, preexec_fn=_pdeathsig
-        )
+        # PDEATHSIG is set by the child itself (worker_main, first thing):
+        # a preexec_fn doing ctypes/dlopen between fork and exec in this
+        # multithreaded parent can deadlock the child on the allocator or
+        # loader lock (subprocess docs warn preexec_fn is thread-unsafe).
+        return subprocess.Popen([sys.executable, "-m", "iscc_search_tpu.server.worker"], env=env)
 
     stop = stop or threading.Event()
 
@@ -413,12 +448,26 @@ def serve_scaleout(opts, stop=None):
             f"Scale-out serving on http://{opts.host}:{opts.port} "
             f"({n_workers} workers x {opts.http_threads} threads, backend: {opts.index_uri})"
         )
+        # Respawn with per-slot exponential backoff: a persistent startup
+        # failure (bad config, import error) must not become a 2 Hz
+        # fork-and-crash loop — back off to 30 s and say so clearly.
+        backoff = [0.5] * n_workers
+        next_spawn = [0.0] * n_workers
         while not stop.is_set():
+            now = time.monotonic()
             for i, proc in enumerate(procs):
                 code = proc.poll()
-                if code is not None and not stop.is_set():
-                    logger.warning(f"Worker {proc.pid} exited with {code}; respawning")
+                if code is not None and not stop.is_set() and now >= next_spawn[i]:
+                    level = logger.warning if backoff[i] < 8 else logger.error
+                    level(
+                        f"Worker {proc.pid} exited with {code}; respawning "
+                        f"(next backoff {backoff[i]:.1f}s — repeated exits indicate a crash loop)"
+                    )
                     procs[i] = spawn()
+                    next_spawn[i] = now + backoff[i]
+                    backoff[i] = min(backoff[i] * 2, 30.0)
+                elif code is None and now >= next_spawn[i] + 10.0:
+                    backoff[i] = 0.5  # stable for a while: reset the backoff
             stop.wait(0.5)
     except KeyboardInterrupt:  # pragma: no cover
         pass

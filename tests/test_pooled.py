@@ -255,13 +255,16 @@ def test_oversized_header_rejected(pooled_server):
     s.close()
 
 
-def test_bad_content_length_treated_as_zero(pooled_server):
+def test_bad_content_length_rejected(pooled_server):
+    """RFC 7230 3.3.2: invalid Content-Length -> 400 + close (treating it
+    as 0 would desync keep-alive framing on the buffered body bytes)."""
     srv, _ = pooled_server
     data = _raw(
         srv.server_port,
         b"GET /healthz HTTP/1.1\r\nHost: x\r\nContent-Length: abc\r\n\r\n",
+        recv_until_close=True,
     )
-    assert b"200" in data.split(b"\r\n")[0]
+    assert b"400" in data.split(b"\r\n")[0]
 
 
 def test_body_too_large_rejected(pooled_server):
@@ -351,3 +354,69 @@ def test_negative_content_length_rejected(pooled_server):
         recv_until_close=True,
     )
     assert b"413" in data.split(b"\r\n")[0]
+
+
+def test_expect_100_continue(pooled_server):
+    """Server sends the interim 100 before reading a delayed body."""
+    srv, _ = pooled_server
+    body = json.dumps({"name": "expect"}).encode()
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.sendall(
+        (
+            f"POST /indexes HTTP/1.1\r\nHost: x\r\nContent-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\nExpect: 100-continue\r\n\r\n"
+        ).encode()
+    )
+    s.settimeout(5)
+    interim = s.recv(65536)
+    assert interim.startswith(b"HTTP/1.1 100 Continue")
+    s.sendall(body)
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(65536)
+    assert b"201" in buf.split(b"\r\n")[0]
+    s.close()
+
+
+def test_trickling_request_hits_whole_request_deadline():
+    """A byte-at-a-time client cannot renew its timeout forever: the whole
+    request read is bounded by request_timeout, freeing the pool worker."""
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2, request_timeout=1.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=10)
+    s.sendall(b"GET /healthz")
+    t0 = time.monotonic()
+    s.settimeout(10)
+    try:
+        data = s.recv(65536)
+    except (socket.timeout, ConnectionError):
+        data = b""
+    # Server dropped the trickler within ~request_timeout, not 30 s/byte
+    assert data == b""
+    assert time.monotonic() - t0 < 8
+    s.close()
+    srv.server_close()
+    t.join(5)
+
+
+def test_idle_parked_connection_reaped():
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2, idle_timeout=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+    buf = b""
+    while b'"ok"' not in buf:
+        buf += s.recv(65536)
+    # Parked now; the 5s sweep tick should reap it after idle_timeout
+    s.settimeout(10)
+    data = s.recv(65536)  # server closes -> EOF
+    assert data == b""
+    s.close()
+    srv.server_close()
+    t.join(5)
