@@ -115,6 +115,7 @@ class TpuIndex:
         self._simprint_indexes = {}  # type: dict[str, SimprintEngine]
         self._batchers = {}  # type: dict[str, SearchBatcher]
         self._batcher_lock = threading.Lock()
+        self._sp_types_cache = None  # type: list[str] | None
         self._closed = False
         self._write_lock = threading.RLock()
         self._batch_counter = 0
@@ -857,14 +858,21 @@ class TpuIndex:
 
     def _get_sp_types(self):
         # type: () -> list[str]
-        raw = self.store.get(DB_META, b"sp_types")
-        return json.loads(raw.decode()) if raw else []
+        # Cached: every search consults this (has-simprints gate) and the
+        # store read measured ~30 us/request of pure overhead on the hot
+        # path. This object is the single writer, so the cache only needs
+        # invalidation at the one write site (_register_sp_type).
+        if self._sp_types_cache is None:
+            raw = self.store.get(DB_META, b"sp_types")
+            self._sp_types_cache = json.loads(raw.decode()) if raw else []
+        return self._sp_types_cache
 
     def _register_sp_type(self, sp_type):
         # type: (str) -> None
         types = self._get_sp_types()
         if sp_type not in types:
             types.append(sp_type)
+            self._sp_types_cache = types
             self.store.put(DB_META, b"sp_types", json.dumps(types).encode())
             # Types registered by THIS version always maintain the per-asset
             # inverse db, so an empty inverse lookup is authoritative (no

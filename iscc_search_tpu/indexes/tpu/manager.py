@@ -148,6 +148,13 @@ class TpuIndexManager:
         # Pattern check BEFORE any filesystem access so crafted names
         # (e.g. "..") can never address paths outside the base directory.
         common.validate_index_name(name)
+        # A loaded index IS proof of existence: the stat() otherwise costs
+        # ~80 us on every search/get (measured on the serving hot path).
+        # delete_index drops the cache entry, so staleness only arises from
+        # out-of-band directory removal — which the next store access
+        # surfaces anyway.
+        if name in self._index_cache:
+            return
         if not (self.base_path / name / "store").exists():
             raise FileNotFoundError(f"Index '{name}' not found")
 
