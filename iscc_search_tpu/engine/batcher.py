@@ -122,7 +122,12 @@ class SearchBatcher:
         bodies = [b for item in batch for b in item.bodies]
         max_count = max(item.count for item in batch)
         try:
+            from iscc_search_tpu.server import metrics
+
+            t0 = time.perf_counter()
             results = self.index.search(bodies, max_count)
+            metrics.sweep_seconds.observe(time.perf_counter() - t0)
+            metrics.batch_queries.observe(len(bodies))
             if len(results) != len(bodies):
                 # A short return would otherwise hand trailing callers EMPTY
                 # result lists (a silent wrong answer) instead of an error.

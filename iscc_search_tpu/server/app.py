@@ -101,6 +101,15 @@ def create_app(index=None, opts=None):
     app.state.status_lock = threading.Lock()
     openapi_spec = build_openapi()
 
+    from iscc_search_tpu.server import metrics as _metrics
+
+    def _observe(method, path, status, seconds):
+        route = _metrics.route_pattern(path)
+        _metrics.http_requests.inc(method=method, route=route, status=str(status))
+        _metrics.http_latency.observe(seconds)
+
+    app.observer = _observe
+
     # ------------------------------------------------------------- probes
 
     @app.route("GET", "/healthz")
@@ -280,6 +289,13 @@ def create_app(index=None, opts=None):
         return Response(
             {"name": "ISCC-Search TPU", "version": __version__, "docs": "/docs", "openapi": "/openapi.json"}
         )
+
+    @app.route("GET", "/metrics")
+    def metrics_endpoint(request):
+        # Prometheus 0.0.4 text exposition; per-process (see server/metrics.py)
+        from iscc_search_tpu.server import metrics
+
+        return Response(metrics.registry.render(), media_type="text/plain; version=0.0.4")
 
     @app.route("GET", "/static/{path}")
     def static_files(request):

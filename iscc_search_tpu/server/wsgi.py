@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import traceback
 from urllib.parse import parse_qs
 
@@ -114,6 +115,10 @@ class WsgiApp:
         self._routes = []  # type: list[tuple[str, re.Pattern, callable]]
         self.cors_origins = list(cors_origins)
         self.state = type("State", (), {})()
+        # Optional (method, path, status, seconds) hook for metrics — set by
+        # create_app; kept out of the dispatch signature so WsgiApp stays a
+        # plain router.
+        self.observer = None  # type: callable | None
 
     def route(self, method, pattern):
         # type: (str, str) -> callable
@@ -185,7 +190,12 @@ class WsgiApp:
     def __call__(self, environ, start_response):
         # type: (dict, callable) -> list[bytes]
         request = Request(environ)
-        resp = self.handle(request)
+        if self.observer is not None:
+            t0 = time.perf_counter()
+            resp = self.handle(request)
+            self.observer(request.method, request.path, resp.status, time.perf_counter() - t0)
+        else:
+            resp = self.handle(request)
         headers = list(resp.headers.items())
         if resp.body:
             headers.append(("Content-Length", str(len(resp.body))))
