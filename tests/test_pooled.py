@@ -420,3 +420,73 @@ def test_idle_parked_connection_reaped():
     s.close()
     srv.server_close()
     t.join(5)
+
+
+def test_pooled_soak_mixed_traffic(entry_factory):
+    """8s of concurrent CRUD over real sockets with keep-alive churn: the
+    pooled transport must produce zero 5xx and zero framing errors while
+    connections are opened, reused, pipelined, and dropped mid-stream."""
+    opts = SearchOptions(index_uri="memory://")
+    app = create_app(index=MemoryIndex(), opts=opts)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=6, idle_timeout=2.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    with httpx.Client(base_url=base) as setup:
+        assert setup.post("/indexes", json={"name": "soak"}).status_code == 201
+    stop = threading.Event()
+    errors = []
+    entries = [entry_factory() for _ in range(32)]
+    with httpx.Client(base_url=base) as seed:
+        seed.post("/indexes/soak/assets", json=entries)
+
+    def crud(worker_id):
+        try:
+            with httpx.Client(base_url=base) as client:
+                i = 0
+                while not stop.is_set():
+                    i += 1
+                    op = i % 4
+                    if op == 0:
+                        r = client.post("/indexes/soak/assets", json=[entries[i % 32]])
+                        assert r.status_code in (200, 201), r.status_code
+                    elif op == 1:
+                        r = client.post(
+                            "/indexes/soak/search", json={"iscc_code": entries[i % 32]["iscc_code"]}
+                        )
+                        assert r.status_code == 200, r.status_code
+                    elif op == 2:
+                        r = client.get(f"/indexes/soak/assets/{entries[i % 32]['iscc_id']}")
+                        assert r.status_code == 200, r.status_code
+                    else:
+                        r = client.get("/metrics")
+                        assert r.status_code == 200, r.status_code
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append((worker_id, exc))
+
+    def churner():
+        """Open connections and drop them mid-request to stress cleanup."""
+        try:
+            while not stop.is_set():
+                s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+                s.sendall(b"GET /healthz HTT")  # partial request line
+                s.close()
+                s2 = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+                s2.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+                s2.recv(100)
+                s2.close()  # parked then dropped
+                time.sleep(0.01)
+        except Exception as exc:  # pragma: no cover
+            errors.append(("churner", exc))
+
+    workers = [threading.Thread(target=crud, args=(i,)) for i in range(4)]
+    workers.append(threading.Thread(target=churner))
+    for w in workers:
+        w.start()
+    time.sleep(8)
+    stop.set()
+    for w in workers:
+        w.join(20)
+    srv.server_close()
+    t.join(5)
+    assert not errors, errors[:3]
