@@ -179,7 +179,9 @@ def main():
     # ---- config 4: SIMPRINT granular (scaled) ----
     from iscc_search_tpu.engine.simprint import SimprintEngine
 
-    n_assets = max(512, int(10_000 * scale))
+    # ISCC_BENCH_SP_ASSETS scales config 4 independently (BASELINE config 4
+    # is 1M assets x ~100 chunks; the default keeps the full run short)
+    n_assets = int(os.environ.get("ISCC_BENCH_SP_ASSETS", max(512, int(10_000 * scale))))
     chunks_per = 100
     with tempfile.TemporaryDirectory() as tmp:
         sp = SimprintEngine(Path(tmp) / "sp", ndim=128)
