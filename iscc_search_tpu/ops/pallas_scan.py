@@ -585,14 +585,16 @@ def pallas_blockmax_topk_impl(
         # consumer, while a blocked take of a reshaped (N/128, 128*L) view
         # materializes a full physical copy of db_packed (layout change) —
         # measured slower in exp_pm1_gather.py and an OOM at 33M rows.
-        cand_packed = jnp.take(db_packed, rows.reshape(-1), axis=0)
-        cand_pm1 = unpack_pm1(cand_packed, nbits, jnp.bfloat16).reshape(q, kk * BLOCK, nbits)
-        dots = jax.lax.dot_general(
-            q_pm1.astype(jnp.bfloat16)[:, None, :],
-            cand_pm1,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(q, kk * BLOCK)
+        # This is the PRODUCTION rescore for the bitplane (beyond-int8-
+        # budget) tier, so it streams in bounded segments like pm1_scan's:
+        # the all-at-once unpack is (Q, kk*128, nbits) HBM — ~4.3 GiB bf16
+        # at Q=256, k=256 on a chip already holding the 100M packed +
+        # bitplane layouts.
+        from iscc_search_tpu.ops.pm1_scan import segmented_unpack_dots
+
+        dots = segmented_unpack_dots(
+            q_pm1.astype(jnp.bfloat16), db_packed, rows, nbits, jnp.bfloat16, jnp.float32
+        )
     scores = 0.5 + dots.astype(jnp.float32) * q_scale[:, None]
     scores = jnp.where(cand_valid, scores, NEG_SCORE)
 

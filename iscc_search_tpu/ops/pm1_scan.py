@@ -201,6 +201,42 @@ def topk_blocks_hier(block_max, k, super_block=128):
     return sel_super * super_block + pos % super_block
 
 
+def segmented_unpack_dots(q_d, db_packed, rows, nbits, dtype, acc_t):
+    # type: (jnp.ndarray, jnp.ndarray, jnp.ndarray, int, ..., ...) -> jnp.ndarray
+    """±1 dots of each query against gathered packed rows, bounded memory.
+
+    ``rows`` is (Q, total) global row ids; returns (Q, total) float32 dots.
+    Candidates are gathered, unpacked, and dotted in segments sized to a
+    ~1 GiB f32-equivalent unpacked working set (bf16 halves it) via
+    ``lax.map`` — the all-at-once materialization is O(Q·total) HBM and
+    OOMs at Q=256, total=32768, nbits=256. ``total`` may be any size: the
+    row table pads to a whole number of segments (padding gathers row 0;
+    the padded columns are sliced off before they can contribute).
+    """
+    q, total = rows.shape
+    seg_budget = 1 << max(11, ((1 << 30) // (q * nbits * 4)).bit_length() - 1)
+
+    def dots_for(rows_part):
+        width = rows_part.shape[-1]
+        cand_packed = jnp.take(db_packed, rows_part.reshape(-1), axis=0)
+        cand_pm1 = unpack_pm1(cand_packed, nbits, dtype).reshape(q, width, nbits)
+        return jax.lax.dot_general(
+            q_d[:, None, :],
+            cand_pm1,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=acc_t,
+        ).reshape(q, width)
+
+    if total <= seg_budget:
+        return dots_for(rows).astype(jnp.float32)
+    n_seg = -(-total // seg_budget)
+    padded = n_seg * seg_budget
+    rows_p = jnp.pad(rows, ((0, 0), (0, padded - total))) if padded > total else rows
+    segs = rows_p.reshape(q, n_seg, seg_budget).transpose(1, 0, 2)  # (n_seg, Q, seg)
+    dots = jax.lax.map(dots_for, segs).transpose(1, 0, 2).reshape(q, padded)
+    return dots[:, :total].astype(jnp.float32)
+
+
 def pm1_blockmax_topk_impl(
     q_pm1,
     q_scale,
@@ -270,39 +306,17 @@ def pm1_blockmax_topk_impl(
     # for blocked gathers (benchmarks/exp_pm1_gather.py) — the opposite of
     # the Pallas path, where blocked validity gathers won 2.6 ms.
     #
-    # The rescore streams over candidate segments: materializing all
-    # (Q, k*block, nbits) unpacked candidates at once is O(Q*k) HBM — 8 GB at
-    # Q=256, k=256, nbits=256, which OOMs a 16 GB chip for a legal API call
-    # (limit > ~128 routes here whenever no fast twin fits). lax.map keeps
-    # one (Q, seg, nbits) working set live at a time; flops are unchanged.
+    # The rescore streams over candidate segments (segmented_unpack_dots):
+    # materializing all (Q, k*block, nbits) unpacked candidates at once is
+    # O(Q*k) HBM — 8 GB at Q=256, k=256, nbits=256, which OOMs a 16 GB chip
+    # for a legal API call (limit > ~128 routes here whenever no fast twin
+    # fits). The validity gather stays full-width: (Q, k*block) bools are
+    # tiny next to the unpacked candidates.
     acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
-    q_d = q_pm1.astype(dtype)
-    # ~1 GiB unpacked-candidate budget; powers of two throughout, so the
-    # chosen segment always divides k*block and small calls stay unsegmented.
-    seg_budget = max(2048, 1 << max(11, ((1 << 30) // (q * nbits * 4)).bit_length() - 1))
-    seg = min(k * block, seg_budget)
-    n_seg = (k * block) // seg
-
-    def rescore_seg(rows_seg):
-        # rows_seg: (Q, seg) global row ids
-        cand_packed = jnp.take(db_packed, rows_seg.reshape(-1), axis=0)  # (Q*seg, L)
-        cand_valid = jnp.take(db_valid, rows_seg.reshape(-1), axis=0).reshape(q, seg)
-        cand_pm1 = unpack_pm1(cand_packed, nbits, dtype).reshape(q, seg, nbits)
-        dots = jax.lax.dot_general(
-            q_d[:, None, :],
-            cand_pm1,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=acc_t,
-        ).reshape(q, seg)
-        s = 0.5 + dots.astype(jnp.float32) * q_scale[:, None]
-        return jnp.where(cand_valid, s, NEG_SCORE)
-
-    if n_seg == 1:
-        scores = rescore_seg(rows)
-    else:
-        rows_segs = rows.reshape(q, n_seg, seg).transpose(1, 0, 2)  # (n_seg, Q, seg)
-        scores = jax.lax.map(rescore_seg, rows_segs)  # (n_seg, Q, seg)
-        scores = scores.transpose(1, 0, 2).reshape(q, k * block)
+    dots = segmented_unpack_dots(q_pm1.astype(dtype), db_packed, rows, nbits, dtype, acc_t)
+    cand_valid = jnp.take(db_valid, rows.reshape(-1), axis=0).reshape(q, k * block)
+    scores = 0.5 + dots * q_scale[:, None]
+    scores = jnp.where(cand_valid, scores, NEG_SCORE)
 
     fs, pos = jax.lax.top_k(scores, k)
     fi = jnp.take_along_axis(rows, pos, axis=1)

@@ -175,3 +175,18 @@ def test_blockmax_large_k_segmented_rescore():
     q_rows = rng.integers(0, n, 512)
     q_packed = packed[q_rows]
     check_exact(packed, valid, q_packed[:512], np.full(512, 8, np.int32), 128, 2048, 128)
+
+
+@pytest.mark.parametrize("k", [40, 48, 72])
+def test_blockmax_non_pow2_k(k):
+    """k*block not a multiple of the rescore segment: the padded segmented
+    rescore must stay exact (library callers pass arbitrary k; only the
+    engine buckets to powers of two)."""
+    rng = np.random.default_rng(64)
+    n = 32768
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 500)] = False
+    # Q=512 -> seg budget 2048 -> k=48 gives 6144 columns (3 segments)
+    q_packed = packed[rng.integers(0, n, 512)]
+    check_exact(packed, valid, q_packed, np.full(512, 8, np.int32), k, 2048, 128)

@@ -449,3 +449,42 @@ def test_bitplane_rejects_bad_config():
     with pytest.raises(ValueError):
         pallas_blockmax(q, jnp.ones(8, jnp.float32), jnp.zeros((4096, 8), jnp.uint32),
                         jnp.ones(4096, bool), 256, chunk_size=256, interpret=True, bitplane=True)
+
+
+def test_bitplane_fallback_rescore_segmented_non_pow2_k():
+    """The bitplane tier has no int8 twin, so its phase-3 rescore is the
+    XLA fallback — now the shared segmented_unpack_dots (regression: the
+    unsegmented version materialized (Q, k*128, nbits) bf16, ~4.3 GiB at
+    Q=256/k=256 on a chip already holding the 100M layouts). k=40 also
+    drives the non-divisible segment padding."""
+    import jax
+
+    from iscc_search_tpu.ops import nphd_scores
+    from iscc_search_tpu.ops.nphd import NEG_SCORE
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed, pallas_blockmax_topk
+    from iscc_search_tpu.ops.pm1_scan import prepare_queries
+
+    rng = np.random.default_rng(9)
+    n, qn, k = 8192, 16, 40
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 200)] = False
+    qp, qs = prepare_queries(packed[:qn], np.full(qn, 8, np.int32), 256)
+    bt = jax.jit(bit_transpose_packed)(jnp.asarray(packed))
+    s, i = pallas_blockmax_topk(
+        jnp.asarray(qp), jnp.asarray(qs), jnp.asarray(packed), jnp.asarray(valid),
+        k, 256, chunk_size=4096, db_bitplane=bt, interpret=True,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    lanes = np.full(n, 8, np.int32)
+    ref = np.array(
+        nphd_scores(
+            jnp.asarray(packed[:qn]), jnp.asarray(np.full(qn, 8, np.int32)),
+            jnp.asarray(packed), jnp.asarray(lanes),
+        )
+    )
+    ref[:, ~valid] = NEG_SCORE
+    for qi in range(qn):
+        expected = np.sort(ref[qi])[::-1][:k]
+        got = np.sort(s[qi])[::-1]
+        assert np.allclose(got, expected, atol=2e-3), qi
