@@ -126,3 +126,51 @@ def test_extra_env_fields_ignored(monkeypatch):
 def test_aggregator_network_empty_disables():
     opts = SearchOptions(aggregator_network="")
     assert not opts.aggregator_mode
+
+
+def test_override_returns_new_object_and_chains():
+    from iscc_search_tpu.options import SearchOptions
+
+    base = SearchOptions(index_uri="memory://", port=1234)
+    first = base.override({"port": 4321})
+    second = first.override({"host": "127.0.0.9"})
+    assert base.port == 1234  # original untouched
+    assert (first.port, second.port) == (4321, 4321)
+    assert second.host == "127.0.0.9"
+    assert second.index_uri == "memory://"
+
+
+def test_http_transport_options_env(monkeypatch):
+    from iscc_search_tpu.options import SearchOptions
+
+    monkeypatch.setenv("ISCC_SEARCH_HTTP_BACKEND", "wsgiref")
+    monkeypatch.setenv("ISCC_SEARCH_HTTP_THREADS", "7")
+    opts = SearchOptions.from_env()
+    assert opts.http_backend == "wsgiref"
+    assert opts.http_threads == 7
+
+
+def test_http_backend_validation():
+    from iscc_search_tpu.options import SearchOptions
+
+    with pytest.raises(Exception):
+        SearchOptions(http_backend="uvicorn")
+    with pytest.raises(Exception):
+        SearchOptions(http_threads=0)
+
+
+def test_get_index_default_path(monkeypatch, tmp_path):
+    import iscc_search_tpu
+    from iscc_search_tpu.options import SearchOptions, get_index
+
+    class FakeDirs:
+        user_data_dir = str(tmp_path / "default-data")
+
+    monkeypatch.setattr(iscc_search_tpu, "dirs", FakeDirs())
+    opts = SearchOptions()
+    assert "default-data" in opts.index_uri
+    index = get_index(opts.index_uri)
+    try:
+        assert index.list_indexes() == []
+    finally:
+        index.close()
