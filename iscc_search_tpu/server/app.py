@@ -103,9 +103,11 @@ def create_app(index=None, opts=None):
 
     from iscc_search_tpu.server import metrics as _metrics
 
-    def _observe(method, path, status, seconds):
-        route = _metrics.route_pattern(path)
-        _metrics.http_requests.inc(method=method, route=route, status=str(status))
+    def _observe(method, route, status, seconds):
+        # `route` is the matched route PATTERN recorded by the dispatcher
+        # (e.g. "/indexes/{name}/search"); unmatched paths collapse to one
+        # label so 404 scans can't grow the label set without bound.
+        _metrics.http_requests.inc(method=method, route=route or "<unmatched>", status=str(status))
         _metrics.http_latency.observe(seconds)
 
     app.observer = _observe

@@ -150,18 +150,3 @@ batch_queries = registry.histogram(
     buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512),
 )
 sweep_seconds = registry.histogram("iscc_scan_sweep_seconds", "Device sweep wall time")
-
-
-def route_pattern(path):
-    # type: (str) -> str
-    """Collapse high-cardinality path segments so label sets stay bounded."""
-    parts = path.split("/")
-    out = []
-    for part in parts:
-        if part.startswith("ISCC:"):
-            out.append("{iscc_id}")
-        elif out and out[-1] == "indexes" and part not in ("", "search", "assets"):
-            out.append("{name}")
-        else:
-            out.append(part)
-    return "/".join(out)

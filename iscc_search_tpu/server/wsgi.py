@@ -112,7 +112,7 @@ class WsgiApp:
 
     def __init__(self, cors_origins=("*",)):
         # type: (tuple | list) -> None
-        self._routes = []  # type: list[tuple[str, re.Pattern, callable]]
+        self._routes = []  # type: list[tuple[str, str, re.Pattern, callable]]
         self.cors_origins = list(cors_origins)
         self.state = type("State", (), {})()
         # Optional (method, path, status, seconds) hook for metrics — set by
@@ -123,7 +123,7 @@ class WsgiApp:
     def route(self, method, pattern):
         # type: (str, str) -> callable
         def decorator(fn):
-            self._routes.append((method.upper(), _compile_route(pattern), fn))
+            self._routes.append((method.upper(), pattern, _compile_route(pattern), fn))
             return fn
 
         return decorator
@@ -149,11 +149,14 @@ class WsgiApp:
         # HEAD is served by the GET handler with the body stripped
         effective_method = "GET" if request.method == "HEAD" else request.method
         path_matched = False
-        for method, regex, fn in self._routes:
+        for method, pattern, regex, fn in self._routes:
             m = regex.match(request.path)
             if not m:
                 continue
             path_matched = True
+            # The registered pattern (not the raw path) is what metrics may
+            # label by — raw paths are attacker-controlled cardinality.
+            request.matched_route = pattern
             if method != effective_method:
                 continue
             request.path_params = m.groupdict()
@@ -193,7 +196,8 @@ class WsgiApp:
         if self.observer is not None:
             t0 = time.perf_counter()
             resp = self.handle(request)
-            self.observer(request.method, request.path, resp.status, time.perf_counter() - t0)
+            route = getattr(request, "matched_route", None)
+            self.observer(request.method, route, resp.status, time.perf_counter() - t0)
         else:
             resp = self.handle(request)
         headers = list(resp.headers.items())

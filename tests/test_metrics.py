@@ -9,7 +9,7 @@ from iscc_search_tpu.indexes.memory import MemoryIndex
 from iscc_search_tpu.options import SearchOptions
 from iscc_search_tpu.server import metrics
 from iscc_search_tpu.server.app import create_app
-from iscc_search_tpu.server.metrics import Counter, Histogram, Registry, route_pattern
+from iscc_search_tpu.server.metrics import Counter, Histogram, Registry
 
 
 def test_counter_labels_and_render():
@@ -55,13 +55,14 @@ def test_registry_renders_all():
     assert text.endswith("\n")
 
 
-def test_route_pattern_collapses_cardinality():
-    assert route_pattern("/indexes/myindex/search") == "/indexes/{name}/search"
-    assert route_pattern("/indexes/myindex/assets/ISCC:MAIGIIFJRDGEQQAB") == (
-        "/indexes/{name}/assets/{iscc_id}"
-    )
-    assert route_pattern("/healthz") == "/healthz"
-    assert route_pattern("/indexes") == "/indexes"
+def test_unmatched_paths_collapse_to_one_label(client):
+    # Attacker-controlled 404 paths must not grow the label set: every
+    # unmatched path records under the single "<unmatched>" route label.
+    for i in range(5):
+        assert client.get(f"/no/such/path/{i}").status_code == 404
+    body = client.get("/metrics").text
+    assert 'route="<unmatched>",status="404"' in body
+    assert "/no/such/path" not in body
 
 
 def test_counter_thread_safety():
