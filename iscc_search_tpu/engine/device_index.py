@@ -82,7 +82,7 @@ class _Partition:
 
     __slots__ = (
         "packed_dev", "valid_dev", "unpacked_dev", "perm_dev", "bitplane_dev",
-        "row_map", "cap", "count",
+        "row_map", "cap", "count", "pen_memo",
     )
 
     def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count, perm_dev=None, bitplane_dev=None):
@@ -94,6 +94,39 @@ class _Partition:
         self.row_map = row_map  # (cap,) int32 global row per device row (junk rows -> 0, invalid)
         self.cap = cap
         self.count = count  # real rows uploaded
+        self.pen_memo = {}  # mode -> (valid_dev it was built from, penalty row)
+
+    def penalty_for(self, valid_dev, mode, builder=None):
+        """Phase-1 penalty row for ``valid_dev``, cached per validity
+        generation: the permuting penalty layouts cost ~half a sweep at 10M
+        rows when rebuilt inside the jitted scan (see make_blockmax_penalty),
+        and validity only changes on tombstone/append syncs, which rebind
+        ``self.valid_dev`` to a fresh array (identity tracks generations)."""
+        hit = self.pen_memo.get(mode)
+        if hit is not None and hit[0] is valid_dev:
+            return hit[1]
+        pen = (builder or _penalty_builder(mode))(valid_dev)
+        self.pen_memo[mode] = (valid_dev, pen)
+        return pen
+
+
+_PEN_BUILDERS = {}
+
+
+def _penalty_builder(mode):
+    """One jitted make_blockmax_penalty per layout mode (module-level cache
+    so every partition shares the compiled program per shape)."""
+    fn = _PEN_BUILDERS.get(mode)
+    if fn is None:
+        import functools
+
+        import jax
+
+        from iscc_search_tpu.ops.pallas_scan import make_blockmax_penalty
+
+        fn = jax.jit(functools.partial(make_blockmax_penalty, mode=mode))
+        _PEN_BUILDERS[mode] = fn
+    return fn
 
 
 def _perm_group_rewrite(perm_dev, packed_dev, nbits, start, end):
@@ -463,7 +496,7 @@ class PackedCodeIndex:
             # rebind partition attributes, and a consistent (buffer, validity,
             # row_map) triple must be used per partition.
             partitions = {
-                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev, p.bitplane_dev)
+                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev, p.bitplane_dev, p)
                 for lanes, p in synced.items()
             }
             # Reference snapshot is race-safe: rows are append-only (keys of
@@ -489,7 +522,7 @@ class PackedCodeIndex:
         # instead of one per partition).
         pending = []  # type: list[tuple[np.ndarray, object, object]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev) in partitions.items():
+        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev, part) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
@@ -519,12 +552,22 @@ class PackedCodeIndex:
                 # Exact: the fused Pallas kernel per shard + ICI merge — the
                 # mesh keeps the single-chip fast path instead of regressing
                 # to the XLA packed scan.
-                from iscc_search_tpu.parallel.pallas_sharded import sharded_pallas_topk
+                from iscc_search_tpu.ops.pallas_scan import penalty_mode
+                from iscc_search_tpu.parallel.pallas_sharded import (
+                    shard_blockmax_penalty,
+                    sharded_pallas_topk,
+                )
 
                 per_shard = cap // n_shards
                 # Mosaic needs chunks >= 16384 unless the chunk IS the whole
                 # per-shard array (per_shard is a pow2, so both divide).
                 pchunk = per_shard if per_shard < _PALLAS_MIN_CHUNK else max(chunk, _PALLAS_MIN_CHUNK)
+                pmode = penalty_mode(unpacked=True, permuted=perm_dev is not None)
+                pen = part.penalty_for(
+                    valid_dev,
+                    "mesh:" + pmode,
+                    builder=lambda v: shard_blockmax_penalty(self.mesh, v, pmode),
+                )
                 scores, idx = sharded_pallas_topk(
                     self.mesh,
                     jnp.asarray(q_pm1),
@@ -538,6 +581,7 @@ class PackedCodeIndex:
                     merge_k=merge_k,
                     interpret=self._pallas_interpret(),
                     db_perm=perm_dev,
+                    db_penalty=pen,
                 )
             elif self.mesh is not None:
                 from iscc_search_tpu.parallel.pm1_sharded import sharded_pm1_topk
@@ -560,9 +604,17 @@ class PackedCodeIndex:
                 # Exact: fused device query prep + Pallas kernel over the ±1
                 # int8 layout (or the bitplane twin beyond the int8 budget),
                 # one upload + one dispatch per partition
-                from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_packedq
+                from iscc_search_tpu.ops.pallas_scan import (
+                    pallas_blockmax_topk_packedq,
+                    penalty_mode,
+                )
 
                 has_int8 = unpacked_dev is not None or perm_dev is not None
+                pmode = penalty_mode(
+                    unpacked=has_int8,
+                    permuted=perm_dev is not None,
+                    bitplane=not has_int8 and bitplane_dev is not None,
+                )
                 scores, idx = pallas_blockmax_topk_packedq(
                     q_codes_dev,
                     q_lanes_dev,
@@ -575,6 +627,7 @@ class PackedCodeIndex:
                     unpacked=has_int8,
                     db_perm=perm_dev,
                     db_bitplane=None if has_int8 else bitplane_dev,
+                    db_penalty=part.penalty_for(valid_dev, pmode),
                     interpret=self._pallas_interpret(),
                 )
             elif self.recall_target is None:

@@ -275,6 +275,17 @@ def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, pla
     8.4M x 256-bit / Q=256 vs the bf16-select variant, exact
     (benchmarks/exp_bitplane_int8.py) — the ~2x int8-vs-bf16 MXU peak,
     less unchanged unpack/epilogue cost.
+
+    Epilogue: penalty arrives pre-halved (0 / -32768 bf16) so
+    max(dot01 + pen/2) commutes with the final affine 2*m - qsum, which is
+    deferred to the (Q, 32) block maxima. That drops two full-width VPU
+    passes per slab (the 2*x mul and the -qsum sub on the (Q, 4096) tile)
+    vs applying the affine pre-max. The max tree itself runs in bf16, NOT
+    int32: bf16 packs 2/lane on the VPU, and an int32 tree measured 9.78 ms
+    vs 6.42 ms for this layout (A/B at 8.4M x 256-bit / Q=256) — the tree
+    dominates the epilogue, so its element width is the knob that matters.
+    Exact: dot01 in [-256, 256] is exactly representable in bf16, and the
+    -32768 penalty only needs to order below every valid value.
     """
     qv = q_ref[:]  # (Q, 256) int8 ±1/0
     qsum = jnp.sum(qv.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)  # (Q, 1)
@@ -296,15 +307,17 @@ def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, pla
                     d,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32)
+                )
             )
         dot01 = jnp.concatenate(dots, axis=1)  # (Q, slab) in (s, j1, j0) order
-        x = (2.0 * dot01 - qsum).astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
+        # bf16 + pre-halved penalty: 0 / -32768 (see docstring)
+        x = dot01.astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
         w = slab
         while w > nb:
             x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
             w //= 2
-        out_ref[:, t * nb : (t + 1) * nb] = 0.5 + x.astype(jnp.float32) * qs_ref[:]
+        pm1 = 2.0 * x.astype(jnp.float32) - qsum  # (Q, nb): ±1-dot block maxima
+        out_ref[:, t * nb : (t + 1) * nb] = 0.5 + pm1 * qs_ref[:]
 
 
 def _scan_kernel_packed_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk, interpret):
@@ -369,6 +382,46 @@ def _scan_kernel_unpacked_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk
         out_ref[:, t * nb : (t + 1) * nb] = 0.5 + x.astype(jnp.float32) * qs_ref[:]
 
 
+def penalty_mode(unpacked=False, permuted=False, packed_perm=False, bitplane=False):
+    # type: (bool, bool, bool, bool) -> str
+    """The make_blockmax_penalty mode pallas_blockmax would use for these
+    path flags (same precedence as its layout dispatch)."""
+    if bitplane:
+        return "bitplane"
+    if permuted or packed_perm:
+        return "perm"
+    return "plain"
+
+
+def make_blockmax_penalty(db_valid, mode):
+    # type: (jnp.ndarray, str) -> jnp.ndarray
+    """
+    Build the (1, N) additive validity-penalty row for a phase-1 path.
+
+    The permuting modes lower to a scattered transpose that measures ~3-6 ms
+    at 10M rows on v5e — HALF a whole sweep — so callers that scan the same
+    validity repeatedly should build this once per validity generation and
+    pass it to pallas_blockmax(db_penalty=...) instead of paying the
+    permute inside every jitted sweep.
+
+    :param mode: "plain" (original row order, f32 0/-65536 — packed and
+        plain-unpacked kernels), "perm" (permute_rows() interleave, bf16
+        0/-65536 — perm int8 + packed_perm kernels), or "bitplane"
+        (bit-column interleave, bf16 0/-32768 PRE-HALVED — the bitplane
+        kernel applies it to the 0/1 dot before the 2*m - qsum affine).
+    """
+    n = db_valid.shape[0]
+    if mode == "plain":
+        return jnp.where(db_valid, 0, -65536).astype(jnp.float32)[None, :]
+    if mode == "perm":
+        pen = jnp.where(db_valid, 0, -65536).astype(jnp.float32)
+        return permute_rows(pen.reshape(n, 1)).reshape(1, n).astype(jnp.bfloat16)
+    if mode == "bitplane":
+        pen = jnp.where(db_valid, 0.0, -32768.0).astype(jnp.bfloat16)
+        return bitplane_penalty_perm(pen).reshape(1, n)
+    raise ValueError(f"unknown penalty mode {mode!r}")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -388,6 +441,7 @@ def pallas_blockmax(
     packed_perm=False,
     bitplane=False,
     planes_per_dot=4,
+    db_penalty=None,
 ):
     # type: (...) -> jnp.ndarray
     """
@@ -407,6 +461,9 @@ def pallas_blockmax(
     :param bitplane: ``db`` is the bit_transpose_packed() twin (32 B/row);
         per-lane shift/mask unpack (no cross-lane movement) + plane dots —
         the fast packed-resident kernel (256-bit, chunk_size % 4096 == 0)
+    :param db_penalty: precomputed make_blockmax_penalty(db_valid, mode) row
+        for this path's penalty_mode(). The in-jit fallback permute costs
+        ~half a sweep at 10M rows — hot callers must pass this.
     :return: (Q, N // 128) float32 block maxima (invalid rows excluded),
         block b = original rows [b*128, (b+1)*128) in both modes
     """
@@ -431,7 +488,11 @@ def pallas_blockmax(
     # Validity as an additive penalty row in the DOT domain (broadcasts over
     # queries in-kernel). |dot| <= nbits <= 256, so -65536 puts any invalid
     # row's block max far below every valid score after scaling.
-    penalty = jnp.where(db_valid, 0, -65536).astype(jnp.float32)[None, :]  # (1, N)
+    if db_penalty is None:
+        db_penalty = make_blockmax_penalty(
+            db_valid, penalty_mode(unpacked, permuted, packed_perm, bitplane)
+        )
+    penalty = db_penalty  # (1, N), layout/dtype per penalty_mode()
 
     # int8 queries for the int8 MXU paths (values ∈ {-1, 0, 1}): the
     # pre-unpacked twins and the bitplane kernel (int8 0/1 planes). bf16 for
@@ -440,7 +501,6 @@ def pallas_blockmax(
     qs = q_scale.astype(jnp.float32)[:, None]  # (Q, 1)
 
     if bitplane:
-        penalty = bitplane_penalty_perm(penalty.reshape(n)).reshape(1, n).astype(jnp.bfloat16)
         if db.shape != (n // 16, 128):  # the native stored view (see builder)
             raise ValueError(f"bitplane twin must be (rows//16, 128), got {db.shape}")
         kernel = functools.partial(
@@ -448,9 +508,6 @@ def pallas_blockmax(
         )
         db_block = (chunk_size // 16, 128)
     elif packed_perm:
-        # Same dot-column interleave as the int8 perm path, so the penalty
-        # rides the same permutation (bf16 exact for 0/-65536).
-        penalty = permute_rows(penalty.reshape(n, 1)).reshape(1, n).astype(jnp.bfloat16)
         lanes = nbits // 32
         db = db.reshape(n * lanes // 128, 128)  # free view: row-major bytes
         kernel = functools.partial(
@@ -458,9 +515,6 @@ def pallas_blockmax(
         )
         db_block = (chunk_size * lanes // 128, 128)
     elif permuted:
-        # Penalty rides the same per-group interleave as the rows; bf16 is
-        # exact for 0/-65536. The tree epilogue then indexes it 1:1.
-        penalty = permute_rows(penalty.reshape(n, 1)).reshape(1, n).astype(jnp.bfloat16)
         kernel = functools.partial(_scan_kernel_unpacked_perm, chunk=chunk_size)
         db_block = (chunk_size, db.shape[1])
     elif unpacked:
@@ -508,6 +562,7 @@ def pallas_blockmax_topk_impl(
     db_perm=None,
     db_packed_perm=None,
     db_bitplane=None,
+    db_penalty=None,
 ):
     # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
     """
@@ -557,6 +612,7 @@ def pallas_blockmax_topk_impl(
         permuted=permuted,
         packed_perm=packed_perm,
         bitplane=bitplane,
+        db_penalty=db_penalty,
     )
 
     kk = min(k, total_blocks)

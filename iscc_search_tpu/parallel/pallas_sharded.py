@@ -60,12 +60,34 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
     return jax.jit(mapped)(db_packed_sharded)
 
 
+def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=SHARD_AXIS):
+    # type: (...) -> jnp.ndarray
+    """
+    Row-sharded make_blockmax_penalty(): each device builds the (1, local_n)
+    penalty row for its own validity shard. Build once per validity
+    generation and pass to sharded_pallas_topk(db_penalty=...) — the in-jit
+    fallback permute costs ~half a sweep at 10M rows per chip.
+    """
+    from iscc_search_tpu.ops.pallas_scan import make_blockmax_penalty
+
+    local = functools.partial(make_blockmax_penalty, mode=mode)
+    kwargs = dict(mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
+    try:
+        mapped = shard_map(local, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        mapped = shard_map(local, check_rep=False, **kwargs)
+    return jax.jit(mapped)(db_valid_sharded)
+
+
 @functools.lru_cache(maxsize=64)
-def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm, merge_k=None):
+def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm, merge_k=None, with_penalty=False):
     merge_k = k if merge_k is None else merge_k  # see pm1_sharded._make_fn
     from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
 
     def local_step(q_pm1, q_scale, db_packed, db_valid, *twins):
+        db_penalty = twins[-1] if with_penalty else None
+        if with_penalty:
+            twins = twins[:-1]
         db_unpacked = twins[0] if with_unpacked else None
         db_perm = twins[-1] if with_perm else None
         scores, idx = pallas_blockmax_topk_impl(
@@ -80,6 +102,7 @@ def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, wi
             db_unpacked=db_unpacked,
             unpacked=True,
             db_perm=db_perm,
+            db_penalty=db_penalty,
         )
         shard = jax.lax.axis_index(axis_name)
         idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
@@ -91,6 +114,8 @@ def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, wi
 
     in_specs = [P(), P(), P(axis_name, None), P(axis_name)]
     in_specs += [P(axis_name, None)] * (int(with_unpacked) + int(with_perm))
+    if with_penalty:
+        in_specs += [P(None, axis_name)]
     kwargs = dict(mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()))
     try:
         mapped = shard_map(local_step, check_vma=False, **kwargs)
@@ -113,6 +138,7 @@ def sharded_pallas_topk(
     db_perm=None,
     axis_name=SHARD_AXIS,
     merge_k=None,
+    db_penalty=None,
 ):
     # type: (...) -> tuple
     """
@@ -127,6 +153,8 @@ def sharded_pallas_topk(
     :param interpret: run the Pallas kernels in interpreter mode (CPU meshes)
     :param db_perm: optional row-sharded permute_rows() twin — routes phase 1
         through the fast tree-epilogue kernel per shard
+    :param db_penalty: optional shard_blockmax_penalty() row for this path's
+        penalty_mode() — hot callers pass it to skip the per-sweep permute
     :return: replicated (scores (Q, merge_k or k), global row indices of the same width)
     """
     if db_unpacked is None and db_perm is None:
@@ -134,10 +162,13 @@ def sharded_pallas_topk(
     fn = _make_fn(
         mesh, k, nbits, chunk_size, interpret, axis_name,
         db_unpacked is not None, db_perm is not None, merge_k,
+        db_penalty is not None,
     )
     args = (q_pm1, q_scale, db_packed, db_valid)
     if db_unpacked is not None:
         args = args + (db_unpacked,)
     if db_perm is not None:
         args = args + (db_perm,)
+    if db_penalty is not None:
+        args = args + (db_penalty,)
     return fn(*args)

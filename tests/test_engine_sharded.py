@@ -104,3 +104,24 @@ def test_sharded_engine_tombstones_respected_on_pallas_path(tmp_path, mesh):
     (keys, scores), = idx.search([bodies[7]], 3)
     assert 7 not in [int.from_bytes(k.tobytes(), "big") for k in keys]
     idx.close()
+
+
+def test_partition_penalty_memo_reuse_and_invalidation():
+    """penalty_for caches per validity generation (identity) and rebuilds
+    when valid_dev is rebound (tombstone/append syncs)."""
+    import jax.numpy as jnp
+
+    from iscc_search_tpu.engine.device_index import _Partition
+
+    n = 4096
+    valid = jnp.ones(n, bool)
+    part = _Partition(None, valid, None, None, n, n)
+    p1 = part.penalty_for(valid, "plain")
+    assert part.penalty_for(valid, "plain") is p1
+    calls = []
+    part.penalty_for(valid, "custom", builder=lambda v: calls.append(1) or p1)
+    part.penalty_for(valid, "custom", builder=lambda v: calls.append(1) or p1)
+    assert calls == [1]
+    valid2 = jnp.ones(n, bool)
+    p2 = part.penalty_for(valid2, "plain")
+    assert p2 is not p1

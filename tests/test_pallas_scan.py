@@ -488,3 +488,46 @@ def test_bitplane_fallback_rescore_segmented_non_pow2_k():
         expected = np.sort(ref[qi])[::-1][:k]
         got = np.sort(s[qi])[::-1]
         assert np.allclose(got, expected, atol=2e-3), qi
+
+
+def test_precomputed_penalty_matches_in_jit_every_mode():
+    """make_blockmax_penalty(db_valid, mode) passed as db_penalty must give
+    bit-identical block maxima to the in-jit fallback for every phase-1
+    layout (hot callers hoist the permute out of the sweep)."""
+    from iscc_search_tpu.ops.pallas_scan import (
+        bit_transpose_packed,
+        build_unpacked_db,
+        make_blockmax_penalty,
+        penalty_mode,
+    )
+
+    rng = np.random.default_rng(83)
+    n = 8192
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 300)] = False
+    valid_d = jnp.asarray(valid)
+    q_pm1, q_scale = prepare_queries(packed[:4], np.full(4, 8, np.int32), 256)
+    qd, qs = jnp.asarray(q_pm1), jnp.asarray(q_scale)
+    dbp = jnp.asarray(packed)
+    layouts = {
+        "packed": (dbp, {}),
+        "unpacked": (build_unpacked_db(dbp, 256), {"unpacked": True}),
+        "perm": (build_unpacked_db(dbp, 256, permute=True), {"unpacked": True, "permuted": True}),
+        "bitplane": (bit_transpose_packed(dbp), {"bitplane": True}),
+    }
+    for name, (db, flags) in layouts.items():
+        mode = penalty_mode(**flags)
+        pen = make_blockmax_penalty(valid_d, mode)
+        base = pallas_blockmax(qd, qs, db, valid_d, 256, chunk_size=4096, interpret=True, **flags)
+        got = pallas_blockmax(
+            qd, qs, db, valid_d, 256, chunk_size=4096, interpret=True, db_penalty=pen, **flags
+        )
+        assert np.array_equal(np.asarray(got), np.asarray(base)), name
+
+
+def test_penalty_mode_unknown_rejected():
+    from iscc_search_tpu.ops.pallas_scan import make_blockmax_penalty
+
+    with pytest.raises(ValueError):
+        make_blockmax_penalty(jnp.ones(4096, bool), "nope")
