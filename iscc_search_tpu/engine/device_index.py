@@ -82,15 +82,16 @@ class _Partition:
 
     __slots__ = (
         "packed_dev", "valid_dev", "unpacked_dev", "perm_dev", "bitplane_dev",
-        "row_map", "cap", "count", "pen_memo",
+        "view_dev", "row_map", "cap", "count", "pen_memo",
     )
 
-    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count, perm_dev=None, bitplane_dev=None):
+    def __init__(self, packed_dev, valid_dev, unpacked_dev, row_map, cap, count, perm_dev=None, bitplane_dev=None, view_dev=None):
         self.packed_dev = packed_dev
         self.valid_dev = valid_dev
         self.unpacked_dev = unpacked_dev  # plain ±1 int8 (phase-3 gather)
         self.perm_dev = perm_dev  # permute_rows() twin (fast phase-1 tree kernel)
         self.bitplane_dev = bitplane_dev  # bit_transpose_packed() twin (beyond-int8-budget phase 1)
+        self.view_dev = view_dev  # resident (cap*lanes//128, 128) packed view (bitplane-tier phase 3)
         self.row_map = row_map  # (cap,) int32 global row per device row (junk rows -> 0, invalid)
         self.cap = cap
         self.count = count  # real rows uploaded
@@ -127,6 +128,44 @@ def _penalty_builder(mode):
         fn = jax.jit(functools.partial(make_blockmax_penalty, mode=mode))
         _PEN_BUILDERS[mode] = fn
     return fn
+
+
+def _to_view(packed_dev):
+    # type: (...) -> ...
+    """Device reshape of a (cap, lanes) packed mirror to its (cap*lanes//128,
+    128) view (same bytes, same linear order). A one-time relayout copy —
+    doing this reshape inside the per-sweep jit costs more than the view
+    saves (measured 21 ms vs 8 ms at 8.4M rows)."""
+    import jax
+
+    if not hasattr(_to_view, "_fn"):
+        _to_view._fn = jax.jit(lambda p: p.reshape(p.shape[0] * p.shape[1] // 128, 128))
+    return _to_view._fn(packed_dev)
+
+
+def _view_range_rewrite(view_dev, packed_dev, start, end):
+    # type: (..., ..., int, int) -> ...
+    """Refresh the packed view for original rows [start, end): re-slice the
+    covering 128-element-aligned span from the (already updated) packed
+    mirror and write its view rows back (functional update — concurrent
+    search snapshots stay valid)."""
+    import jax
+
+    lanes = packed_dev.shape[1]
+    rows_per_view = 128 // lanes if lanes <= 128 else 1
+    r0 = (start // rows_per_view) * rows_per_view
+    r1 = -(-end // rows_per_view) * rows_per_view
+    if not hasattr(_view_range_rewrite, "_fn"):
+
+        def _rewrite(view, packed_slice, view_offset):
+            rows = packed_slice.reshape(
+                packed_slice.shape[0] * packed_slice.shape[1] // 128, 128
+            )
+            return jax.lax.dynamic_update_slice(view, rows, (view_offset, 0))
+
+        _view_range_rewrite._fn = jax.jit(_rewrite)
+    packed_slice = jax.lax.dynamic_slice_in_dim(packed_dev, r0, r1 - r0, axis=0)
+    return _view_range_rewrite._fn(view_dev, packed_slice, r0 * lanes // 128)
 
 
 def _perm_group_rewrite(perm_dev, packed_dev, nbits, start, end):
@@ -496,7 +535,7 @@ class PackedCodeIndex:
             # rebind partition attributes, and a consistent (buffer, validity,
             # row_map) triple must be used per partition.
             partitions = {
-                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev, p.bitplane_dev, p)
+                lanes: (p.packed_dev, p.valid_dev, p.row_map, p.cap, p.unpacked_dev, p.perm_dev, p.bitplane_dev, p.view_dev, p)
                 for lanes, p in synced.items()
             }
             # Reference snapshot is race-safe: rows are append-only (keys of
@@ -522,7 +561,7 @@ class PackedCodeIndex:
         # instead of one per partition).
         pending = []  # type: list[tuple[np.ndarray, object, object]]
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
-        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev, part) in partitions.items():
+        for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev, view_dev, part) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
             # Bucket k to a power of two so user-supplied limits don't each
@@ -628,6 +667,7 @@ class PackedCodeIndex:
                     db_perm=perm_dev,
                     db_bitplane=None if has_int8 else bitplane_dev,
                     db_penalty=part.penalty_for(valid_dev, pmode),
+                    db_packed_view=None if has_int8 else view_dev,
                     interpret=self._pallas_interpret(),
                 )
             elif self.recall_target is None:
@@ -1062,7 +1102,7 @@ class PackedCodeIndex:
             packed_dev = jax.device_put(jnp.asarray(packed))
             valid_dev = jax.device_put(jnp.asarray(valid))
             layout_bytes = cap * lanes * 32
-            bitplane_dev = None
+            bitplane_dev = view_dev = None
             if (
                 self._use_pallas()
                 and cap >= _PALLAS_MIN_CHUNK
@@ -1093,9 +1133,15 @@ class PackedCodeIndex:
 
                 if cap % PERM_GROUP == 0:
                     bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
+                    # Resident packed view (same bytes, (cap*lanes//128, 128)
+                    # shape): phase 3 gathers 8 contiguous view rows per
+                    # candidate block — 2.5x faster than per-row packed takes.
+                    # One extra packed-sized layout: the tier's HBM budget is
+                    # 3x packed (~9.6 GB at 100M x 256-bit on a 16 GB chip).
+                    view_dev = _to_view(packed_dev)
             return _Partition(
                 packed_dev, valid_dev, unpacked_dev, full_map, cap, n,
-                perm_dev=perm_dev, bitplane_dev=bitplane_dev,
+                perm_dev=perm_dev, bitplane_dev=bitplane_dev, view_dev=view_dev,
             )
         return _Partition(packed_dev, valid_dev, unpacked_dev, full_map, cap, n, perm_dev=perm_dev)
 
@@ -1136,6 +1182,10 @@ class PackedCodeIndex:
             # within their 4096-row group.
             part.bitplane_dev = _bitplane_group_rewrite(
                 part.bitplane_dev, part.packed_dev, start, part.count
+            )
+        if part.view_dev is not None:
+            part.view_dev = _view_range_rewrite(
+                part.view_dev, part.packed_dev, start, part.count
             )
 
     def _use_pallas(self):

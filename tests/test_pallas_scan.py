@@ -531,3 +531,73 @@ def test_penalty_mode_unknown_rejected():
 
     with pytest.raises(ValueError):
         make_blockmax_penalty(jnp.ones(4096, bool), "nope")
+
+
+def test_view_rescore_matches_packed_takes_bitplane_tier():
+    """db_packed_view routes phase 3 through contiguous view-row gathers;
+    results must be identical to the per-row packed-take rescore."""
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed, pallas_blockmax_topk_impl
+
+    rng = np.random.default_rng(87)
+    n, k = 8192, 7
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 300)] = False
+    q_pm1, q_scale = prepare_queries(packed[:6], np.array([8, 8, 4, 2, 8, 6], np.int32), 256)
+    dbp = jnp.asarray(packed)
+    bt = bit_transpose_packed(dbp)
+    view = dbp.reshape(n // 16, 128)
+    args = (jnp.asarray(q_pm1), jnp.asarray(q_scale), dbp, jnp.asarray(valid), k, 256)
+    kw = dict(chunk_size=4096, db_bitplane=bt, interpret=True)
+    s0, i0 = pallas_blockmax_topk_impl(*args, **kw)
+    s1, i1 = pallas_blockmax_topk_impl(*args, db_packed_view=view, **kw)
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_segmented_view_dots_segmentation_exact():
+    """A tiny segment budget forces the lax.map path (with block padding);
+    dots must match the single-shot computation exactly."""
+    from iscc_search_tpu.ops.pallas_scan import segmented_view_dots
+
+    rng = np.random.default_rng(88)
+    n, q, kk = 4096, 8, 5
+    packed = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    q_pm1, _ = prepare_queries(packed[:q], np.full(q, 8, np.int32), 256)
+    view = jnp.asarray(packed).reshape(n // 16, 128)
+    tb = jnp.asarray(rng.integers(0, n // 128, (q, kk), dtype=np.int32))
+    qd = jnp.asarray(q_pm1).astype(jnp.bfloat16)
+    one = segmented_view_dots(qd, view, tb)
+    # budget of exactly 2 blocks/segment -> 3 segments, 1 padded column block
+    seg = segmented_view_dots(qd, view, tb, seg_budget_bytes=2 * q * 256 * 4 * 128)
+    assert np.array_equal(np.asarray(one), np.asarray(seg))
+
+
+def test_engine_bitplane_tier_uses_view_rescore(tmp_path, monkeypatch):
+    """Beyond the int8 budget the engine builds bitplane + packed-view twins,
+    searches exactly through them, and keeps the view fresh across appends."""
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    rng = np.random.default_rng(95)
+    monkeypatch.setattr(di, "_PALLAS_MIN_CHUNK", 4096)
+    monkeypatch.setenv("ISCC_SEARCH_UNPACKED_MAX_BYTES", "0")  # force bitplane tier
+    idx = DeviceNphdIndex(tmp_path / "p", scan_kernel="pallas")
+    bodies = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(900)]
+    idx.add(list(range(900)), bodies)
+    (k1, s1), = idx.search([bodies[333]], 3)
+    part = next(iter(idx._partitions.values()))
+    assert part.bitplane_dev is not None and part.view_dev is not None
+    assert part.unpacked_dev is None and part.perm_dev is None
+    assert int.from_bytes(k1[0].tobytes(), "big") == 333
+    assert s1[0] == pytest.approx(1.0, abs=1e-3)
+    # incremental append goes through _view_range_rewrite
+    more = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(40)]
+    idx.add(list(range(900, 940)), more)
+    (k2, s2), = idx.search([more[17]], 3)
+    assert int.from_bytes(k2[0].tobytes(), "big") == 917
+    assert s2[0] == pytest.approx(1.0, abs=1e-3)
+    # view matches the packed mirror byte-for-byte after the rewrite
+    pv = np.asarray(part.packed_dev).reshape(-1, 128)
+    assert np.array_equal(np.asarray(idx._partitions[8].view_dev), pv)
+    idx.close()
