@@ -50,15 +50,31 @@ def main():
     # 2x packed HBM, stored as its native (N/16, 128) view so the operand
     # tiles compactly — the u32[N,8] shape would lane-pad 16x, 51 GB) vs the
     # XLA packed block-max scan (the no-twin fallback).
-    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed, pallas_blockmax_topk
+    from iscc_search_tpu.ops.pallas_scan import (
+        bit_transpose_packed,
+        make_blockmax_penalty,
+        packed_to_view,
+        pallas_blockmax_topk,
+    )
 
+    # The production tier keeps the packed view (contiguous phase-3 gathers)
+    # and the hoisted penalty row alongside the bitplane twin — same twins
+    # the engine builds, in the same order (view FIRST: building it next to
+    # an already-resident bitplane twin measured a runtime OOM at 100M).
+    t0 = time.perf_counter()
+    view = jax.block_until_ready(packed_to_view(db))
+    pen = jax.block_until_ready(
+        jax.jit(lambda v: make_blockmax_penalty(v, "bitplane"))(valid)
+    )
+    results["view_build_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     bt = jax.block_until_ready(jax.jit(bit_transpose_packed)(db))
     results["bitplane_build_s"] = round(time.perf_counter() - t0, 2)
 
     modes = {
         "bitplane": lambda: pallas_blockmax_topk(
-            qp, qs, db, valid, k, 256, chunk_size=chunk, db_bitplane=bt
+            qp, qs, db, valid, k, 256, chunk_size=chunk, db_bitplane=bt,
+            db_penalty=pen, db_packed_view=view,
         ),
         "xla": lambda: pm1_blockmax_topk(qp, qs, db, valid, k, 256, chunk_size=chunk),
     }

@@ -48,7 +48,84 @@ def stub_app(environ, start_response):
     return [CANNED]
 
 
+CANNED_DICT = json.loads(CANNED)
+
+
+class _StubResult:
+    def model_dump(self, **_kw):
+        return CANNED_DICT
+
+
+class _StubIndex:
+    """Engine-side stub: instant search, so only the IPC/transport is timed."""
+
+    def search_assets(self, name, query, limit=100):
+        return _StubResult()
+
+
+def _rpc_stub_app(rpc):
+    """Worker-side app: body parse + one engine RPC round trip per request
+    (the production scaleout data path minus pydantic route handling)."""
+
+    def app(environ, start_response):
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            length = 0
+        qdict = json.loads(environ["wsgi.input"].read(length)) if length else {}
+        result = rpc.search_assets("x", qdict, 10)
+        payload = json.dumps(result.model_dump()).encode()
+        start_response(
+            "200 OK",
+            [("Content-Type", "application/json"), ("Content-Length", str(len(payload)))],
+        )
+        return [payload]
+
+    return app
+
+
 def serve(flavor):
+    if flavor == "scaleout":
+        # Engine process: stub index over the real unix-socket IPC + N real
+        # pooled workers doing one RPC per request.
+        import tempfile
+
+        from iscc_search_tpu.server.scaleout import EngineIPCServer
+
+        sock_path = os.path.join(tempfile.mkdtemp(prefix="iscc-stack-"), "engine.sock")
+        ipc = EngineIPCServer(_StubIndex(), sock_path)
+        ipc.start()
+        workers = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--serve", "scaleout-worker"],
+                env={**os.environ, "ISCC_STACK_SOCK": sock_path},
+            )
+            for _ in range(int(os.environ.get("ISCC_STACK_WORKERS", "4")))
+        ]
+        import signal
+
+        def _term(_s, _f):
+            for w in workers:
+                w.terminate()
+
+        signal.signal(signal.SIGTERM, _term)
+        try:
+            for w in workers:
+                w.wait()
+        finally:
+            ipc.close()
+        return
+    if flavor == "scaleout-worker":
+        from iscc_search_tpu.server.pooled import PooledHTTPServer
+        from iscc_search_tpu.server.scaleout import EngineRPCIndex, reuseport_socket
+
+        rpc = EngineRPCIndex(os.environ["ISCC_STACK_SOCK"])
+        if not rpc.ping(timeout=10.0):
+            raise SystemExit("engine IPC not reachable")
+        sock = reuseport_socket("127.0.0.1", PORT)
+        srv = PooledHTTPServer("127.0.0.1", PORT, _rpc_stub_app(rpc), threads=16, sock=sock)
+        srv.serve_forever()
+        return
     if flavor == "wsgiref":
         from wsgiref.simple_server import make_server
 
@@ -153,8 +230,9 @@ if __name__ == "__main__":
     if "--serve" in sys.argv:
         serve(sys.argv[sys.argv.index("--serve") + 1])
     else:
-        for flavor in ("wsgiref", "pool"):
-            for ka in (True, False):
+        flavors = sys.argv[1:] or ["wsgiref", "pool", "scaleout"]
+        for flavor in flavors:
+            for ka in (True, False) if flavor != "scaleout" else (True,):
                 try:
                     load(flavor, keepalive=ka)
                 except Exception as exc:

@@ -133,14 +133,14 @@ def _penalty_builder(mode):
 def _to_view(packed_dev):
     # type: (...) -> ...
     """Device reshape of a (cap, lanes) packed mirror to its (cap*lanes//128,
-    128) view (same bytes, same linear order). A one-time relayout copy —
-    doing this reshape inside the per-sweep jit costs more than the view
-    saves (measured 21 ms vs 8 ms at 8.4M rows)."""
-    import jax
+    128) view (same bytes, same linear order). A one-time relayout copy,
+    streamed in bounded steps (the whole-array reshape materializes the 16x
+    lane-padded source tiling — 51 GiB at 100M rows); doing it inside the
+    per-sweep jit costs more than the view saves (measured 21 ms vs 8 ms at
+    8.4M rows)."""
+    from iscc_search_tpu.ops.pallas_scan import packed_to_view
 
-    if not hasattr(_to_view, "_fn"):
-        _to_view._fn = jax.jit(lambda p: p.reshape(p.shape[0] * p.shape[1] // 128, 128))
-    return _to_view._fn(packed_dev)
+    return packed_to_view(packed_dev)
 
 
 def _view_range_rewrite(view_dev, packed_dev, start, end):
@@ -1132,13 +1132,17 @@ class PackedCodeIndex:
                 from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed
 
                 if cap % PERM_GROUP == 0:
-                    bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
                     # Resident packed view (same bytes, (cap*lanes//128, 128)
                     # shape): phase 3 gathers 8 contiguous view rows per
                     # candidate block — 2.5x faster than per-row packed takes.
                     # One extra packed-sized layout: the tier's HBM budget is
                     # 3x packed (~9.6 GB at 100M x 256-bit on a 16 GB chip).
+                    # Build the view BEFORE the bitplane twin: the reverse
+                    # order measured a runtime OOM at 100M (the view step's
+                    # donated buffer could not reuse freed space next to an
+                    # already-resident bitplane twin).
                     view_dev = _to_view(packed_dev)
+                    bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
             return _Partition(
                 packed_dev, valid_dev, unpacked_dev, full_map, cap, n,
                 perm_dev=perm_dev, bitplane_dev=bitplane_dev, view_dev=view_dev,

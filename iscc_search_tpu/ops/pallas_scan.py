@@ -249,6 +249,47 @@ def bit_transpose_packed(packed):
     return out.reshape(n // 16, 128)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("length",))
+def _view_step(out, packed, start, length):
+    # start is TRACED (one compile for all steps); length static (shapes)
+    ch = jax.lax.dynamic_slice_in_dim(packed, start, length, axis=0)
+    lanes = packed.shape[1]
+    return jax.lax.dynamic_update_slice(
+        out, ch.reshape(length * lanes // 128, 128), (start * lanes // 128, 0)
+    )
+
+
+def packed_to_view(packed):
+    # type: (jnp.ndarray) -> jnp.ndarray
+    """(N, lanes) u32 -> its (N*lanes//128, 128) view (same bytes, same
+    linear order) as a DEVICE-RESIDENT array for segmented_view_dots.
+
+    The minor-dim reshape is a physical relayout on TPU, and doing it on the
+    whole (N, 8) array materializes the 16x lane-padded source tiling first
+    (51 GiB at 100M rows — instant OOM); a ``lax.map`` of per-step reshapes
+    collapses back into that one reshape in the simplifier, and a
+    ``fori_loop`` carry double-buffers the 3.2 GB output (measured runtime
+    OOM at 100M next to the db + bitplane twins). So large inputs stream
+    through an EAGER step loop whose jitted step DONATES the output buffer
+    (true in-place update, one bounded relayout per step). Eager-only for
+    large inputs — do not wrap in an outer jit; small inputs are a plain
+    (jit-safe) reshape.
+    """
+    n, lanes = packed.shape
+    if (n * lanes) % 128:
+        raise ValueError("packed view needs N*lanes % 128 == 0")
+    rows = n * lanes // 128
+    step = 1 << 20
+    while n % step:
+        step >>= 1
+    if n <= step:
+        return packed.reshape(rows, 128)
+    out = jnp.zeros((rows, 128), jnp.uint32)
+    for start in range(0, n, step):
+        out = _view_step(out, packed, jnp.int32(start), length=step)
+    return out
+
+
 def bitplane_penalty_perm(penalty_flat):
     # type: (jnp.ndarray) -> jnp.ndarray
     """Reorder a per-row (N,) penalty into bitplane dot-column order
