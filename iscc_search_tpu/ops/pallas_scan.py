@@ -259,8 +259,8 @@ def _view_step(out, packed, start, length):
     )
 
 
-def packed_to_view(packed):
-    # type: (jnp.ndarray) -> jnp.ndarray
+def packed_to_view(packed, step=1 << 20):
+    # type: (jnp.ndarray, int) -> jnp.ndarray
     """(N, lanes) u32 -> its (N*lanes//128, 128) view (same bytes, same
     linear order) as a DEVICE-RESIDENT array for segmented_view_dots.
 
@@ -279,11 +279,14 @@ def packed_to_view(packed):
     if (n * lanes) % 128:
         raise ValueError("packed view needs N*lanes % 128 == 0")
     rows = n * lanes // 128
-    step = 1 << 20
     while n % step:
         step >>= 1
     if n <= step:
         return packed.reshape(rows, 128)
+    if (step * lanes) % 128:
+        # n's odd factor drove the halving below a whole view row (callers
+        # pass pow2 capacities / chunk multiples, so this is a misuse guard)
+        raise ValueError(f"no 128-aligned step divides N={n} (reached {step})")
     out = jnp.zeros((rows, 128), jnp.uint32)
     for start in range(0, n, step):
         out = _view_step(out, packed, jnp.int32(start), length=step)

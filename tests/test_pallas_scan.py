@@ -601,3 +601,20 @@ def test_engine_bitplane_tier_uses_view_rescore(tmp_path, monkeypatch):
     pv = np.asarray(part.packed_dev).reshape(-1, 128)
     assert np.array_equal(np.asarray(idx._partitions[8].view_dev), pv)
     idx.close()
+
+
+def test_packed_to_view_streamed_and_errors():
+    from iscc_search_tpu.ops.pallas_scan import packed_to_view
+
+    rng = np.random.default_rng(89)
+    p = rng.integers(0, 2**32, (16384, 8), dtype=np.uint32)
+    # streamed path (step smaller than n, halves until it divides)
+    v = np.asarray(packed_to_view(jnp.asarray(p), step=4096))
+    assert np.array_equal(v, p.reshape(-1, 128))
+    # small path: plain reshape
+    v2 = np.asarray(packed_to_view(jnp.asarray(p[:2048])))
+    assert np.array_equal(v2, p[:2048].reshape(-1, 128))
+    with pytest.raises(ValueError):
+        packed_to_view(jnp.zeros((10, 3), jnp.uint32))
+    with pytest.raises(ValueError):  # step below one whole view row
+        packed_to_view(jnp.zeros((48, 8), jnp.uint32), step=8)
