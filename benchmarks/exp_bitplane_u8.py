@@ -28,6 +28,13 @@ shift/and on a different layout) FAILED to lower in Mosaic at the time.
 This experiment retries through the cleaner reinterpret-layout route and
 falls back to u16 if 8-bit ALU ops still don't lower.
 
+RESULT (v5e, 2026-08-18): both u8 AND u16 shift/and fail to lower
+(remote Mosaic compile exit 1); correctness of both layouts verified in
+interpret mode, so the blocker is purely the sub-word ALU lowering, not
+the layout math. The VPU-extraction tail of the bitplane kernel is not
+reachable through narrower extraction arithmetic with today's Mosaic —
+kept as the recorded negative result.
+
 Correctness is asserted against the shipped bitplane kernel (interpret
 mode on CPU, exact match required) before any timing.
 
