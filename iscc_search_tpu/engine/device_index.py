@@ -152,7 +152,9 @@ def _view_range_rewrite(view_dev, packed_dev, start, end):
     import jax
 
     lanes = packed_dev.shape[1]
-    rows_per_view = 128 // lanes if lanes <= 128 else 1
+    if 128 % lanes:  # pragma: no cover - view twins exist only for lanes==8
+        raise ValueError("view rewrite requires lanes | 128 (whole rows per view row)")
+    rows_per_view = 128 // lanes
     r0 = (start // rows_per_view) * rows_per_view
     r1 = -(-end // rows_per_view) * rows_per_view
     if not hasattr(_view_range_rewrite, "_fn"):
