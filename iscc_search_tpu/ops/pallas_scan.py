@@ -686,6 +686,14 @@ def pallas_blockmax_topk_impl(
 
     if unpacked and db_unpacked is None and db_perm is None:
         raise ValueError("unpacked=True requires db_unpacked and/or db_perm")
+    if db_packed_view is not None and db_packed_view.shape != (
+        n * db_packed.shape[1] // 128,
+        128,
+    ):
+        raise ValueError(
+            f"db_packed_view must be the (N*lanes//128, 128) view of db_packed, "
+            f"got {db_packed_view.shape} for packed {db_packed.shape}"
+        )
     permuted = db_perm is not None
     bitplane = db_bitplane is not None and not permuted and not unpacked
     packed_perm = db_packed_perm is not None and not permuted and not unpacked and not bitplane

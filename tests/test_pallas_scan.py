@@ -618,3 +618,14 @@ def test_packed_to_view_streamed_and_errors():
         packed_to_view(jnp.zeros((10, 3), jnp.uint32))
     with pytest.raises(ValueError):  # step below one whole view row
         packed_to_view(jnp.zeros((48, 8), jnp.uint32), step=8)
+
+
+def test_topk_rejects_mismatched_view():
+    from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
+
+    with pytest.raises(ValueError, match="db_packed_view"):
+        pallas_blockmax_topk_impl(
+            jnp.zeros((8, 256)), jnp.zeros(8), jnp.zeros((4096, 8), jnp.uint32),
+            jnp.ones(4096, bool), 5, 256, chunk_size=4096, interpret=True,
+            db_packed_view=jnp.zeros((100, 128), jnp.uint32),
+        )
