@@ -95,19 +95,24 @@ class _Partition:
         self.row_map = row_map  # (cap,) int32 global row per device row (junk rows -> 0, invalid)
         self.cap = cap
         self.count = count  # real rows uploaded
-        self.pen_memo = {}  # mode -> (valid_dev it was built from, penalty row)
+        self.pen_memo = {}  # mode -> [(valid_dev it was built from, penalty row), ...]
 
     def penalty_for(self, valid_dev, mode, builder=None):
         """Phase-1 penalty row for ``valid_dev``, cached per validity
         generation: the permuting penalty layouts cost ~half a sweep at 10M
         rows when rebuilt inside the jitted scan (see make_blockmax_penalty),
         and validity only changes on tombstone/append syncs, which rebind
-        ``self.valid_dev`` to a fresh array (identity tracks generations)."""
-        hit = self.pen_memo.get(mode)
-        if hit is not None and hit[0] is valid_dev:
-            return hit[1]
+        ``self.valid_dev`` to a fresh array (identity tracks generations).
+
+        Two generations are kept per mode: a slow in-flight search holding
+        the pre-sync snapshot must not evict the current generation's entry
+        (single-slot eviction ping-ponged rebuilds under concurrency)."""
+        entries = self.pen_memo.get(mode, [])
+        for ref, pen in entries:
+            if ref is valid_dev:
+                return pen
         pen = (builder or _penalty_builder(mode))(valid_dev)
-        self.pen_memo[mode] = (valid_dev, pen)
+        self.pen_memo[mode] = [(valid_dev, pen)] + entries[:1]
         return pen
 
 

@@ -536,6 +536,23 @@ def pallas_blockmax(
         db_penalty = make_blockmax_penalty(
             db_valid, penalty_mode(unpacked, permuted, packed_perm, bitplane)
         )
+    else:
+        # A caller-supplied penalty must match this path's layout. NOTE: a
+        # STALE penalty (built from a previous validity generation) cannot be
+        # detected here and silently masks newly-valid rows — callers must
+        # rebuild it whenever db_valid changes (the engine keys its cache on
+        # valid_dev identity), and the perm/bitplane layouts share a dtype,
+        # so the mode discipline is also on the caller.
+        want = (
+            jnp.float32
+            if penalty_mode(unpacked, permuted, packed_perm, bitplane) == "plain"
+            else jnp.bfloat16
+        )
+        if db_penalty.shape != (1, n) or db_penalty.dtype != want:
+            raise ValueError(
+                f"db_penalty must be a (1, {n}) {jnp.dtype(want).name} "
+                f"make_blockmax_penalty row for this path, got {db_penalty.shape} {db_penalty.dtype}"
+            )
     penalty = db_penalty  # (1, N), layout/dtype per penalty_mode()
 
     # int8 queries for the int8 MXU paths (values ∈ {-1, 0, 1}): the
@@ -746,7 +763,9 @@ def pallas_blockmax_topk_impl(
         # the per-row takes at 8.4M rows / Q=256 / kk=16 on v5e. The view
         # must be device-RESIDENT: reshaping (N, 8) in-jit is a physical
         # relayout copy that costs more than it saves (measured 21 ms).
-        dots = segmented_view_dots(q_pm1.astype(jnp.bfloat16), db_packed_view, top_blocks)
+        dots = segmented_view_dots(
+            q_pm1.astype(jnp.bfloat16), db_packed_view, top_blocks, nbits=nbits
+        )
     else:
         # Per-ROW takes, deliberately: XLA fuses them into the unpack+dot
         # consumer, while a blocked take of a reshaped (N/128, 128*L) view

@@ -60,14 +60,11 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
     return jax.jit(mapped)(db_packed_sharded)
 
 
-def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=SHARD_AXIS):
-    # type: (...) -> jnp.ndarray
-    """
-    Row-sharded make_blockmax_penalty(): each device builds the (1, local_n)
-    penalty row for its own validity shard. Build once per validity
-    generation and pass to sharded_pallas_topk(db_penalty=...) — the in-jit
-    fallback permute costs ~half a sweep at 10M rows per chip.
-    """
+@functools.lru_cache(maxsize=32)
+def _penalty_fn(mesh, mode, axis_name):
+    # Cached per (mesh, mode, axis): building shard_map + jit objects per
+    # call would retrace and recompile the sharded permute on EVERY validity
+    # generation — hundreds of ms to save the ~3-6 ms it amortizes.
     from iscc_search_tpu.ops.pallas_scan import make_blockmax_penalty
 
     local = functools.partial(make_blockmax_penalty, mode=mode)
@@ -76,7 +73,18 @@ def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=SHARD_AXIS):
         mapped = shard_map(local, check_vma=False, **kwargs)
     except TypeError:  # pragma: no cover - older jax spelling
         mapped = shard_map(local, check_rep=False, **kwargs)
-    return jax.jit(mapped)(db_valid_sharded)
+    return jax.jit(mapped)
+
+
+def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=SHARD_AXIS):
+    # type: (...) -> jnp.ndarray
+    """
+    Row-sharded make_blockmax_penalty(): each device builds the (1, local_n)
+    penalty row for its own validity shard. Build once per validity
+    generation and pass to sharded_pallas_topk(db_penalty=...) — the in-jit
+    fallback permute costs ~half a sweep at 10M rows per chip.
+    """
+    return _penalty_fn(mesh, mode, axis_name)(db_valid_sharded)
 
 
 @functools.lru_cache(maxsize=64)

@@ -629,3 +629,46 @@ def test_topk_rejects_mismatched_view():
             jnp.ones(4096, bool), 5, 256, chunk_size=4096, interpret=True,
             db_packed_view=jnp.zeros((100, 128), jnp.uint32),
         )
+
+
+def test_blockmax_rejects_wrong_layout_penalty():
+    """A caller-supplied penalty with the wrong dtype/shape for the selected
+    phase-1 path is rejected (stale-generation misuse is documented as
+    undetectable; layout misuse is not)."""
+    from iscc_search_tpu.ops.pallas_scan import make_blockmax_penalty
+
+    rng = np.random.default_rng(90)
+    packed = rng.integers(0, 2**32, (4096, 8), dtype=np.uint32)
+    valid = jnp.ones(4096, bool)
+    q_pm1, q_scale = prepare_queries(packed[:4], np.full(4, 8, np.int32), 256)
+    qd, qs = jnp.asarray(q_pm1), jnp.asarray(q_scale)
+    pen_perm = make_blockmax_penalty(valid, "perm")  # bf16 - wrong for plain path
+    with pytest.raises(ValueError, match="db_penalty"):
+        pallas_blockmax(qd, qs, jnp.asarray(packed), valid, 256,
+                        chunk_size=4096, interpret=True, db_penalty=pen_perm)
+    with pytest.raises(ValueError, match="db_penalty"):  # wrong width
+        pallas_blockmax(qd, qs, jnp.asarray(packed), valid, 256, chunk_size=4096,
+                        interpret=True, db_penalty=jnp.zeros((1, 128), jnp.float32))
+
+
+def test_penalty_memo_keeps_two_generations():
+    """A stale in-flight snapshot must not evict the current generation."""
+    import jax.numpy as jnp
+
+    from iscc_search_tpu.engine.device_index import _Partition
+
+    n = 4096
+    v1, v2 = jnp.ones(n, bool), jnp.ones(n, bool)
+    part = _Partition(None, v1, None, None, n, n)
+    calls = []
+    mk = lambda tag: (lambda v: calls.append(tag) or tag)
+    assert part.penalty_for(v1, "m", builder=mk("p1")) == "p1"
+    assert part.penalty_for(v2, "m", builder=mk("p2")) == "p2"  # new generation
+    # BOTH generations now hit without rebuilding
+    assert part.penalty_for(v1, "m", builder=mk("x")) == "p1"
+    assert part.penalty_for(v2, "m", builder=mk("x")) == "p2"
+    assert calls == ["p1", "p2"]
+    # a third generation evicts the oldest, keeps two
+    v3 = jnp.ones(n, bool)
+    assert part.penalty_for(v3, "m", builder=mk("p3")) == "p3"
+    assert len(part.pen_memo["m"]) == 2
