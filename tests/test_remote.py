@@ -193,3 +193,132 @@ def test_chunked_add_batches(remote, entry_factory):
     results = remote.add_assets("idx", entries)
     assert calls["n"] == 3
     assert [r.iscc_id for r in results] == [e.iscc_id for e in entries]
+
+
+def _capture_client(handler):
+    """RemoteIndex wired to an httpx.MockTransport handler."""
+    client = RemoteIndex("http://testserver", "idx", api_key="sekrit", chunk_size=2)
+    client._client = httpx.Client(
+        transport=httpx.MockTransport(handler),
+        base_url="http://testserver",
+        headers={"X-API-Key": "sekrit"},
+    )
+    return client
+
+
+def test_api_key_header_and_limit_param():
+    """The API key rides every request; the search limit rides as a query
+    param (reference remote/client.py auth + search contract)."""
+    seen = {}
+
+    def handler(request):
+        seen["key"] = request.headers.get("X-API-Key")
+        seen["limit"] = httpx.URL(request.url).params.get("limit")
+        return httpx.Response(200, json={"query": {}, "global_matches": [], "chunk_matches": []})
+
+    client = _capture_client(handler)
+    res = client.search_assets("idx", IsccQuery(units=None), limit=7)
+    assert seen["key"] == "sekrit" and seen["limit"] == "7"
+    assert res.global_matches == [] and res.chunk_matches == []
+    client.close()
+
+
+def test_422_maps_to_value_error_and_plain_text_detail():
+    """422 joins 400 as ValueError; a non-JSON error body falls back to the
+    raw text as detail."""
+
+    def handler(request):
+        return httpx.Response(422, text="not-json-detail")
+
+    client = _capture_client(handler)
+    with pytest.raises(ValueError, match="not-json-detail"):
+        client.get_index("idx")
+    client.close()
+
+
+def test_unknown_status_maps_to_runtime_error():
+    def handler(request):
+        return httpx.Response(503, json={"detail": "overloaded"})
+
+    client = _capture_client(handler)
+    with pytest.raises(RuntimeError, match="503"):
+        client.list_indexes()
+    client.close()
+
+
+def test_chunk_partial_failure_after_first_chunk(entry_factory):
+    """When a later chunk fails permanently, the exception propagates even
+    though earlier chunks were applied server-side — chunked adds are NOT
+    atomic across chunks (same contract as the reference client); the
+    caller re-adds idempotently."""
+    calls = []
+
+    def handler(request):
+        calls.append(request.url.path)
+        if len(calls) == 1:
+            import json as _json
+
+            payload = _json.loads(request.content)
+            return httpx.Response(
+                200, json=[{"iscc_id": e["iscc_id"], "status": "created"} for e in payload]
+            )
+        return httpx.Response(400, json={"detail": "bad chunk"})
+
+    client = _capture_client(handler)
+    entries = [IsccEntry(**entry_factory()) for _ in range(4)]  # 2 chunks of 2
+    with pytest.raises(ValueError, match="bad chunk"):
+        client.add_assets("idx", entries)
+    assert len(calls) == 2  # first chunk applied, second failed, no retry on 400
+    client.close()
+
+
+def test_search_result_chunk_matches_roundtrip():
+    """A full wire result with chunk matches and metadata reconstructs
+    loss-free through the client models."""
+    wire = {
+        "query": {"units": None, "simprints": {"CONTENT_TEXT_V0": ["AAAA"]}},
+        "global_matches": [
+            {"iscc_id": "ISCC:MAIATETDPXBL7OKD", "score": 0.93,
+             "types": {"DATA_NONE_V0": 0.93}, "metadata": {"name": "x"}}
+        ],
+        "chunk_matches": [
+            {"iscc_id": "ISCC:MAIATETDPXBL7OKD", "score": 0.8,
+             "types": {"CONTENT_TEXT_V0": {
+                 "score": 0.8, "matches": 1, "queried": 2,
+                 "chunks": [{"query": "AAAA", "match": "AAAB", "score": 0.8,
+                             "freq": 3, "offset": 5, "size": 10}]}}}
+        ],
+    }
+
+    def handler(request):
+        return httpx.Response(200, json=wire)
+
+    client = _capture_client(handler)
+    res = client.search_assets("idx", IsccQuery(units=None), limit=5)
+    assert res.global_matches[0].metadata.name == "x"
+    tr = res.chunk_matches[0].types["CONTENT_TEXT_V0"]
+    assert tr.chunks[0].freq == 3 and tr.chunks[0].offset == 5
+    assert res.model_dump(mode="json", exclude_none=True)["chunk_matches"][0]["score"] == 0.8
+    client.close()
+
+
+def test_auth_enforced_end_to_end(entry_factory):
+    """Against the real app with an API key configured: unauthenticated
+    writes are rejected, the keyed client passes (reference
+    test_server_auth semantics over the remote client)."""
+    opts = SearchOptions(index_uri="memory://", api_secret="k3y")
+    app = create_app(index=MemoryIndex(), opts=opts)
+
+    anon = RemoteIndex("http://testserver", "idx")
+    anon._client = httpx.Client(transport=httpx.WSGITransport(app=app), base_url="http://testserver")
+    with pytest.raises(RuntimeError, match="401"):
+        anon.create_index(IsccIndex(name="idx"))
+    anon.close()
+
+    keyed = RemoteIndex("http://testserver", "idx", api_key="k3y")
+    keyed._client = httpx.Client(
+        transport=httpx.WSGITransport(app=app), base_url="http://testserver",
+        headers={"X-API-Key": "k3y"},
+    )
+    assert keyed.create_index(IsccIndex(name="idx")).name == "idx"
+    keyed.close()
