@@ -70,7 +70,13 @@ class SearchOptions(BaseModel):
 
     # Device/scan knobs (TPU engine replacements for the HNSW quality knobs)
     scan_chunk_rows: int = Field(32768, ge=128, description="ISCC_SEARCH_SCAN_CHUNK_ROWS - top-k scan chunk size")
-    query_batch_max: int = Field(256, ge=1, description="ISCC_SEARCH_QUERY_BATCH_MAX - max fused query batch")
+    query_batch_max: int = Field(
+        512,
+        ge=1,
+        description="ISCC_SEARCH_QUERY_BATCH_MAX - max fused query batch "
+        "(512 is the measured single-chip throughput peak: +14% over 256 at "
+        "8.4M x 256-bit on v5e; 1024 regresses)",
+    )
     scan_recall_target: float | None = Field(
         None,
         gt=0.0,
