@@ -58,13 +58,13 @@ def ensure_compile_cache(path=None):
     explicit = path is not None
     if _configured == "explicit" or (_configured is not None and not explicit):
         return _current()
-    _configured = "explicit" if explicit else "implicit"
 
     if path is None:
         path = os.environ.get("ISCC_SEARCH_COMPILE_CACHE_DIR")
     if path is None:
         path = default_cache_dir()
     if not path or str(path).strip().lower() in _DISABLED:
+        _configured = "explicit" if explicit else "implicit"
         _disable()
         return None
 
@@ -80,8 +80,12 @@ def ensure_compile_cache(path=None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as exc:  # pragma: no cover - platform-specific
+        # Do NOT latch _configured on failure: a transient error (read-only
+        # FS, jax state) would otherwise permanently disable the cache for
+        # this process — a later call with a valid path must still work.
         logger.warning(f"persistent compile cache unavailable at {path}: {exc}")
         return None
+    _configured = "explicit" if explicit else "implicit"
     return path
 
 

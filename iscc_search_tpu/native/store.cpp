@@ -723,10 +723,26 @@ void ts_close(void* h) {
     delete s;
 }
 
+// Single-op mutations return 1 = applied, 0 = legitimate no-op (missing
+// key, duplicate dup pair, absent db), -1 = ERROR (size limits, db-kind
+// mismatch; ts_last_error carries the message). The bool-shaped 0 return
+// previously conflated "no change" with "silently lost write" — callers
+// could not tell an oversized value or a kind-mismatched put (both dropped)
+// from an idempotent no-op.
+static int kind_mismatch(Store& s, const char* db, bool want_dupsort) {
+    auto it = s.dbs.find(db);
+    if (it != s.dbs.end() && it->second.entries > 0 && it->second.dupsort != want_dupsort) {
+        s.set_error(want_dupsort ? "dup mutation on a plain db" : "plain put into a dupsort db");
+        return 1;
+    }
+    return 0;
+}
+
 int ts_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const uint8_t* val, uint32_t vlen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
-    if (!check_sizes(*s, db, klen, vlen)) return 0;
+    if (!check_sizes(*s, db, klen, vlen)) return -1;
+    if (kind_mismatch(*s, db, false)) return -1;
     return log_and_apply(*s, OP_PUT, db, Bytes(reinterpret_cast<const char*>(key), klen),
                          Bytes(reinterpret_cast<const char*>(val), vlen))
                ? 1
@@ -736,14 +752,15 @@ int ts_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const uin
 int ts_del(void* h, const char* db, const uint8_t* key, uint32_t klen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
-    if (!check_sizes(*s, db, klen, 0)) return 0;
+    if (!check_sizes(*s, db, klen, 0)) return -1;
     return log_and_apply(*s, OP_DEL, db, Bytes(reinterpret_cast<const char*>(key), klen), Bytes()) ? 1 : 0;
 }
 
 int ts_dup_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const uint8_t* val, uint32_t vlen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
-    if (!check_sizes(*s, db, klen, vlen)) return 0;
+    if (!check_sizes(*s, db, klen, vlen)) return -1;
+    if (kind_mismatch(*s, db, true)) return -1;
     return log_and_apply(*s, OP_DUP_PUT, db, Bytes(reinterpret_cast<const char*>(key), klen),
                          Bytes(reinterpret_cast<const char*>(val), vlen))
                ? 1
@@ -753,6 +770,8 @@ int ts_dup_put(void* h, const char* db, const uint8_t* key, uint32_t klen, const
 int ts_dup_del(void* h, const char* db, const uint8_t* key, uint32_t klen, const uint8_t* val, uint32_t vlen) {
     Store* s = static_cast<Store*>(h);
     std::unique_lock lock(s->mtx);
+    if (!check_sizes(*s, db, klen, vlen)) return -1;
+    if (kind_mismatch(*s, db, true)) return -1;
     return log_and_apply(*s, OP_DUP_DEL, db, Bytes(reinterpret_cast<const char*>(key), klen),
                          Bytes(reinterpret_cast<const char*>(val), vlen))
                ? 1
@@ -796,6 +815,7 @@ int64_t ts_dup_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t bu
     std::unique_lock lock(s->mtx);
     std::vector<std::pair<Bytes, Bytes>> pairs;
     if (!decode_pairs(*s, db, buf, buflen, pairs)) return -1;
+    if (!pairs.empty() && kind_mismatch(*s, db, true)) return -1;
     int64_t inserted = 0;
     for (auto& [key, val] : pairs) {
         if (log_and_apply(*s, OP_DUP_PUT, db, key, val)) inserted++;
@@ -835,6 +855,7 @@ int64_t ts_putmulti(void* h, const char* db, const uint8_t* buf, uint64_t buflen
     std::unique_lock lock(s->mtx);
     std::vector<std::pair<Bytes, Bytes>> pairs;
     if (!decode_pairs(*s, db, buf, buflen, pairs)) return -1;
+    if (!pairs.empty() && kind_mismatch(*s, db, false)) return -1;
     int64_t applied = 0;
     for (auto& [key, val] : pairs) {
         if (log_and_apply(*s, OP_PUT, db, key, val)) applied++;

@@ -153,7 +153,14 @@ class PooledHTTPServer:
                 continue
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             sock.settimeout(30.0)
-            self._queue.put(_Conn(sock, addr))
+            # Park new connections until their first request bytes arrive:
+            # handing an idle socket straight to a blocking worker lets
+            # `threads` zero-byte connections pin the whole pool for
+            # request_timeout each (slowloris). Parked sockets cost one
+            # epoll slot and are reaped by the idle sweep; a worker only
+            # runs once the fd is readable. (A header-trickle attacker is
+            # still bounded by the per-request deadline.)
+            self._park(_Conn(sock, addr))
 
     def _park(self, conn):
         # type: (_Conn) -> None
@@ -279,9 +286,20 @@ class PooledHTTPServer:
         for raw in lines[1:]:
             name, sep, value = raw.decode("latin-1").partition(":")
             if sep:
-                headers[name.strip().lower()] = value.strip()
+                # RFC 7230 §3.2.2: repeated field names combine with ", " —
+                # last-wins would silently drop earlier Cookie/XFF values.
+                key = name.strip().lower()
+                val = value.strip()
+                headers[key] = headers[key] + ", " + val if key in headers else val
 
-        if headers.get("transfer-encoding", "").lower() == "chunked":
+        if "transfer-encoding" in headers:
+            # Reject ANY Transfer-Encoding, not just the exact "chunked":
+            # "gzip, chunked" (or any parameterized variant) is still
+            # chunked-framed per RFC 7230 §3.3.3, and framing the body by
+            # Content-Length while the peer frames by chunks desyncs the
+            # keep-alive stream (request smuggling behind a TE-forwarding
+            # proxy). This server never supports TE; always answer 411 and
+            # close so unread chunk bytes can't become the "next request".
             self._write_simple(conn, 411, b'{"detail": "Length Required"}')
             return False
         try:

@@ -335,7 +335,9 @@ def worker_main(argv=None):
         ctypes.CDLL(None).prctl(PR_SET_PDEATHSIG, signal.SIGTERM)
         if os.getppid() == 1:
             raise SystemExit("engine died before worker start")
-    except OSError:  # pragma: no cover - non-Linux
+    except (OSError, AttributeError):  # pragma: no cover - non-Linux
+        # AttributeError: libc without prctl (macOS/BSD) — ctypes raises it,
+        # not OSError, so catching OSError alone would crash-loop the worker.
         pass
 
     cfg = json.loads(os.environ["ISCC_SCALEOUT_CONFIG"])
@@ -379,6 +381,13 @@ def serve_scaleout(opts, stop=None):
 
     configure_logging(level=opts.log_level)
 
+    if not opts.port:
+        # Port 0 is valid single-process (the bound port is discoverable)
+        # but meaningless for scale-out: each SO_REUSEPORT worker would bind
+        # its OWN ephemeral port (the kernel only balances sockets bound to
+        # the SAME port) and no single endpoint would exist.
+        raise ValueError("scale-out serving requires an explicit port (got 0)")
+
     # Validate the public port is free BEFORE opening the index, and WITHOUT
     # SO_REUSEPORT: a reuseport probe would bind happily next to another
     # running instance — two engines would then open the same store
@@ -404,44 +413,48 @@ def serve_scaleout(opts, stop=None):
         # not leak unflushed when startup dies between open and serving.
         index.close()
         raise
-    ipc.start()
-
-    cfg = json.dumps({"opts": json.loads(opts.model_dump_json()), "socket_path": socket_path})
-    # Workers never touch a device index (all index calls go over IPC) —
-    # pin them to the CPU backend so a stray jax import can't try to claim
-    # the engine's TPU (single-client device runtimes would wedge). The
-    # package's location rides PYTHONPATH so `-m` works from any cwd (and
-    # for non-installed source checkouts).
-    import iscc_search_tpu
-
-    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(iscc_search_tpu.__file__)))
-    pythonpath = pkg_parent + os.pathsep + os.environ.get("PYTHONPATH", "")
-    env = dict(
-        os.environ, ISCC_SCALEOUT_CONFIG=cfg, JAX_PLATFORMS="cpu", PYTHONPATH=pythonpath.rstrip(os.pathsep)
-    )
-    n_workers = max(1, int(opts.workers or 1))
+    # From here on, ipc/index cleanup rides the big try/finally below —
+    # an exception anywhere between ipc creation and the worker loop (cfg
+    # serialization, env assembly, a stray KeyboardInterrupt) must not leak
+    # the unflushed index or the IPC socket dir.
     procs = []  # type: list[subprocess.Popen]
-
-    def spawn():
-        # PDEATHSIG is set by the child itself (worker_main, first thing):
-        # a preexec_fn doing ctypes/dlopen between fork and exec in this
-        # multithreaded parent can deadlock the child on the allocator or
-        # loader lock (subprocess docs warn preexec_fn is thread-unsafe).
-        return subprocess.Popen([sys.executable, "-m", "iscc_search_tpu.server.worker"], env=env)
-
-    stop = stop or threading.Event()
-
-    def _term(_signum, _frame):  # pragma: no cover - signal timing
-        logger.info("SIGTERM received: stopping workers, saving state...")
-        stop.set()
-
     previous = None
     try:
-        previous = signal.signal(signal.SIGTERM, _term)
-    except ValueError:  # pragma: no cover - non-main thread
-        pass
+        ipc.start()
 
-    try:
+        cfg = json.dumps({"opts": json.loads(opts.model_dump_json()), "socket_path": socket_path})
+        # Workers never touch a device index (all index calls go over IPC) —
+        # pin them to the CPU backend so a stray jax import can't try to claim
+        # the engine's TPU (single-client device runtimes would wedge). The
+        # package's location rides PYTHONPATH so `-m` works from any cwd (and
+        # for non-installed source checkouts).
+        import iscc_search_tpu
+
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(iscc_search_tpu.__file__)))
+        pythonpath = pkg_parent + os.pathsep + os.environ.get("PYTHONPATH", "")
+        env = dict(
+            os.environ, ISCC_SCALEOUT_CONFIG=cfg, JAX_PLATFORMS="cpu", PYTHONPATH=pythonpath.rstrip(os.pathsep)
+        )
+        n_workers = max(1, int(opts.workers or 1))
+
+        def spawn():
+            # PDEATHSIG is set by the child itself (worker_main, first thing):
+            # a preexec_fn doing ctypes/dlopen between fork and exec in this
+            # multithreaded parent can deadlock the child on the allocator or
+            # loader lock (subprocess docs warn preexec_fn is thread-unsafe).
+            return subprocess.Popen([sys.executable, "-m", "iscc_search_tpu.server.worker"], env=env)
+
+        stop = stop or threading.Event()
+
+        def _term(_signum, _frame):  # pragma: no cover - signal timing
+            logger.info("SIGTERM received: stopping workers, saving state...")
+            stop.set()
+
+        try:
+            previous = signal.signal(signal.SIGTERM, _term)
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
+
         for _ in range(n_workers):
             procs.append(spawn())
         logger.info(

@@ -274,26 +274,39 @@ class HostStore:
 
     # -- mutations ----------------------------------------------------------
 
+    def _checked(self, rc):
+        # type: (int) -> bool
+        """Map the native 1/0/-1 mutation result to True/False/raise.
+
+        The bool-shaped API previously conflated -1-class failures (size
+        limits, db-kind mismatch — the write is DROPPED) with benign no-ops
+        (missing key, duplicate dup pair); production callers ignore the
+        bool, so an oversized value was reported to the client as success
+        and silently never persisted."""
+        if rc < 0:
+            raise ValueError(f"store mutation rejected: {self._last_error() or 'unknown error'}")
+        return bool(rc)
+
     def put(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
         with self._use() as h:
-            return bool(self._lib.ts_put(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+            return self._checked(self._lib.ts_put(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     def delete(self, db, key):
         # type: (str, bytes) -> bool
         with self._use() as h:
-            return bool(self._lib.ts_del(h, db.encode(), _buf(key), len(key)))
+            return self._checked(self._lib.ts_del(h, db.encode(), _buf(key), len(key)))
 
     def dup_put(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
         """Insert (key, val) into a dupsort db; duplicate pairs are no-ops."""
         with self._use() as h:
-            return bool(self._lib.ts_dup_put(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+            return self._checked(self._lib.ts_dup_put(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     def dup_delete(self, db, key, val):
         # type: (str, bytes, bytes) -> bool
         with self._use() as h:
-            return bool(self._lib.ts_dup_del(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
+            return self._checked(self._lib.ts_dup_del(h, db.encode(), _buf(key), len(key), _buf(val), len(val)))
 
     @staticmethod
     def _encode_pairs(pairs):

@@ -77,3 +77,16 @@ def test_default_fallback_uses_platform_dir(monkeypatch, tmp_path):
         compile_cache, "default_cache_dir", lambda: str(tmp_path / "plat")
     )
     assert compile_cache.ensure_compile_cache() == str(tmp_path / "plat")
+
+
+def test_failed_configuration_does_not_latch(tmp_path, monkeypatch):
+    """A transient failure must not permanently disable the cache: a later
+    call with a valid path still configures it."""
+    import iscc_search_tpu.compile_cache as cc
+
+    monkeypatch.setattr(cc, "_configured", None)
+    blocker = tmp_path / "file"
+    blocker.write_text("x")  # makedirs below a FILE fails
+    assert cc.ensure_compile_cache(str(blocker / "sub")) is None
+    good = tmp_path / "cache"
+    assert cc.ensure_compile_cache(str(good)) == str(good)

@@ -490,3 +490,74 @@ def test_pooled_soak_mixed_traffic(entry_factory):
     srv.server_close()
     t.join(5)
     assert not errors, errors[:3]
+
+
+def test_transfer_encoding_variants_all_rejected(pooled_server):
+    """ANY Transfer-Encoding header closes with 411 — 'gzip, chunked' (still
+    chunked-framed per RFC 7230 §3.3.3) previously slipped the exact-match
+    check and desynced keep-alive framing (request smuggling shape)."""
+    srv, _ = pooled_server
+    for te in (b"gzip, chunked", b"chunked;ext=1", b"identity"):
+        data = _raw(
+            srv.server_port,
+            b"POST /indexes HTTP/1.1\r\nHost: x\r\nTransfer-Encoding: " + te
+            + b"\r\nContent-Length: 5\r\n\r\nhello",
+            recv_until_close=True,
+        )
+        assert b"411" in data.split(b"\r\n")[0], te
+
+
+def test_repeated_headers_comma_joined():
+    """RFC 7230 §3.2.2: repeated field names combine with ', ' — last-wins
+    silently dropped earlier Cookie/XFF values."""
+    import json as _json
+
+    seen = {}
+
+    def echo_app(environ, start_response):
+        seen["xff"] = environ.get("HTTP_X_FORWARDED_FOR")
+        body = b"{}"
+        start_response("200 OK", [("Content-Type", "application/json"), ("Content-Length", str(len(body)))])
+        return [body]
+
+    srv = PooledHTTPServer("127.0.0.1", 0, echo_app, threads=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        data = _raw(
+            srv.server_port,
+            b"GET / HTTP/1.1\r\nHost: x\r\nX-Forwarded-For: 1.1.1.1\r\n"
+            b"X-Forwarded-For: 2.2.2.2\r\nConnection: close\r\n\r\n",
+            recv_until_close=True,
+        )
+        assert b"200" in data.split(b"\r\n")[0]
+        assert seen["xff"] == "1.1.1.1, 2.2.2.2"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_idle_new_connection_does_not_pin_workers():
+    """A zero-byte connection parks in epoll instead of occupying a blocking
+    worker: with threads=1, an idle socket opened FIRST must not starve a
+    real request (slowloris shape)."""
+    import socket as _socket
+
+    def app(environ, start_response):
+        body = b"ok"
+        start_response("200 OK", [("Content-Type", "text/plain"), ("Content-Length", "2")])
+        return [body]
+
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=1)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    idle = _socket.create_connection(("127.0.0.1", srv.server_port))
+    try:
+        time.sleep(0.2)  # idle socket is parked, not dispatched
+        data = _raw(srv.server_port, b"GET / HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n",
+                    recv_until_close=True)
+        assert b"200" in data.split(b"\r\n")[0]
+    finally:
+        idle.close()
+        srv.shutdown()
+        srv.server_close()

@@ -154,7 +154,8 @@ def test_non_ascii_secret_authenticates_with_correct_key(memory_opts=None):
 
 def test_last_error_safe_through_gate(tmp_path):
     store = HostStore(tmp_path / "s")
-    store.put("d" * 70000, b"k", b"v")  # sets last_error
+    with pytest.raises(ValueError):  # oversized mutation now raises
+        store.put("d" * 70000, b"k", b"v")  # sets last_error
     assert "size limits" in store._last_error()
     store.close()
     assert store._last_error() == ""  # closed: gate raises internally -> ""

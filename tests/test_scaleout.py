@@ -550,3 +550,15 @@ def test_scaleout_device_backend_end_to_end(tmp_path, entry_factory):
     assert code == 0
     # The engine flushed its segments on shutdown (durability contract)
     assert (data_dir / "dev").exists()
+
+
+def test_serve_scaleout_rejects_port_zero(tmp_path):
+    """Port 0 gives every SO_REUSEPORT worker its OWN ephemeral port (the
+    kernel only balances sockets bound to the same port) — no single
+    endpoint would exist; reject before opening the index."""
+    from iscc_search_tpu.options import SearchOptions
+    from iscc_search_tpu.server.scaleout import serve_scaleout
+
+    opts = SearchOptions(index_uri=f"tpu://{tmp_path}/z", port=0, workers=2)
+    with pytest.raises(ValueError, match="port"):
+        serve_scaleout(opts)

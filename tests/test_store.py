@@ -445,12 +445,14 @@ def test_range_scan_after_semantics(tmp_path):
 def test_db_kind_flip_rejected(tmp_path):
     store = HostStore(tmp_path / "kind")
     assert store.put("p", b"k", b"v")
-    assert not store.dup_put("p", b"k", b"v2")  # dup op on plain db: rejected
+    with pytest.raises(ValueError, match="plain db"):
+        store.dup_put("p", b"k", b"v2")  # dup op on plain db: rejected loudly
     assert store.get("p", b"k") == b"v"
     assert store.entries("p") == 1
 
     assert store.dup_put("d", b"k", b"v1")
-    assert not store.put("d", b"k", b"boom")  # plain op on dupsort db: rejected
+    with pytest.raises(ValueError, match="dupsort"):
+        store.put("d", b"k", b"boom")  # plain op on dupsort db: rejected loudly
     assert store.get_dups("d", b"k") == [b"v1"]
     assert store.entries("d") == 1
     # an emptied db may change kind
@@ -466,7 +468,11 @@ def test_db_kind_flip_rejected_externalized(tmp_path, monkeypatch):
     store = HostStore(tmp_path / "kindext")
     assert store.dup_put("d", b"k", b"v1")
     # externalized plain put on a dupsort db must be rejected BEFORE logging
-    assert not store.put("d", b"k", b"x" * 100)
+    # (and surfaced as an error, not a silent False: the write is dropped)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dupsort"):
+        store.put("d", b"k", b"x" * 100)
     assert store.get_dups("d", b"k") == [b"v1"]
     store.close()
     reopened = HostStore(tmp_path / "kindext")  # replay must agree

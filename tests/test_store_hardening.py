@@ -70,9 +70,14 @@ def test_oversized_mutations_rejected_not_truncated(tmp_path):
     try:
         assert store.put("db", b"before", b"1")
         long_db = "d" * 70000
-        assert store.put(long_db, b"k", b"v") is False
-        assert store.put("db", b"k" * (2 * 1024 * 1024), b"v") is False
-        assert store.dup_put(long_db, b"k", b"v") is False
+        # single-op rejections now RAISE (silent False conflated a dropped
+        # write with a benign no-op; callers ignored the bool)
+        with pytest.raises(ValueError, match="rejected"):
+            store.put(long_db, b"k", b"v")
+        with pytest.raises(ValueError, match="rejected"):
+            store.put("db", b"k" * (2 * 1024 * 1024), b"v")
+        with pytest.raises(ValueError, match="rejected"):
+            store.dup_put(long_db, b"k", b"v")
         with pytest.raises(ValueError, match="rejected"):
             store.putmulti(long_db, [(b"k", b"v")])
         with pytest.raises(ValueError, match="rejected"):
@@ -125,7 +130,8 @@ def test_close_waits_for_inflight_calls(tmp_path):
 def test_last_error_reports_detail(tmp_path):
     store = HostStore(tmp_path / "s")
     try:
-        store.put("d" * 70000, b"k", b"v")
+        with pytest.raises(ValueError):
+            store.put("d" * 70000, b"k", b"v")
         assert "size limits" in store._last_error()
     finally:
         store.close()
