@@ -11,7 +11,8 @@ recall-targeted fast path, go to BENCH_DETAILS.json).
 
 Env knobs:
     ISCC_BENCH_N        database rows        (default 10_485_760)
-    ISCC_BENCH_Q        query batch          (default 256)
+    ISCC_BENCH_Q        query batch          (default 512 — the measured
+                                              throughput peak; 1024 regresses)
     ISCC_BENCH_K        top-k                (default 10)
     ISCC_BENCH_CHUNK    scan chunk rows      (default 32768)
 """
@@ -24,24 +25,31 @@ import numpy as np
 
 
 def cpu_brute_force_qps(packed, q_packed, k, sample_rows=1_048_576):
-    """Single-core numpy XOR+popcount scan QPS, extrapolated to full N."""
+    """Single-core numpy XOR+popcount scan QPS, extrapolated to full N.
+
+    Best-of-3 trials: the single-sample figure swung 2x between runs on a
+    busy host, and the baseline should get its most favorable (fastest)
+    measurement.
+    """
     n = packed.shape[0]
     rows = min(sample_rows, n)
     db = packed[:rows]
-    t0 = time.perf_counter()
     nq = min(4, q_packed.shape[0])
-    for qi in range(nq):
-        x = np.bitwise_xor(db, q_packed[qi][None, :])
-        ham = np.bitwise_count(x).sum(axis=1)
-        np.argpartition(ham, k)[:k]
-    dt = (time.perf_counter() - t0) / nq
+    best = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for qi in range(nq):
+            x = np.bitwise_xor(db, q_packed[qi][None, :])
+            ham = np.bitwise_count(x).sum(axis=1)
+            np.argpartition(ham, k)[:k]
+        best = min(best, (time.perf_counter() - t0) / nq)
     # Extrapolate linearly to the full database size
-    return 1.0 / (dt * (n / rows))
+    return 1.0 / (best * (n / rows))
 
 
 def main():
     n = int(os.environ.get("ISCC_BENCH_N", 10_485_760))
-    q = int(os.environ.get("ISCC_BENCH_Q", 256))
+    q = int(os.environ.get("ISCC_BENCH_Q", 512))
     k = int(os.environ.get("ISCC_BENCH_K", 10))
     chunk = int(os.environ.get("ISCC_BENCH_CHUNK", 32768))
     n = (n // chunk) * chunk

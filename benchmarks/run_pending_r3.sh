@@ -2,13 +2,14 @@
 # Pending round-3 TPU measurements — run when the device tunnel is healthy.
 # One window covers everything:
 #   sh benchmarks/run_pending_r3.sh
-# Probe first: a dead tunnel hangs every device op (give the probe 30s).
+# Probe first: a dead tunnel hangs every device op (give the probe 120s —
+# a cold first compile over the tunnel can take 30-60s by itself).
 set -e
 cd "$(dirname "$0")/.."
 export PYTHONPATH=".:/root/.axon_site"
 
 echo "== tunnel probe =="
-timeout 30 python -c "
+timeout 120 python -c "
 import jax, jax.numpy as jnp, numpy as np
 y = jnp.ones((64,64)) @ jnp.ones((64,64))
 print('tunnel OK', float(np.asarray(y)[0,0]))"

@@ -120,6 +120,8 @@ class EngineIPCServer:
             self._sock.close()
         except OSError:  # pragma: no cover
             pass
+        if self._accept.is_alive():
+            self._accept.join(2)
         for t in self._threads:
             t.join(2)
         try:
