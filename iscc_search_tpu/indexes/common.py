@@ -45,6 +45,19 @@ def deserialize_asset(data):
         raise RuntimeError(f"corrupt stored asset record: {exc}") from None
 
 
+def metadata_from_asset_bytes(data):
+    # type: (bytes) -> dict | None
+    """Metadata field of a stored asset record, without building the model.
+
+    The search-enrichment hot path needs only ``metadata``; a full IsccEntry
+    validation per match costs ~3x the JSON parse. Same corruption contract
+    as :func:`deserialize_asset` (RuntimeError -> HTTP 500, never a 400)."""
+    try:
+        return json.loads(data.decode("utf-8")).get("metadata")
+    except Exception as exc:
+        raise RuntimeError(f"corrupt stored asset record: {exc}") from None
+
+
 def extract_iscc_id_body(iscc_id):
     # type: (str) -> bytes
     """Extract the 8-byte body from an ISCC-ID canonical string (one decode)."""

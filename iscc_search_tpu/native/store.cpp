@@ -958,6 +958,44 @@ uint8_t* ts_get_dups(void* h, const char* db, const uint8_t* key, uint32_t klen,
     return finish_scan(sb, out_len, out_count);
 }
 
+// Batched plain get: n fixed-width keys concatenated. The output buffer
+// holds, per key in request order, [u32 vlen][val] with vlen == 0xFFFFFFFF
+// marking an absent key (a zero-length stored value is vlen == 0; real
+// values are < 4 GiB by the same contract as ts_get's u32 vlen). One
+// shared-lock acquisition and one boundary crossing for the whole batch —
+// the serving hot path enriches top-k result rows with this. On an
+// external-value read error returns null with *out_len = UINT64_MAX (the
+// binding raises; an I/O failure must never masquerade as key-absent).
+uint8_t* ts_get_many(void* h, const char* db, const uint8_t* keys, uint32_t klen, uint32_t n, uint64_t* out_len,
+                     uint64_t* out_count) {
+    Store* s = static_cast<Store*>(h);
+    std::shared_lock lock(s->mtx);
+    ScanBuf sb;
+    auto dbit = s->dbs.find(db);
+    for (uint32_t i = 0; i < n; ++i) {
+        const Entry* e = nullptr;
+        if (dbit != s->dbs.end()) {
+            Bytes key(reinterpret_cast<const char*>(keys) + static_cast<size_t>(i) * klen, klen);
+            auto it = dbit->second.data.find(key);
+            if (it != dbit->second.data.end()) e = &it->second;
+        }
+        if (e == nullptr) {
+            put_u32(sb.data, 0xFFFFFFFFu);
+            continue;
+        }
+        Bytes v;
+        if (!plain_value(*s, *e, v)) {
+            s->set_error("external value read failed");
+            sb.error = true;
+            break;
+        }
+        put_u32(sb.data, static_cast<uint32_t>(v.size()));
+        sb.data.append(v);
+        sb.count++;
+    }
+    return finish_scan(sb, out_len, out_count);
+}
+
 // Full scan of a db from `start` key (inclusive), up to `limit` pairs.
 uint8_t* ts_range_scan(void* h, const char* db, const uint8_t* start, uint32_t slen, uint64_t limit,
                        uint64_t* out_len, uint64_t* out_count) {

@@ -101,6 +101,16 @@ def _load_library():
         lib.ts_get.restype = ctypes.c_int
         lib.ts_putmulti.argtypes = [ctypes.c_void_p, ctypes.c_char_p, c_u8p, ctypes.c_uint64]
         lib.ts_putmulti.restype = ctypes.c_int64
+        lib.ts_get_many.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            c_u8p,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.ts_get_many.restype = ctypes.POINTER(ctypes.c_uint8)
         lib.ts_range_scan_after.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
@@ -365,6 +375,48 @@ class HostStore:
             return ctypes.string_at(val_p, vlen.value)
         finally:
             self._lib.ts_free(val_p)
+
+    _MISSING = 0xFFFFFFFF  # ts_get_many per-key vlen sentinel: key absent
+
+    def get_many(self, db, keys):
+        # type: (str, list[bytes]) -> list[bytes | None]
+        """Batched plain get: one native call for N equal-width keys.
+
+        Returns one ``bytes | None`` per key, in request order. The serving
+        hot path enriches top-k rows through this (one lock acquisition +
+        one ctypes crossing instead of N).
+        """
+        if not keys:
+            return []
+        width = len(keys[0])
+        if any(len(k) != width for k in keys):
+            raise ValueError("get_many requires equal-width keys")
+        blob = b"".join(keys)
+        out_len = ctypes.c_uint64()
+        out_count = ctypes.c_uint64()
+        with self._use() as h:
+            ptr = self._lib.ts_get_many(
+                h, db.encode(), _buf(blob), width, len(keys), ctypes.byref(out_len), ctypes.byref(out_count)
+            )
+        if out_len.value == self._SCAN_ERROR:
+            raise OSError(f"store read failed: {self._last_error() or 'unknown error'}")
+        if not ptr:
+            return [None] * len(keys)
+        try:
+            raw = ctypes.string_at(ptr, out_len.value)
+        finally:
+            self._lib.ts_free(ptr)
+        vals = []  # type: list[bytes | None]
+        off = 0
+        for _ in keys:
+            (vlen,) = struct.unpack_from("<I", raw, off)
+            off += 4
+            if vlen == self._MISSING:
+                vals.append(None)
+                continue
+            vals.append(raw[off : off + vlen])
+            off += vlen
+        return vals
 
     _SCAN_ERROR = 2**64 - 1  # out_len sentinel: I/O error, not an empty result
 

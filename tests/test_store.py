@@ -478,3 +478,37 @@ def test_db_kind_flip_rejected_externalized(tmp_path, monkeypatch):
     reopened = HostStore(tmp_path / "kindext")  # replay must agree
     assert reopened.get_dups("d", b"k") == [b"v1"]
     reopened.close()
+
+
+def test_get_many_roundtrip(store):
+    store.put("assets", b"k1------", b"v1")
+    store.put("assets", b"k3------", b"")  # zero-length value != missing
+    vals = store.get_many("assets", [b"k1------", b"k2------", b"k3------", b"k1------"])
+    assert vals == [b"v1", None, b"", b"v1"]  # request order, dups allowed
+
+
+def test_get_many_matches_get_under_load(store):
+    keys = [struct.pack(">Q", i) for i in range(500)]
+    for i, k in enumerate(keys[::2]):  # every other key present
+        store.put("assets", k, b"payload-%d" % i)
+    batched = store.get_many("assets", keys)
+    assert batched == [store.get("assets", k) for k in keys]
+
+
+def test_get_many_edge_inputs(store):
+    assert store.get_many("assets", []) == []
+    assert store.get_many("nosuchdb", [b"k"]) == [None]
+    with pytest.raises(ValueError, match="equal-width"):
+        store.get_many("assets", [b"k1", b"key2"])
+
+
+def test_get_many_externalized_values(tmp_path, monkeypatch):
+    """Batched reads follow external value refs like single gets do."""
+    monkeypatch.setenv("TRUCTSTORE_EXT_MIN", "1")
+    s = HostStore(tmp_path / "ext")
+    try:
+        big = b"x" * 4096
+        s.put("assets", b"kbig----", big)
+        assert s.get_many("assets", [b"kbig----", b"none----"]) == [big, None]
+    finally:
+        s.close()
