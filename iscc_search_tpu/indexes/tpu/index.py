@@ -421,14 +421,22 @@ class TpuIndex:
             scored = []  # type: list[tuple[int, float, dict[str, float]]]
             threshold = self._opts.match_threshold_units
             exponent = self._opts.confidence_exponent
+            # Plain accumulation: per-key dict comprehensions + generator
+            # sums cost a frame per candidate on the serving hot path.
             for key, unit_scores in aggregated.items():
-                confident = {t: s for t, s in unit_scores.items() if s >= threshold}
+                confident = False
+                weighted_sum = 0.0
+                weight_sum = 0.0
+                for s in unit_scores.values():
+                    if s >= threshold:
+                        confident = True
+                        weighted_sum += s**exponent
+                        weight_sum += s
                 if not confident:
                     continue
-                weighted_sum = sum(s**exponent for s in confident.values())
-                weight_sum = sum(confident.values())
-                total = weighted_sum / weight_sum if weight_sum > 0 else 0.0
-                scored.append((key, total, unit_scores))
+                # weight_sum == 0 only at threshold 0 with all-zero scores;
+                # such keys keep their (0.0-scored) slot, as before.
+                scored.append((key, weighted_sum / weight_sum if weight_sum > 0 else 0.0, unit_scores))
 
             if query_iscc_id:
                 query_key = int(IsccID(query_iscc_id))
@@ -442,7 +450,7 @@ class TpuIndex:
             # full-model validation per match tripled enrichment cost.
             rows = self.store.get_many(DB_ASSETS, [struct.pack(">Q", key) for key, _, _ in scored])
             for (key, total, unit_scores), asset_bytes in zip(scored, rows):
-                iscc_id = str(IsccID.from_int(key, self._realm_id))
+                iscc_id = IsccID.str_from_int(key, self._realm_id)
                 # Metadata-only parse (1.8x over the full IsccEntry build —
                 # the match carries nothing else from the stored record).
                 # Validated model construction stays: pydantic's C-path

@@ -149,6 +149,29 @@ class IsccID(IsccBase):
             raise ValueError(f"Unsupported realm_id: {realm_id} (only 0 and 1 are defined)")
         return cls(cls._iscc_id_headers[realm_id] + iscc_id.to_bytes(8, "big", signed=False))
 
+    # 10-bit-group base32 table: a 10-byte ISCC-ID digest is 80 bits = eight
+    # 2-char groups. stdlib base64._b32encode is pure Python and ~2x slower.
+    _B32_PAIRS = [a + b for a in "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567" for b in "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"]
+    # Header as a high-shifted int so the whole digest is one 80-bit value
+    _iscc_id_header_ints = tuple(int.from_bytes(h, "big") << 64 for h in _iscc_id_headers)
+
+    @classmethod
+    def str_from_int(cls, iscc_id, realm_id):
+        # type: (int, int) -> str
+        """Canonical string straight from the integer key.
+
+        Bit-identical to ``str(IsccID.from_int(...))`` but skips object
+        construction, header re-parsing, and stdlib base32 — the
+        search-enrichment hot path builds one ISCC-ID string per match."""
+        if realm_id not in (0, 1):
+            raise ValueError(f"Unsupported realm_id: {realm_id} (only 0 and 1 are defined)")
+        v = cls._iscc_id_header_ints[realm_id] | iscc_id
+        t = cls._B32_PAIRS
+        return (
+            "ISCC:" + t[(v >> 70) & 1023] + t[(v >> 60) & 1023] + t[(v >> 50) & 1023] + t[(v >> 40) & 1023]
+            + t[(v >> 30) & 1023] + t[(v >> 20) & 1023] + t[(v >> 10) & 1023] + t[v & 1023]
+        )
+
     @classmethod
     def from_body(cls, body, realm_id):
         # type: (bytes, int) -> IsccID

@@ -206,6 +206,10 @@ class _DumpedResult:
     def model_dump(self, **_kw):
         return self._data
 
+    def model_dump_json(self, **_kw):
+        # Already dumped with exclude_none on the engine side
+        return json.dumps(self._data)
+
 
 class EngineRPCIndex:
     """IsccIndexProtocol client over the engine's unix socket.

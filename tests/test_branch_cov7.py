@@ -59,3 +59,23 @@ def test_atomic_write_cleans_tmp_on_failure(tmp_path, monkeypatch):
     # and the unpatched writer works in the same directory afterwards
     _atomic_write(target, b"payload")
     assert target.read_bytes() == b"payload"
+
+
+def test_str_from_int_parity_with_model_path():
+    from iscc_search_tpu.models import IsccID
+
+    for rid in (0, 1):
+        for key in (0, 1, 2**64 - 1, 1234567890123456789, 0x8000000000000000):
+            assert IsccID.str_from_int(key, rid) == str(IsccID.from_int(key, rid))
+    with pytest.raises(ValueError, match="realm_id"):
+        IsccID.str_from_int(1, 2)
+
+
+def test_metadata_from_asset_bytes_contract():
+    from iscc_search_tpu.indexes import common
+
+    raw = b'{"iscc_id": "ISCC:MAAJU3PXJ3Y5EXGA", "metadata": {"name": "n", "x": [1]}}'
+    assert common.metadata_from_asset_bytes(raw) == {"name": "n", "x": [1]}
+    assert common.metadata_from_asset_bytes(b'{"iscc_id": "ISCC:MAAJU3PXJ3Y5EXGA"}') is None
+    with pytest.raises(RuntimeError, match="corrupt stored asset"):
+        common.metadata_from_asset_bytes(b"not json")
