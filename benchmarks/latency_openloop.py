@@ -147,7 +147,7 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
 
     def make_req(body):
         return (
-            b"POST /indexes/ol/search HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+            b"POST /indexes/ol/search?limit=10 HTTP/1.1\r\nHost: 127.0.0.1\r\n"
             b"Content-Type: application/json\r\nContent-Length: %d\r\n\r\n%s" % (len(body), body)
         )
 
@@ -299,7 +299,9 @@ def main():
         rng = np.random.default_rng(1)
         queries = []
         for i in rng.integers(0, len(bodies), 512):
-            q = {"units": [unit(3, bodies[int(i)])], "limit": 10}  # MT.DATA = 3
+            q = {"units": [unit(3, bodies[int(i)])]}  # MT.DATA = 3; limit rides
+            # the query string (a body "limit" is not part of IsccQuery and
+            # was silently ignored — earlier sweeps actually served limit=100)
             queries.append(json.dumps(q))
         query_file = tempfile.mktemp(prefix="ol_queries_")
         with open(query_file, "w") as f:
@@ -311,7 +313,7 @@ def main():
 
         def fire(body):
             req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/indexes/ol/search",
+                f"http://127.0.0.1:{port}/indexes/ol/search?limit=10",
                 data=body.encode() if isinstance(body, str) else body,
                 headers={"Content-Type": "application/json"},
             )
