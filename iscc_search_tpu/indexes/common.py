@@ -51,11 +51,18 @@ def metadata_from_asset_bytes(data):
 
     The search-enrichment hot path needs only ``metadata``; a full IsccEntry
     validation per match costs ~3x the JSON parse. Same corruption contract
-    as :func:`deserialize_asset` (RuntimeError -> HTTP 500, never a 400)."""
+    as :func:`deserialize_asset` (RuntimeError -> HTTP 500, never a 400):
+    a non-dict record or non-dict metadata raises here rather than leaking
+    into response-model validation (which the wsgi layer maps to 422 —
+    blaming the client for server-side bit rot)."""
     try:
-        return json.loads(data.decode("utf-8")).get("metadata")
+        record = json.loads(data.decode("utf-8"))
+        metadata = record.get("metadata")
     except Exception as exc:
         raise RuntimeError(f"corrupt stored asset record: {exc}") from None
+    if not isinstance(record, dict) or not (metadata is None or isinstance(metadata, dict)):
+        raise RuntimeError("corrupt stored asset record: metadata is not an object")
+    return metadata
 
 
 def extract_iscc_id_body(iscc_id):

@@ -165,6 +165,10 @@ class IsccID(IsccBase):
         search-enrichment hot path builds one ISCC-ID string per match."""
         if realm_id not in (0, 1):
             raise ValueError(f"Unsupported realm_id: {realm_id} (only 0 and 1 are defined)")
+        if iscc_id < 0 or iscc_id >> 64:
+            # from_int's to_bytes(8) raises here; keep failing loudly rather
+            # than OR-ing a bad key into the header bits
+            raise OverflowError("iscc_id key out of uint64 range")
         v = cls._iscc_id_header_ints[realm_id] | iscc_id
         t = cls._B32_PAIRS
         return (

@@ -79,3 +79,22 @@ def test_metadata_from_asset_bytes_contract():
     assert common.metadata_from_asset_bytes(b'{"iscc_id": "ISCC:MAAJU3PXJ3Y5EXGA"}') is None
     with pytest.raises(RuntimeError, match="corrupt stored asset"):
         common.metadata_from_asset_bytes(b"not json")
+
+
+def test_metadata_corruption_never_becomes_client_error():
+    """Non-dict metadata in a stored record is server-side corruption: it
+    must raise RuntimeError (-> 500) here, not leak into response-model
+    validation (-> 422, blaming the client)."""
+    from iscc_search_tpu.indexes import common
+
+    for blob in (b'{"metadata": "garbage"}', b'{"metadata": [1]}', b'["not", "a", "record"]'):
+        with pytest.raises(RuntimeError, match="corrupt stored asset"):
+            common.metadata_from_asset_bytes(blob)
+
+
+def test_str_from_int_rejects_out_of_range_keys():
+    from iscc_search_tpu.models import IsccID
+
+    for bad in (-1, 2**64, 2**65 + 5):
+        with pytest.raises(OverflowError):
+            IsccID.str_from_int(bad, 0)
