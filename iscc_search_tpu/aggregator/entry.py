@@ -17,8 +17,8 @@ import re
 
 from iscc_search_tpu import codec as ic
 from iscc_search_tpu.aggregator import NETWORKS
-from iscc_search_tpu.indexes.common import validate_iscc_id
-from iscc_search_tpu.models import IsccCode, IsccID, IsccUnit
+from iscc_search_tpu.indexes.common import parse_iscc_id
+from iscc_search_tpu.models import IsccCode, IsccUnit
 from iscc_search_tpu.schema import IsccEntry
 
 # Pinned schema URIs — matched exactly, never semver-wildcarded.
@@ -65,18 +65,31 @@ def expand_gateway(template, iscc_id, iscc_code, datahash):
 
 
 def _instance_from_datahash(datahash):
-    # type: (str) -> str
-    """Full-width INSTANCE unit string from the note's multihash."""
+    # type: (str) -> IsccUnit
+    """Full-width INSTANCE unit from the note's multihash.
+
+    Built directly from digest bytes — same result as the reference's
+    ``ic.encode_component(..., 256, ...)`` text round-trip (entry.py:92)
+    without encoding to base32 only to re-decode in :func:`_widest_per_type`.
+    """
     digest = bytes.fromhex(datahash)[2:]  # strip the 2-byte multihash prefix
-    return "ISCC:" + ic.encode_component(ic.MT.INSTANCE, ic.ST.NONE, ic.VS.V0, 256, digest)
+    if len(digest) < 32:
+        raise ValueError(f"datahash digest too short: {len(digest)} bytes < 32")
+    header = ic.encode_header(ic.MT.INSTANCE, ic.ST.NONE, ic.VS.V0, ic.encode_length(ic.MT.INSTANCE, 256))
+    return IsccUnit(header + digest[:32])
 
 
-def _widest_per_type(unit_strings):
-    # type: (list[str]) -> list[str]
-    """One unit per unit-type, keeping the longest body (first wins ties)."""
+def _widest_per_type(units):
+    # type: (list[IsccUnit | str]) -> list[str]
+    """One unit per unit-type, keeping the longest body (first wins ties).
+
+    Accepts ready ``IsccUnit`` objects alongside canonical strings so callers
+    that already hold decoded units (code decomposition, datahash INSTANCE)
+    skip a base32 encode/decode round-trip per unit.
+    """
     best = {}  # type: dict[str, IsccUnit]
-    for text in unit_strings:
-        unit = IsccUnit(text)
+    for item in units:
+        unit = item if isinstance(item, IsccUnit) else IsccUnit(item)
         incumbent = best.get(unit.unit_type)
         if incumbent is None or len(unit.body) > len(incumbent.body):
             best[unit.unit_type] = unit
@@ -86,13 +99,14 @@ def _widest_per_type(unit_strings):
 def _declaration_to_entry(doc, note, network):
     # type: (dict, dict, str) -> IsccEntry
     iscc_id = doc["iscc_id"]
-    validate_iscc_id(iscc_id)
-    if IsccID(iscc_id).realm_id != NETWORKS[network]["realm"]:
+    # One parse covers format validation AND the realm check (the reference
+    # validates then re-decodes; parse_iscc_id exists to fuse those).
+    if parse_iscc_id(iscc_id).realm_id != NETWORKS[network]["realm"]:
         raise _Skip("realm_mismatch")
     iscc_code = note["iscc_code"]
     datahash = note["datahash"]
     candidates = (
-        [str(unit) for unit in IsccCode(iscc_code).units]
+        list(IsccCode(iscc_code).units)
         + list(note.get("units", []))
         + [_instance_from_datahash(datahash)]
     )
