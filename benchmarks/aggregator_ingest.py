@@ -16,6 +16,7 @@ Run: [PYTHONPATH=.:/root/.axon_site] python benchmarks/aggregator_ingest.py [n_r
 import asyncio
 import hashlib
 import json
+import os
 import struct
 import sys
 import tempfile
@@ -160,6 +161,8 @@ def main():
         "median_bundle_ms": sorted(g for g, _ in gaps)[len(gaps) // 2] if gaps else None,
         "indexed_assets": stats.assets,
         "durability": "store sync barrier + durable cursor save per advanced poll",
+        "convert_workers": opts.aggregator_convert_workers,
+        "host_cores": os.cpu_count(),
     }
     index.close()
     print(json.dumps(result, indent=1))

@@ -96,8 +96,8 @@ def _widest_per_type(units):
     return [str(unit) for unit in best.values()]
 
 
-def _declaration_to_entry(doc, note, network):
-    # type: (dict, dict, str) -> IsccEntry
+def _declaration_to_fields(doc, note, network):
+    # type: (dict, dict, str) -> tuple
     iscc_id = doc["iscc_id"]
     # One parse covers format validation AND the realm check (the reference
     # validates then re-decodes; parse_iscc_id exists to fuse those).
@@ -111,20 +111,20 @@ def _declaration_to_entry(doc, note, network):
         + [_instance_from_datahash(datahash)]
     )
     gateway = note.get("gateway")
-    return IsccEntry(
-        iscc_id=iscc_id,
-        iscc_code=iscc_code,
-        units=_widest_per_type(candidates),
-        metadata={"gateway": expand_gateway(gateway, iscc_id, iscc_code, datahash)} if gateway else None,
-    )
+    metadata = {"gateway": expand_gateway(gateway, iscc_id, iscc_code, datahash)} if gateway else None
+    return iscc_id, iscc_code, _widest_per_type(candidates), metadata
 
 
-def record_to_entry(record, network):
-    # type: (bytes, str) -> tuple[IsccEntry | None, str]
+def record_to_fields(record, network):
+    # type: (bytes, str) -> tuple[tuple | None, str]
     """
-    Convert one log record to an IsccEntry, classifying skips.
+    Convert one log record to primitive IsccEntry fields, classifying skips.
 
-    :return: (entry, "ok") or (None, reason) with reason from :data:`REASONS`
+    The primitive form ``(iscc_id, iscc_code, units, metadata)`` is cheap to
+    pickle across a conversion-worker process boundary; :func:`record_to_entry`
+    wraps it into the pydantic wire model.
+
+    :return: (fields, "ok") or (None, reason) with reason from :data:`REASONS`
     """
     try:
         doc = json.loads(record)
@@ -137,8 +137,46 @@ def record_to_entry(record, network):
             raise _Skip("deletion")
         if schema != DECLARATION_SCHEMA:
             raise _Skip("unknown_schema")
-        return _declaration_to_entry(doc, note, network), "ok"
+        return _declaration_to_fields(doc, note, network), "ok"
     except _Skip as skip:
         return None, skip.reason
     except Exception:
         return None, "malformed"
+
+
+def record_to_entry(record, network):
+    # type: (bytes, str) -> tuple[IsccEntry | None, str]
+    """
+    Convert one log record to an IsccEntry, classifying skips.
+
+    :return: (entry, "ok") or (None, reason) with reason from :data:`REASONS`
+    """
+    fields, reason = record_to_fields(record, network)
+    return entry_from_fields(fields) if fields is not None else None, reason
+
+
+def entry_from_fields(fields):
+    # type: (tuple) -> IsccEntry
+    """Wire model from the primitive fields of :func:`record_to_fields`."""
+    iscc_id, iscc_code, units, metadata = fields
+    return IsccEntry(iscc_id=iscc_id, iscc_code=iscc_code, units=units, metadata=metadata)
+
+
+def convert_group(records, skip, network):
+    # type: (list[bytes], int, str) -> tuple[list[tuple], dict]
+    """
+    Convert one bundle group's records (past the cursor) to primitive fields.
+
+    Top-level and primitive-typed on both sides so it can run in a spawned
+    conversion-worker process (poller pipeline) as well as inline.
+
+    :return: (fields list, per-reason tally dict)
+    """
+    tally = dict.fromkeys(REASONS, 0)
+    out = []
+    for record in records[skip:]:
+        fields, reason = record_to_fields(record, network)
+        tally[reason] += 1
+        if fields is not None:
+            out.append(fields)
+    return out, tally

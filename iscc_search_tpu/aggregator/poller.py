@@ -14,6 +14,11 @@ cache). At-least-once delivery with idempotent upserts keeps every path safe.
 from __future__ import annotations
 
 import asyncio
+import contextlib
+import multiprocessing
+import os
+from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures.process import BrokenProcessPool
 import time
 from collections import Counter
 from dataclasses import dataclass, field
@@ -22,7 +27,7 @@ from typing import TYPE_CHECKING
 import httpx
 
 from iscc_search_tpu.aggregator import hublist, tlog
-from iscc_search_tpu.aggregator.entry import REASONS, record_to_entry
+from iscc_search_tpu.aggregator.entry import REASONS, convert_group, entry_from_fields
 from iscc_search_tpu.utils import get_logger
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -82,15 +87,24 @@ def plan_bundles(last_size, tree_size):
 def _convert_bundle(records, skip, network, hub_url, tally):
     # type: (list[bytes], int, str, str, Counter) -> list
     """Convert one bundle's records (past the cursor) to entries, tallying reasons."""
-    entries = []
-    for record in records[skip:]:
-        entry, reason = record_to_entry(record, network)
-        tally[reason] += 1
-        if entry is not None:
-            entries.append(entry)
-        elif reason != "deletion":
-            logger.warning(f"aggregator: {hub_url}: skipped record ({reason})")
-    return entries
+    fields, group_tally = convert_group(records, skip, network)
+    tally.update(group_tally)
+    _log_skips(group_tally, hub_url)
+    return [entry_from_fields(f) for f in fields]
+
+
+def _index_fields(index, index_name, fields):
+    # type: (..., str, list[tuple]) -> None
+    """Build wire entries from primitive fields and index them (one thread hop)."""
+    index.add_assets(index_name, [entry_from_fields(f) for f in fields])
+
+
+def _log_skips(group_tally, hub_url):
+    # type: (dict, str) -> None
+    """One aggregated warning per non-benign skip reason in a converted group."""
+    for reason, count in group_tally.items():
+        if count and reason not in ("ok", "deletion"):
+            logger.warning(f"aggregator: {hub_url}: skipped {count} record(s) ({reason})")
 
 
 #: Bundles per indexing cycle. 256-record cycles leave half the ingest rate
@@ -101,19 +115,107 @@ def _convert_bundle(records, skip, network, hub_url, tally):
 GROUP_BUNDLES = 16
 
 
-async def poll_hub_once(client, hub, last_size, index, index_name, network, stop_event):
-    # type: (httpx.AsyncClient, hublist.Hub, int, ..., str, str, asyncio.Event) -> PollResult
+def _noop():  # pragma: no cover - worker warmup target
+    return None
+
+
+@contextlib.contextmanager
+def _hermetic_spawn_env():
+    """
+    Strip tunneled-TPU interpreter hooks from the env while spawning workers.
+
+    Dev/bench environments attach a remote TPU by injecting a sitecustomize
+    via PYTHONPATH that imports jax and dials the device tunnel at interpreter
+    start; a conversion worker (pure host-side codec work) must not inherit
+    that. Mirrors tests/conftest.py subprocess hermeticity.
+    """
+    saved = {k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+    parts = [p for p in (saved["PYTHONPATH"] or "").split(os.pathsep) if p and "axon_site" not in p]
+    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        yield
+    finally:
+        for key, value in saved.items():
+            if value is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = value
+
+
+class ConvertPool:
+    """
+    Record-conversion offload: spawn-based worker processes, inline fallback.
+
+    Conversion (JSON + codec, pure Python) and indexing (add_assets) each
+    sustain ~24k records/s but serialize behind the GIL when run in threads
+    of one process; a worker process lets the poller pipeline convert group
+    N+1 while group N indexes (benchmarks/aggregator_ingest.py). ``workers=0``
+    converts inline in a thread (the pre-pipeline behavior); a broken pool
+    (worker killed, spawn failure) degrades to inline permanently and logs
+    once — correctness never depends on the pool.
+    """
+
+    def __init__(self, workers):
+        # type: (int) -> None
+        self.workers = workers
+        self._pool = None  # type: ProcessPoolExecutor | None
+        self._broken = workers <= 0
+
+    def _ensure(self):
+        # type: () -> ProcessPoolExecutor
+        if self._pool is None:
+            with _hermetic_spawn_env():
+                pool = ProcessPoolExecutor(
+                    max_workers=self.workers, mp_context=multiprocessing.get_context("spawn")
+                )
+                # Force the spawns NOW, inside the hermetic env (the executor
+                # otherwise spawns lazily on first submit, after env restore).
+                for fut in [pool.submit(_noop) for _ in range(self.workers)]:
+                    fut.result()
+            self._pool = pool
+        return self._pool
+
+    async def convert(self, records, skip, network):
+        # type: (list[bytes], int, str) -> tuple[list[tuple], dict]
+        """Convert one group's records, preferring a worker process."""
+        if not self._broken:
+            try:
+                loop = asyncio.get_running_loop()
+                return await loop.run_in_executor(self._ensure(), convert_group, records, skip, network)
+            except BrokenProcessPool as exc:
+                self._broken = True
+                logger.warning(f"aggregator: conversion pool broke, converting inline from now on: {exc}")
+            except OSError as exc:  # spawn failure (fd/process limits)
+                self._broken = True
+                logger.warning(f"aggregator: conversion pool unavailable, converting inline: {exc}")
+        return await asyncio.to_thread(convert_group, records, skip, network)
+
+    def close(self):
+        # type: () -> None
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
+
+
+async def poll_hub_once(client, hub, last_size, index, index_name, network, stop_event, convert=None):
+    # type: (httpx.AsyncClient, hublist.Hub, int, ..., str, str, asyncio.Event, ConvertPool | None) -> PollResult
     """
     One poll of one hub: read the checkpoint, then ingest the planned bundles
-    in groups of up to GROUP_BUNDLES — fetches within a group run
-    concurrently, then ONE convert + ONE add_assets covers the whole group
-    (indexing runs in a worker thread, so the loop stays responsive to
-    ``stop_event`` between groups).
+    in groups of up to GROUP_BUNDLES. With an active ``convert`` pool the
+    groups run as a two-stage pipeline: while group N indexes (add_assets in
+    a worker thread), group N+1 is already fetching and converting in a
+    worker process, so the two Python-bound halves genuinely overlap instead
+    of serializing behind the GIL. Without a pool (workers=0 / single-core
+    hosts) the groups run strictly sequentially — prefetching a CPU-bound
+    conversion onto the same core only adds GIL-handoff overhead (measured
+    ~15% slower at 1M records on a 1-core host).
 
     A tree-size regression resets the cursor to 0 for re-backfill. A failing
     group (fetch, short bundle, or indexing error) ends the poll but keeps
     the cursor progress already made and surfaces the failure via
-    ``PollResult.error``.
+    ``PollResult.error`` (a prefetched successor group is discarded and
+    re-fetched next poll — at-least-once + idempotent upserts make that safe).
     """
     tally = Counter({reason: 0 for reason in REASONS})
 
@@ -138,36 +240,50 @@ async def poll_hub_once(client, hub, last_size, index, index_name, network, stop
             raise ValueError(f"{path} has {len(records)} records, expected {want}")
         return records
 
-    async def ingest_group(group):
-        # type: (list[tuple[int, int]]) -> None
-        """Fetch (concurrently), convert, and index one bundle group."""
+    async def produce(group):
+        # type: (list[tuple[int, int]]) -> tuple[list, dict]
+        """Fetch (concurrently) and convert one bundle group to entries."""
         fetched = await asyncio.gather(*(fetch(bundle, width) for bundle, width in group))
         records = [record for bundle_records in fetched for record in bundle_records]
-        already_done = max(cursor - group[0][0] * tlog.TILE_WIDTH, 0)
-        # Tally per group and merge only after add_assets COMMITS: a failed
-        # group is retried next poll, and pre-counting its records would
-        # double-count them in the cumulative /status totals.
-        group_tally = Counter({reason: 0 for reason in REASONS})
-        entries = await asyncio.to_thread(
-            _convert_bundle, records, already_done, network, hub.url, group_tally
-        )
-        await asyncio.to_thread(index.add_assets, index_name, entries)
-        tally.update(group_tally)
+        already_done = max(last_size - group[0][0] * tlog.TILE_WIDTH, 0)
+        if convert is not None:
+            fields, group_tally = await convert.convert(records, already_done, network)
+        else:
+            fields, group_tally = await asyncio.to_thread(convert_group, records, already_done, network)
+        return fields, group_tally
 
     cursor = last_size
     plan = plan_bundles(last_size, tree_size)
-    for g in range(0, len(plan), GROUP_BUNDLES):
-        if stop_event.is_set():
-            break
-        group = plan[g : g + GROUP_BUNDLES]
-        try:
-            await ingest_group(group)
-        except Exception as exc:
-            first = group[0][0]
-            logger.warning(f"aggregator: {hub.url}: bundles {first}+ failed, retrying next poll: {exc}")
-            return PollResult(last_size=cursor, counts=dict(tally), error=f"bundle {first} failed: {exc}")
-        last_bundle, last_width = group[-1]
-        cursor = min((last_bundle + 1) * tlog.TILE_WIDTH, tree_size)
+    groups = [plan[g : g + GROUP_BUNDLES] for g in range(0, len(plan), GROUP_BUNDLES)]
+    next_task = None  # type: asyncio.Task | None
+    try:
+        for i, group in enumerate(groups):
+            if stop_event.is_set():
+                break
+            task = next_task if next_task is not None else asyncio.ensure_future(produce(group))
+            pipelined = convert is not None and convert.workers > 0 and not convert._broken
+            next_task = asyncio.ensure_future(produce(groups[i + 1])) if pipelined and i + 1 < len(groups) else None
+            try:
+                # Tally per group and merge only after add_assets COMMITS: a
+                # failed group is retried next poll, and pre-counting its
+                # records would double-count the cumulative /status totals.
+                fields, group_tally = await task
+                # Entry rebuild happens in the SAME worker thread as the add:
+                # the event loop stays free to drive the next group's fetch.
+                await asyncio.to_thread(_index_fields, index, index_name, fields)
+            except Exception as exc:
+                first = group[0][0]
+                logger.warning(f"aggregator: {hub.url}: bundles {first}+ failed, retrying next poll: {exc}")
+                return PollResult(last_size=cursor, counts=dict(tally), error=f"bundle {first} failed: {exc}")
+            _log_skips(group_tally, hub.url)
+            tally.update(group_tally)
+            last_bundle, last_width = group[-1]
+            cursor = min((last_bundle + 1) * tlog.TILE_WIDTH, tree_size)
+    finally:
+        if next_task is not None:
+            next_task.cancel()
+            with contextlib.suppress(asyncio.CancelledError, Exception):
+                await next_task
     return PollResult(last_size=cursor, counts=dict(tally))
 
 
@@ -223,7 +339,7 @@ class _Roster:
         self._due = now + opts.aggregator_hub_refresh_interval
 
 
-async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, durable):
+async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, durable, convert=None):
     # type: (...) -> None
     """Poll one hub and fold the outcome into its mutable status row.
 
@@ -234,7 +350,14 @@ async def _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_stor
     state.last_poll = time.time()
     try:
         result = await poll_hub_once(
-            client, hub, state.cursor, index, opts.aggregator_index_name, opts.aggregator_network, stop_event
+            client,
+            hub,
+            state.cursor,
+            index,
+            opts.aggregator_index_name,
+            opts.aggregator_network,
+            stop_event,
+            convert=convert,
         )
     except Exception as exc:
         state.ok = False
@@ -280,24 +403,30 @@ async def poll_loop(index, opts, stop_event, client, status, cursor_store=None):
     """
     durable = cursor_store.load() if cursor_store is not None else {}
     roster = _Roster(opts)
-    while not stop_event.is_set():
-        await roster.refresh(client, status)
-        for hub in roster.hubs:
-            if stop_event.is_set():
-                break
-            state = status.get(hub.hub_id)
-            if state is None:
-                # Seed from the LIVE durable map (not a process-start
-                # snapshot): a hub pruned by a roster flap and re-added must
-                # resume from its latest saved cursor, not an old one.
-                state = status[hub.hub_id] = HubStatus(
-                    hub_id=hub.hub_id, url=hub.url, cursor=durable.get(hub.hub_id, 0)
+    convert = ConvertPool(getattr(opts, "aggregator_convert_workers", 0))
+    try:
+        while not stop_event.is_set():
+            await roster.refresh(client, status)
+            for hub in roster.hubs:
+                if stop_event.is_set():
+                    break
+                state = status.get(hub.hub_id)
+                if state is None:
+                    # Seed from the LIVE durable map (not a process-start
+                    # snapshot): a hub pruned by a roster flap and re-added must
+                    # resume from its latest saved cursor, not an old one.
+                    state = status[hub.hub_id] = HubStatus(
+                        hub_id=hub.hub_id, url=hub.url, cursor=durable.get(hub.hub_id, 0)
+                    )
+                await _poll_one_hub(
+                    client, hub, state, index, opts, stop_event, cursor_store, durable, convert=convert
                 )
-            await _poll_one_hub(client, hub, state, index, opts, stop_event, cursor_store, durable)
-        try:
-            await asyncio.wait_for(stop_event.wait(), timeout=opts.aggregator_poll_interval)
-        except (TimeoutError, asyncio.TimeoutError):
-            pass
+            try:
+                await asyncio.wait_for(stop_event.wait(), timeout=opts.aggregator_poll_interval)
+            except (TimeoutError, asyncio.TimeoutError):
+                pass
+    finally:
+        convert.close()
 
 
 async def run(index, opts, stop_event, status):

@@ -119,6 +119,16 @@ class SearchOptions(BaseModel):
     aggregator_hub_list_url: str | None = Field(None, description="ISCC_SEARCH_AGGREGATOR_HUB_LIST_URL")
     aggregator_poll_interval: int = Field(60, ge=1, description="ISCC_SEARCH_AGGREGATOR_POLL_INTERVAL - seconds")
     aggregator_hub_refresh_interval: int = Field(3600, ge=1, description="ISCC_SEARCH_AGGREGATOR_HUB_REFRESH_INTERVAL")
+    aggregator_convert_workers: int = Field(
+        default_factory=lambda: 1 if (os.cpu_count() or 1) > 1 else 0,
+        ge=0,
+        le=8,
+        description="ISCC_SEARCH_AGGREGATOR_CONVERT_WORKERS - record-conversion worker processes "
+        "(0 = convert inline; both halves of the ingest pipeline are Python-bound, so on a "
+        "multi-core host a worker process lets conversion overlap indexing instead of "
+        "serializing behind the GIL; default 1 when >1 core is available, else 0 — on a "
+        "single core a worker only adds pickling overhead)",
+    )
 
     # Logging
     log_level: str = Field("info", description="ISCC_SEARCH_LOG_LEVEL")

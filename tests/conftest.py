@@ -33,6 +33,12 @@ if _platform == "cpu":
     ]
     os.environ["PYTHONPATH"] = os.pathsep.join(_pp)
 
+# Convert inline by default in tests: the poller's conversion-worker pool
+# spawns a fresh interpreter per poll_loop (~3s each on this host). Tests that
+# exercise the pool pass aggregator_convert_workers=1 explicitly (init args
+# override env in pydantic-settings).
+os.environ.setdefault("ISCC_SEARCH_AGGREGATOR_CONVERT_WORKERS", "0")
+
 import jax
 
 jax.config.update("jax_platforms", _platform)

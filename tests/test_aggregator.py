@@ -495,3 +495,119 @@ def test_roster_prunes_hubs_absent_from_refresh(agg_setup):
     roster._due = 0.0
     run_async(roster.refresh(client, status))
     assert list(status) == [0]
+
+
+# ------------------------------------------------- conversion pool / pipeline
+
+
+def test_record_to_fields_matches_entry():
+    """The primitive form round-trips to exactly what record_to_entry builds."""
+    for record in [make_record(1), make_record(2, gateway="https://gw.example/{iscc_id}")]:
+        fields, reason = entry_mod.record_to_fields(record, "testnet")
+        assert reason == "ok"
+        entry, _ = entry_mod.record_to_entry(record, "testnet")
+        assert entry_mod.entry_from_fields(fields) == entry
+    for bad, want in [
+        (b"notjson", "malformed"),
+        (make_record(3, schema=entry_mod.DELETION_SCHEMA), "deletion"),
+        (make_record(4, realm=1), "realm_mismatch"),
+    ]:
+        fields, reason = entry_mod.record_to_fields(bad, "testnet")
+        assert fields is None and reason == want
+
+
+def test_convert_group_skip_offset_and_tally():
+    """convert_group honors the cursor skip and tallies every reason."""
+    records = [
+        make_record(1),
+        make_record(2),
+        make_record(3, schema=entry_mod.DELETION_SCHEMA),
+        b"junk",
+        make_record(4),
+    ]
+    fields, tally = entry_mod.convert_group(records, 1, "testnet")
+    assert [f[0] for f in fields] == [make_iscc_id(2), make_iscc_id(4)]
+    assert tally == {"ok": 2, "deletion": 1, "malformed": 1, "unknown_schema": 0, "realm_mismatch": 0}
+
+
+def test_convert_pool_inline_when_zero():
+    """workers=0 never creates a process pool."""
+    pool = poller.ConvertPool(0)
+
+    async def go():
+        return await pool.convert([make_record(1)], 0, "testnet")
+
+    fields, tally = run_async(go())
+    assert tally["ok"] == 1 and pool._pool is None
+    pool.close()
+
+
+def test_convert_pool_worker_roundtrip():
+    """A real spawned worker converts identically to the inline path."""
+    records = [make_record(i) for i in range(1, 6)] + [b"junk"]
+    pool = poller.ConvertPool(1)
+    try:
+
+        async def go():
+            return await pool.convert(records, 0, "testnet")
+
+        fields, tally = run_async(go())
+        assert pool._pool is not None  # really went through the pool
+        inline_fields, inline_tally = entry_mod.convert_group(records, 0, "testnet")
+        assert fields == inline_fields and tally == inline_tally
+    finally:
+        pool.close()
+    assert pool._pool is None
+
+
+def test_convert_pool_broken_falls_back(monkeypatch):
+    """A pool failure degrades to inline conversion permanently."""
+    pool = poller.ConvertPool(1)
+
+    def boom():
+        raise OSError("no processes for you")
+
+    monkeypatch.setattr(pool, "_ensure", boom)
+
+    async def go():
+        return await pool.convert([make_record(1)], 0, "testnet")
+
+    fields, tally = run_async(go())
+    assert tally["ok"] == 1 and pool._broken
+    # Second call stays inline without consulting _ensure again
+    monkeypatch.setattr(pool, "_ensure", lambda: (_ for _ in ()).throw(AssertionError("must not re-ensure")))
+    fields, tally = run_async(go())
+    assert tally["ok"] == 1
+    pool.close()
+
+
+def test_poll_hub_once_pipelined_with_pool(agg_setup):
+    """End-to-end ingest through poll_hub_once with a live conversion pool
+    (multiple groups, so the prefetch pipeline actually overlaps)."""
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 601)]
+    fake = FakeLog(records)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+    pool = poller.ConvertPool(1)
+
+    async def go():
+        stop = asyncio.Event()
+        try:
+            return await poller.poll_hub_once(
+                client, hub, 0, index, "idptest", "testnet", stop, convert=pool
+            )
+        finally:
+            pool.close()
+
+    # Pin the group size so the 600-record log spans 3 pipelined groups.
+    old = poller.GROUP_BUNDLES
+    poller.GROUP_BUNDLES = 1
+    try:
+        result = run_async(go())
+    finally:
+        poller.GROUP_BUNDLES = old
+    assert result.error is None
+    assert result.last_size == 600
+    assert result.counts["ok"] == 600
+    assert index.get_index("idptest").assets == 600
