@@ -152,7 +152,14 @@ def record_to_entry(record, network):
     :return: (entry, "ok") or (None, reason) with reason from :data:`REASONS`
     """
     fields, reason = record_to_fields(record, network)
-    return entry_from_fields(fields) if fields is not None else None, reason
+    if fields is None:
+        return None, reason
+    try:
+        return entry_from_fields(fields), "ok"
+    except Exception:
+        # Wire-model validation rejects (e.g. a code decomposing to a single
+        # unit, below IsccEntry's units min_length): a skip, never a raise.
+        return None, "malformed"
 
 
 def entry_from_fields(fields):

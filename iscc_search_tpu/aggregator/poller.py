@@ -15,10 +15,10 @@ from __future__ import annotations
 
 import asyncio
 import contextlib
-import multiprocessing
 import os
-from concurrent.futures import ProcessPoolExecutor
-from concurrent.futures.process import BrokenProcessPool
+import subprocess
+import sys
+import threading
 import time
 from collections import Counter
 from dataclasses import dataclass, field
@@ -26,7 +26,7 @@ from typing import TYPE_CHECKING
 
 import httpx
 
-from iscc_search_tpu.aggregator import hublist, tlog
+from iscc_search_tpu.aggregator import convert_worker, hublist, tlog
 from iscc_search_tpu.aggregator.entry import REASONS, convert_group, entry_from_fields
 from iscc_search_tpu.utils import get_logger
 
@@ -84,19 +84,28 @@ def plan_bundles(last_size, tree_size):
     return plan
 
 
-def _convert_bundle(records, skip, network, hub_url, tally):
-    # type: (list[bytes], int, str, str, Counter) -> list
-    """Convert one bundle's records (past the cursor) to entries, tallying reasons."""
-    fields, group_tally = convert_group(records, skip, network)
-    tally.update(group_tally)
-    _log_skips(group_tally, hub_url)
-    return [entry_from_fields(f) for f in fields]
-
-
 def _index_fields(index, index_name, fields):
-    # type: (..., str, list[tuple]) -> None
-    """Build wire entries from primitive fields and index them (one thread hop)."""
-    index.add_assets(index_name, [entry_from_fields(f) for f in fields])
+    # type: (..., str, list[tuple]) -> int
+    """
+    Build wire entries from primitive fields and index them (one thread hop).
+
+    Entry construction is guarded per record: a field set the wire model
+    rejects (e.g. a code decomposing to a single unit, below IsccEntry's
+    units min_length) is dropped and counted, never allowed to fail the
+    group — one poison record from an untrusted log would otherwise stall
+    the hub's cursor forever, re-fetching and re-crashing every poll.
+
+    :return: number of records dropped by wire-model validation
+    """
+    entries = []
+    dropped = 0
+    for f in fields:
+        try:
+            entries.append(entry_from_fields(f))
+        except Exception:
+            dropped += 1
+    index.add_assets(index_name, entries)
+    return dropped
 
 
 def _log_skips(group_tally, hub_url):
@@ -115,87 +124,127 @@ def _log_skips(group_tally, hub_url):
 GROUP_BUNDLES = 16
 
 
-def _noop():  # pragma: no cover - worker warmup target
-    return None
-
-
-@contextlib.contextmanager
-def _hermetic_spawn_env():
+def _worker_env():
+    # type: () -> dict
     """
-    Strip tunneled-TPU interpreter hooks from the env while spawning workers.
+    Private, hermetic env dict for a conversion-worker subprocess.
 
     Dev/bench environments attach a remote TPU by injecting a sitecustomize
     via PYTHONPATH that imports jax and dials the device tunnel at interpreter
     start; a conversion worker (pure host-side codec work) must not inherit
-    that. Mirrors tests/conftest.py subprocess hermeticity.
+    that. Snapshot-and-edit of a private dict (the scaleout.py worker-spawn
+    pattern) — never a mutation of os.environ, which other threads of the
+    server process read concurrently.
     """
-    saved = {k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")}
-    parts = [p for p in (saved["PYTHONPATH"] or "").split(os.pathsep) if p and "axon_site" not in p]
-    os.environ["PYTHONPATH"] = os.pathsep.join(parts)
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    env = dict(os.environ)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon_site" not in p]
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if pkg_parent not in parts:
+        parts.insert(0, pkg_parent)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _reap(proc):
+    # type: (subprocess.Popen) -> None
+    """Close one worker: EOF its stdin (clean exit), escalate to kill."""
+    with contextlib.suppress(OSError):
+        proc.stdin.close()
     try:
-        yield
-    finally:
-        for key, value in saved.items():
-            if value is None:
-                os.environ.pop(key, None)
-            else:
-                os.environ[key] = value
+        proc.wait(timeout=5)
+    except subprocess.TimeoutExpired:  # pragma: no cover - kill escalation
+        proc.kill()
+        proc.wait()
 
 
 class ConvertPool:
     """
-    Record-conversion offload: spawn-based worker processes, inline fallback.
+    Record-conversion offload: hermetic worker subprocesses, inline fallback.
 
     Conversion (JSON + codec, pure Python) and indexing (add_assets) each
     sustain ~24k records/s but serialize behind the GIL when run in threads
     of one process; a worker process lets the poller pipeline convert group
-    N+1 while group N indexes (benchmarks/aggregator_ingest.py). ``workers=0``
-    converts inline in a thread (the pre-pipeline behavior); a broken pool
-    (worker killed, spawn failure) degrades to inline permanently and logs
-    once — correctness never depends on the pool.
+    N+1 while group N indexes (benchmarks/aggregator_ingest.py). Workers
+    spawn on demand from the calling worker thread — never the event loop —
+    as plain subprocesses with a private env dict (``convert_worker`` frames
+    over stdio). ``workers=0`` converts inline in a thread (the pre-pipeline
+    behavior); any pool failure (spawn, worker death, protocol error)
+    degrades to inline permanently and logs once — correctness never
+    depends on the pool.
     """
 
     def __init__(self, workers):
         # type: (int) -> None
         self.workers = workers
-        self._pool = None  # type: ProcessPoolExecutor | None
         self._broken = workers <= 0
+        self._lock = threading.Lock()
+        self._idle = []  # type: list[subprocess.Popen]
+        self._procs = []  # type: list[subprocess.Popen]
 
-    def _ensure(self):
-        # type: () -> ProcessPoolExecutor
-        if self._pool is None:
-            with _hermetic_spawn_env():
-                pool = ProcessPoolExecutor(
-                    max_workers=self.workers, mp_context=multiprocessing.get_context("spawn")
-                )
-                # Force the spawns NOW, inside the hermetic env (the executor
-                # otherwise spawns lazily on first submit, after env restore).
-                for fut in [pool.submit(_noop) for _ in range(self.workers)]:
-                    fut.result()
-            self._pool = pool
-        return self._pool
+    @property
+    def active(self):
+        # type: () -> bool
+        """Whether converts may still go through a worker process."""
+        return not self._broken
+
+    def _spawn(self):
+        # type: () -> subprocess.Popen
+        return subprocess.Popen(
+            [sys.executable, "-m", "iscc_search_tpu.aggregator.convert_worker"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env=_worker_env(),
+        )
+
+    def _checkout(self):
+        # type: () -> subprocess.Popen | None
+        with self._lock:
+            if self._idle:
+                return self._idle.pop()
+            if len(self._procs) < self.workers:
+                proc = self._spawn()
+                self._procs.append(proc)
+                return proc
+        return None
+
+    def _roundtrip(self, records, skip, network):
+        # type: (list[bytes], int, str) -> tuple[list[tuple], dict]
+        proc = self._checkout()
+        if proc is None:  # every worker busy: convert in this thread
+            return convert_group(records, skip, network)
+        try:
+            convert_worker.write_frame(proc.stdin, (records, skip, network))
+            result = convert_worker.read_frame(proc.stdout)
+            if result is None:
+                raise EOFError("conversion worker exited")
+        except BaseException:
+            with self._lock:
+                if proc in self._procs:
+                    self._procs.remove(proc)
+            _reap(proc)
+            raise
+        with self._lock:
+            self._idle.append(proc)
+        return result
 
     async def convert(self, records, skip, network):
         # type: (list[bytes], int, str) -> tuple[list[tuple], dict]
         """Convert one group's records, preferring a worker process."""
         if not self._broken:
             try:
-                loop = asyncio.get_running_loop()
-                return await loop.run_in_executor(self._ensure(), convert_group, records, skip, network)
-            except BrokenProcessPool as exc:
+                return await asyncio.to_thread(self._roundtrip, records, skip, network)
+            except Exception as exc:
                 self._broken = True
-                logger.warning(f"aggregator: conversion pool broke, converting inline from now on: {exc}")
-            except OSError as exc:  # spawn failure (fd/process limits)
-                self._broken = True
-                logger.warning(f"aggregator: conversion pool unavailable, converting inline: {exc}")
+                logger.warning(f"aggregator: conversion pool failed, converting inline from now on: {exc}")
         return await asyncio.to_thread(convert_group, records, skip, network)
 
     def close(self):
         # type: () -> None
-        if self._pool is not None:
-            self._pool.shutdown(wait=True, cancel_futures=True)
-            self._pool = None
+        with self._lock:
+            procs, self._procs, self._idle = list(self._procs), [], []
+        for proc in procs:
+            _reap(proc)
 
 
 async def poll_hub_once(client, hub, last_size, index, index_name, network, stop_event, convert=None):
@@ -261,7 +310,7 @@ async def poll_hub_once(client, hub, last_size, index, index_name, network, stop
             if stop_event.is_set():
                 break
             task = next_task if next_task is not None else asyncio.ensure_future(produce(group))
-            pipelined = convert is not None and convert.workers > 0 and not convert._broken
+            pipelined = convert is not None and convert.active
             next_task = asyncio.ensure_future(produce(groups[i + 1])) if pipelined and i + 1 < len(groups) else None
             try:
                 # Tally per group and merge only after add_assets COMMITS: a
@@ -270,7 +319,10 @@ async def poll_hub_once(client, hub, last_size, index, index_name, network, stop
                 fields, group_tally = await task
                 # Entry rebuild happens in the SAME worker thread as the add:
                 # the event loop stays free to drive the next group's fetch.
-                await asyncio.to_thread(_index_fields, index, index_name, fields)
+                dropped = await asyncio.to_thread(_index_fields, index, index_name, fields)
+                if dropped:
+                    group_tally["ok"] -= dropped
+                    group_tally["malformed"] += dropped
             except Exception as exc:
                 first = group[0][0]
                 logger.warning(f"aggregator: {hub.url}: bundles {first}+ failed, retrying next poll: {exc}")
@@ -403,7 +455,7 @@ async def poll_loop(index, opts, stop_event, client, status, cursor_store=None):
     """
     durable = cursor_store.load() if cursor_store is not None else {}
     roster = _Roster(opts)
-    convert = ConvertPool(getattr(opts, "aggregator_convert_workers", 0))
+    convert = ConvertPool(opts.aggregator_convert_workers)
     try:
         while not stop_event.is_set():
             await roster.refresh(client, status)

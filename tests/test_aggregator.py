@@ -531,19 +531,20 @@ def test_convert_group_skip_offset_and_tally():
 
 
 def test_convert_pool_inline_when_zero():
-    """workers=0 never creates a process pool."""
+    """workers=0 never spawns a worker process."""
     pool = poller.ConvertPool(0)
 
     async def go():
         return await pool.convert([make_record(1)], 0, "testnet")
 
     fields, tally = run_async(go())
-    assert tally["ok"] == 1 and pool._pool is None
+    assert tally["ok"] == 1 and pool._procs == []
     pool.close()
 
 
 def test_convert_pool_worker_roundtrip():
-    """A real spawned worker converts identically to the inline path."""
+    """A real spawned worker converts identically to the inline path, is
+    reused across calls, and close() reaps it."""
     records = [make_record(i) for i in range(1, 6)] + [b"junk"]
     pool = poller.ConvertPool(1)
     try:
@@ -552,33 +553,121 @@ def test_convert_pool_worker_roundtrip():
             return await pool.convert(records, 0, "testnet")
 
         fields, tally = run_async(go())
-        assert pool._pool is not None  # really went through the pool
+        assert len(pool._procs) == 1  # really went through the pool
         inline_fields, inline_tally = entry_mod.convert_group(records, 0, "testnet")
         assert fields == inline_fields and tally == inline_tally
+        fields2, _ = run_async(go())
+        assert fields2 == inline_fields and len(pool._procs) == 1  # reused, not respawned
+        proc = pool._procs[0]
     finally:
         pool.close()
-    assert pool._pool is None
+    assert pool._procs == [] and proc.poll() is not None  # reaped
 
 
 def test_convert_pool_broken_falls_back(monkeypatch):
     """A pool failure degrades to inline conversion permanently."""
     pool = poller.ConvertPool(1)
 
-    def boom():
+    def boom(records, skip, network):
         raise OSError("no processes for you")
 
-    monkeypatch.setattr(pool, "_ensure", boom)
+    monkeypatch.setattr(pool, "_roundtrip", boom)
 
     async def go():
         return await pool.convert([make_record(1)], 0, "testnet")
 
     fields, tally = run_async(go())
-    assert tally["ok"] == 1 and pool._broken
-    # Second call stays inline without consulting _ensure again
-    monkeypatch.setattr(pool, "_ensure", lambda: (_ for _ in ()).throw(AssertionError("must not re-ensure")))
+    assert tally["ok"] == 1 and not pool.active
+    # Second call stays inline without touching the pool again
+    monkeypatch.setattr(
+        pool, "_roundtrip", lambda *a: (_ for _ in ()).throw(AssertionError("must not use the pool"))
+    )
     fields, tally = run_async(go())
     assert tally["ok"] == 1
     pool.close()
+
+
+def test_convert_pool_dead_worker_degrades_inline():
+    """A worker that dies mid-stream is reaped and the pool goes inline."""
+    pool = poller.ConvertPool(1)
+    records = [make_record(1)]
+
+    async def go():
+        return await pool.convert(records, 0, "testnet")
+
+    fields, tally = run_async(go())
+    assert tally["ok"] == 1 and len(pool._procs) == 1
+    pool._procs[0].kill()
+    pool._procs[0].wait()
+    fields, tally = run_async(go())  # detects EOF, falls back inline
+    assert tally["ok"] == 1 and not pool.active and pool._procs == []
+    pool.close()
+
+
+def test_convert_pool_checkout_cap_converts_inline():
+    """With every worker checked out, the calling thread converts inline."""
+    pool = poller.ConvertPool(1)
+    try:
+        first = pool._checkout()
+        assert first is not None and pool._checkout() is None  # cap reached
+        fields, tally = pool._roundtrip([make_record(1)], 0, "testnet")
+        assert tally["ok"] == 1 and pool._idle == []  # inline, no worker used
+    finally:
+        pool.close()
+
+
+def test_worker_env_hermetic_no_global_mutation(monkeypatch):
+    """_worker_env strips tunnel hooks into a PRIVATE dict; os.environ intact."""
+    import os as os_mod
+
+    monkeypatch.setenv("PYTHONPATH", "/a" + os_mod.pathsep + "/x/axon_site" + os_mod.pathsep + "/b")
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    env = poller._worker_env()
+    assert "axon_site" not in env["PYTHONPATH"]
+    assert "/a" in env["PYTHONPATH"] and "/b" in env["PYTHONPATH"]
+    assert env["JAX_PLATFORMS"] == "cpu"
+    # The process-global env is untouched (other threads read it concurrently)
+    assert "axon_site" in os_mod.environ["PYTHONPATH"]
+    assert os_mod.environ["JAX_PLATFORMS"] == "tpu"
+
+
+def make_poison_record(n):
+    """A record that converts to fields but fails IsccEntry validation:
+    an iscc_code that is a lone raw INSTANCE unit dedupes against the
+    datahash INSTANCE to a single-element units list (< min_length 2)."""
+    iscc_id = make_iscc_id(n)
+    datahash = "1e20" + hashlib.sha256(str(n).encode()).hexdigest()
+    code = "ISCC:" + ic.encode_component(ic.MT.INSTANCE, 0, 0, 64, bytes.fromhex(datahash[4:]))
+    note = {"$schema": entry_mod.DECLARATION_SCHEMA, "iscc_code": code, "datahash": datahash}
+    return json.dumps({"iscc_id": iscc_id, "note": note}).encode()
+
+
+def test_record_to_entry_validation_failure_is_skip():
+    """Wire-model rejection classifies as 'malformed', never raises."""
+    fields, reason = entry_mod.record_to_fields(make_poison_record(1), "testnet")
+    assert reason == "ok" and fields is not None  # primitives convert fine
+    entry, reason = entry_mod.record_to_entry(make_poison_record(1), "testnet")
+    assert entry is None and reason == "malformed"
+
+
+def test_poll_hub_once_poison_record_does_not_stall(agg_setup):
+    """One validation-poison record is dropped + tallied; the cursor still
+    advances past it (a crash here would re-fetch and re-crash forever)."""
+    index, opts = agg_setup
+    records = [make_record(1), make_poison_record(2), make_record(3)]
+    fake = FakeLog(records)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        stop = asyncio.Event()
+        return await poller.poll_hub_once(client, hub, 0, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.error is None
+    assert result.last_size == 3
+    assert result.counts["ok"] == 2 and result.counts["malformed"] == 1
+    assert index.get_index("idptest").assets == 2
 
 
 def test_poll_hub_once_pipelined_with_pool(agg_setup):
