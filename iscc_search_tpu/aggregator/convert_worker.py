@@ -39,19 +39,24 @@ def write_frame(stream, obj):
     stream.flush()
 
 
-def main():
-    # type: () -> int
+def serve(stdin, out):
+    # type: (..., ...) -> int
+    """Frame-serving loop: one convert_group call per request frame."""
     from iscc_search_tpu.aggregator.entry import convert_group
 
-    out = os.fdopen(os.dup(1), "wb")
-    os.dup2(2, 1)  # stray prints go to stderr, never into the frame stream
-    stdin = sys.stdin.buffer
     while True:
         request = read_frame(stdin)
         if request is None:
             return 0
         records, skip, network = request
         write_frame(out, convert_group(records, skip, network))
+
+
+def main():  # pragma: no cover - subprocess entry (exercised via ConvertPool)
+    # type: () -> int
+    out = os.fdopen(os.dup(1), "wb")
+    os.dup2(2, 1)  # stray prints go to stderr, never into the frame stream
+    return serve(sys.stdin.buffer, out)
 
 
 if __name__ == "__main__":  # pragma: no cover - subprocess entry point

@@ -629,6 +629,263 @@ def test_worker_env_hermetic_no_global_mutation(monkeypatch):
     # The process-global env is untouched (other threads read it concurrently)
     assert "axon_site" in os_mod.environ["PYTHONPATH"]
     assert os_mod.environ["JAX_PLATFORMS"] == "tpu"
+    # Re-running with the package parent already on PYTHONPATH keeps it single
+    monkeypatch.setenv("PYTHONPATH", env["PYTHONPATH"])
+    again = poller._worker_env()
+    parts = again["PYTHONPATH"].split(os_mod.pathsep)
+    assert len(parts) == len(set(parts))
+
+
+def test_convert_worker_serve_loop():
+    """The worker's frame loop converts one group per request frame."""
+    import io
+
+    from iscc_search_tpu.aggregator import convert_worker as cw
+
+    record = make_record(1)
+    stdin = io.BytesIO()
+    cw.write_frame(stdin, ([record, b"junk"], 0, "testnet"))
+    cw.write_frame(stdin, ([make_record(2)], 1, "testnet"))  # skip past everything
+    stdin.seek(0)
+    out = io.BytesIO()
+    assert cw.serve(stdin, out) == 0
+    out.seek(0)
+    fields, tally = cw.read_frame(out)
+    assert tally["ok"] == 1 and tally["malformed"] == 1
+    assert fields == entry_mod.convert_group([record, b"junk"], 0, "testnet")[0]
+    fields2, tally2 = cw.read_frame(out)
+    assert fields2 == [] and tally2["ok"] == 0
+    assert cw.read_frame(out) is None  # clean EOF ends the loop
+
+
+def test_convert_worker_frame_errors():
+    """Short header reads as clean EOF; a truncated payload raises."""
+    import io
+
+    from iscc_search_tpu.aggregator import convert_worker as cw
+
+    assert cw.read_frame(io.BytesIO(b"")) is None
+    assert cw.read_frame(io.BytesIO(b"\x01\x02")) is None
+    truncated = io.BytesIO(struct.pack("<Q", 100) + b"short")
+    with pytest.raises(EOFError):
+        cw.read_frame(truncated)
+
+
+def test_convert_pool_worker_eof_degrades_inline(monkeypatch):
+    """A worker that exits without answering (EOF after a successful write)
+    is detected, reaped, and the pool degrades to inline conversion."""
+    import subprocess
+    import sys as sys_mod
+
+    def spawn_stub():
+        # Consumes exactly the request frame, then exits without replying.
+        script = (
+            "import struct, sys\n"
+            "header = sys.stdin.buffer.read(8)\n"
+            "(n,) = struct.unpack('<Q', header)\n"
+            "sys.stdin.buffer.read(n)\n"
+        )
+        return subprocess.Popen(
+            [sys_mod.executable, "-c", script],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+        )
+
+    pool = poller.ConvertPool(1)
+    monkeypatch.setattr(pool, "_spawn", spawn_stub)
+
+    async def go():
+        return await pool.convert([make_record(1)], 0, "testnet")
+
+    fields, tally = run_async(go())
+    assert tally["ok"] == 1  # inline fallback still converted
+    assert not pool.active and pool._procs == []
+    pool.close()
+
+
+def test_poll_hub_once_short_bundle_errors(agg_setup):
+    """A bundle with fewer records than its width claims fails the group
+    (and the poll keeps prior cursor progress + surfaces the error)."""
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 11)]
+    fake = FakeLog(records)
+
+    def handler(request):
+        response = fake.handler(request)
+        if request.url.path.startswith("/log/tile/entries/"):
+            # Drop the last record from the framed body: length mismatch
+            body = response.content
+            trimmed = tlog.parse_entry_bundle(body)[:-1]
+            body = b"".join(struct.pack(">H", len(r)) + r for r in trimmed)
+            return httpx.Response(200, content=body)
+        return response
+
+    client = httpx.AsyncClient(transport=httpx.MockTransport(handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+
+    async def go():
+        return await poller.poll_hub_once(
+            client, hub, 0, index, "idptest", "testnet", asyncio.Event()
+        )
+
+    result = run_async(go())
+    assert result.error is not None and "expected" in result.error
+    assert result.last_size == 0
+    assert index.get_index("idptest").assets == 0
+
+
+def test_poll_hub_once_stop_preset_skips_groups(agg_setup):
+    """A stop event set before the group loop leaves the cursor untouched."""
+    index, opts = agg_setup
+    fake = FakeLog([make_record(i) for i in range(1, 11)])
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+    stop = asyncio.Event()
+    stop.set()
+
+    async def go():
+        return await poller.poll_hub_once(client, hub, 0, index, "idptest", "testnet", stop)
+
+    result = run_async(go())
+    assert result.last_size == 0 and result.error is None
+    assert index.get_index("idptest").assets == 0
+
+
+def test_poll_hub_once_prefetch_cancelled_on_group_failure(agg_setup):
+    """With the pipeline active, a failing group cancels the already-prefetched
+    successor group (it is re-fetched next poll; idempotent upserts make the
+    discard safe) and keeps the committed cursor."""
+    index, opts = agg_setup
+    records = [make_record(i) for i in range(1, 601)]  # 3 one-bundle groups
+    fake = FakeLog(records)
+    fake.fail_bundles.add(1)  # group 1 of 3 fails; group 2 is prefetched
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    hub = hublist.Hub(hub_id=0, url="https://hub0.example")
+    pool = poller.ConvertPool(1)
+
+    async def go():
+        try:
+            return await poller.poll_hub_once(
+                client, hub, 0, index, "idptest", "testnet", asyncio.Event(), convert=pool
+            )
+        finally:
+            pool.close()
+
+    old = poller.GROUP_BUNDLES
+    poller.GROUP_BUNDLES = 1
+    try:
+        result = run_async(go())
+    finally:
+        poller.GROUP_BUNDLES = old
+    assert result.error is not None and "bundle 1 failed" in result.error
+    assert result.last_size == 256  # group 0 committed, nothing past it
+    assert result.counts["ok"] == 256
+    assert index.get_index("idptest").assets == 256
+
+
+def test_sync_backend_durability_barrier():
+    """_sync_backend calls the index's sync hook when present, else no-ops."""
+
+    class Syncable:
+        synced = None
+
+        def sync(self, index_name):
+            self.synced = index_name
+
+    target = Syncable()
+    poller._sync_backend(target, "idx")
+    assert target.synced == "idx"
+    poller._sync_backend(object(), "idx")  # no sync attribute: benign no-op
+
+    class NotCallable:
+        sync = "nope"
+
+    poller._sync_backend(NotCallable(), "idx")  # non-callable: benign no-op
+
+
+def test_roster_refresh_debounced(agg_setup):
+    """A second refresh inside the refresh interval makes no HTTP request."""
+    index, opts = agg_setup
+    calls = []
+
+    def handler(request):
+        calls.append(request.url.path)
+        return httpx.Response(200, text=HUBS_YAML)
+
+    client = httpx.AsyncClient(transport=httpx.MockTransport(handler))
+    roster = poller._Roster(opts)
+
+    async def go():
+        await roster.refresh(client, {})
+        await roster.refresh(client, {})  # inside the interval: debounced
+
+    run_async(go())
+    assert len(calls) == 1
+    assert [h.hub_id for h in roster.hubs] == [0]
+
+
+def test_poll_loop_stop_during_roster_refresh(agg_setup):
+    """A stop that lands during the roster refresh breaks out of the hub
+    iteration before any hub is polled."""
+    index, opts = agg_setup
+    stop = asyncio.Event()
+    polled = []
+
+    def handler(request):
+        if request.url.path == "/hubs.yaml":
+            stop.set()  # stop arrives while the roster refreshes
+            return httpx.Response(200, text=HUBS_YAML)
+        polled.append(request.url.path)
+        return httpx.Response(500)
+
+    client = httpx.AsyncClient(transport=httpx.MockTransport(handler))
+    status = {}
+
+    run_async(poller.poll_loop(index, opts, stop, client, status))
+    assert polled == []  # no hub poll happened after the stop
+
+
+def test_poll_loop_second_cycle_reuses_state(agg_setup):
+    """Two poll cycles: the second goes through the interval timeout and
+    reuses the existing HubStatus row instead of reseeding it."""
+    index, opts = agg_setup
+    opts = opts.model_copy(update={"aggregator_poll_interval": 1})
+    records = [make_record(i) for i in range(1, 4)]
+    fake = FakeLog(records)
+    client = httpx.AsyncClient(transport=httpx.MockTransport(fake.handler))
+    status = {}
+    stop = asyncio.Event()
+
+    async def go():
+        async def stopper():
+            for _ in range(800):
+                await asyncio.sleep(0.01)
+                state = status.get(0)
+                if state and state.last_poll and len(polls) >= 2:
+                    break
+            stop.set()
+
+        polls = []
+        original = poller.poll_hub_once
+
+        async def counting(*args, **kwargs):
+            result = await original(*args, **kwargs)
+            polls.append(result)
+            return result
+
+        poller_poll = poller.poll_hub_once
+        poller.poll_hub_once = counting
+        try:
+            await asyncio.gather(poller.poll_loop(index, opts, stop, client, status), stopper())
+        finally:
+            poller.poll_hub_once = poller_poll
+        return polls
+
+    polls = run_async(go())
+    assert len(polls) >= 2  # second cycle ran after the interval timeout
+    first_state = status[0]
+    assert first_state.cursor == 3 and first_state.counts["ok"] == 3
+    assert index.get_index("idptest").assets == 3
 
 
 def make_poison_record(n):
