@@ -209,6 +209,13 @@ def main():
         }
         sp.close()
 
+    # Fold the separately-measured 10M cold start (benchmarks/coldstart_10m.py,
+    # run in its own process because it times open->first-query from scratch)
+    # into the summary so RESULTS.json carries the full picture.
+    cold_path = Path(__file__).parent / "COLDSTART_10M.json"
+    if cold_path.exists():
+        results["coldstart_10m"] = json.loads(cold_path.read_text())
+
     # Reduced-scale runs land in a scale-suffixed file so RESULTS.json only
     # ever holds full-scale numbers — mixing scales across commits made the
     # recorded history incomparable.

@@ -347,3 +347,65 @@ def test_distributed_initialize_joins_cluster(monkeypatch):
         coordinator_address="127.0.0.1:9999", num_processes=1, process_id=0
     )
     assert called == {"coordinator_address": "127.0.0.1:9999", "num_processes": 1, "process_id": 0}
+
+
+# ------------------------------------------------------------ ops validation
+
+
+def test_pm1_topk_rejects_indivisible_chunks():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iscc_search_tpu.ops import pm1_scan
+
+    q = jnp.asarray(np.ones((1, 64), np.int8))
+    scale = jnp.asarray(np.full(1, 1 / 128, np.float32))
+    db = jnp.asarray(np.zeros((100, 2), np.uint32))
+    valid = jnp.asarray(np.ones(100, bool))
+    with pytest.raises(ValueError, match="not a multiple"):
+        pm1_scan.pm1_topk_impl(q, scale, db, valid, k=4, nbits=64, chunk_size=64)
+    with pytest.raises(ValueError, match="divide"):
+        pm1_scan.pm1_blockmax_topk_impl(
+            q, scale, db, valid, k=4, nbits=64, chunk_size=64, block=128
+        )
+
+
+def test_serve_cli_rejects_aggregator_with_workers(runner, monkeypatch):
+    """Aggregator mode + multi-worker scale-out is a config error (one poller).
+
+    The search_opts singleton is built at import time, so env vars set here
+    would be invisible — patch the derived-field source on the instance.
+    """
+    r, _, _ = runner
+    from iscc_search_tpu import options as options_mod
+
+    monkeypatch.setattr(options_mod.search_opts, "aggregator_network", "testnet")
+    result = r.invoke(cli, ["serve", "--workers", "2"])
+    assert result.exit_code == 1
+    assert "single worker" in result.output
+
+
+def test_aggregator_runner_stop_before_start_is_noop():
+    from iscc_search_tpu.server.httpd import AggregatorRunner
+
+    runner = AggregatorRunner(MemoryIndex(), SearchOptions(index_uri="memory://"), {})
+    runner.stop()  # never started: must not raise
+
+
+def test_options_from_env_skips_empty_strings(monkeypatch):
+    """An env var present but EMPTY falls back to the default (never passes
+    '' into field validation)."""
+    monkeypatch.setenv("ISCC_SEARCH_INDEX_URI", "")
+    monkeypatch.setenv("ISCC_SEARCH_PORT", "9001")
+    opts = SearchOptions.from_env()
+    assert opts.port == 9001
+    assert opts.index_uri == SearchOptions().index_uri
+
+
+def test_get_index_defaults_to_options_uri(monkeypatch):
+    from iscc_search_tpu import options as options_mod
+
+    monkeypatch.setattr(options_mod.search_opts, "index_uri", "memory://")
+    idx = options_mod.get_index(None)
+    assert isinstance(idx, MemoryIndex)
+    idx.close()
