@@ -561,3 +561,53 @@ def test_idle_new_connection_does_not_pin_workers():
         idle.close()
         srv.shutdown()
         srv.server_close()
+
+
+def test_expect_100_continue_interim_response(pooled_server):
+    """A conforming client sends Expect: 100-continue and waits for the
+    interim response before the body; the server must emit it or the
+    client stalls out its expect timeout (RFC 7231 5.1.1)."""
+    srv, _ = pooled_server
+    body = json.dumps({"name": "expects"}).encode()
+    head = (
+        f"POST /indexes HTTP/1.1\r\nHost: x\r\nContent-Type: application/json\r\n"
+        f"Expect: 100-continue\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+    s.settimeout(5)
+    s.sendall(head)
+    interim = b""
+    while b"\r\n\r\n" not in interim:
+        interim += s.recv(65536)
+    assert interim.startswith(b"HTTP/1.1 100 Continue"), interim
+    s.sendall(body)
+    buf = interim.partition(b"\r\n\r\n")[2]
+    while b"\r\n\r\n" not in buf:
+        data = s.recv(65536)
+        if not data:
+            break
+        buf += data
+    assert b"201" in buf.split(b"\r\n")[0]
+    s.close()
+
+
+def test_header_line_without_colon_is_skipped(pooled_server):
+    """A field line with no colon is not a header (RFC 7230 3.2.4) — it
+    must be ignored, not crash the parse or poison the next header."""
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"GET /healthz HTTP/1.1\r\nHost: x\r\nGarbageNoColon\r\nAccept: */*\r\n\r\n",
+    )
+    assert b"200" in data.split(b"\r\n")[0]
+
+
+def test_negative_content_length_rejected(pooled_server):
+    srv, _ = pooled_server
+    data = _raw(
+        srv.server_port,
+        b"POST /indexes HTTP/1.1\r\nHost: x\r\nContent-Length: -5\r\n\r\n",
+        recv_until_close=True,
+    )
+    code = data.split(b"\r\n")[0]
+    assert b"400" in code or b"413" in code
