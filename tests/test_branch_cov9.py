@@ -1,0 +1,129 @@
+"""Branch-coverage round 9: codec validation edges, packing single-code
+helpers, topk metric validation, memory-backend delete-during-query race."""
+
+import base64
+
+import numpy as np
+import pytest
+
+from iscc_search_tpu import codec as ic
+
+
+# ------------------------------------------------------------------- codec
+
+
+def test_decode_length_id_and_wide():
+    assert ic.decode_length(ic.MT.ID, 0) == 64
+    assert ic.decode_length(ic.MT.ID, 1) == 72
+    assert ic.decode_length(ic.MT.ISCC, 0, subtype=ic.ST_ISCC.WIDE) == 256
+
+
+def test_decode_units_rejects_out_of_range():
+    with pytest.raises(ValueError, match="invalid unit composition"):
+        ic.decode_units(99)
+
+
+def test_encode_base32_empty_is_empty():
+    assert ic.encode_base32(b"") == ""
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6, 7])
+def test_encode_base32_matches_stdlib_all_tail_shapes(n):
+    """Odd/even output-length tails (the table encoder emits pairs, then one
+    trailing char when nchars is odd) — pinned to the stdlib encoding."""
+    data = bytes(range(1, n + 1))
+    expected = base64.b32encode(data).decode().rstrip("=")
+    assert ic.encode_base32(data) == expected
+    assert ic.decode_base32(expected) == data
+
+
+def test_decode_base64_rejects_impossible_length():
+    # NB: stdlib b64decode (validate=False) silently drops non-alphabet
+    # characters, so "garbage" inputs often decode to b"" — only a data
+    # length impossible for base64 reaches the error path.
+    with pytest.raises(ValueError, match="invalid base64"):
+        ic.decode_base64("A")
+
+
+def test_gen_iscc_id_rejects_bad_realm_and_server():
+    with pytest.raises(ValueError, match="realm_id"):
+        ic.gen_iscc_id_v1(server_id=0, realm_id=2)
+    with pytest.raises(ValueError, match="server_id"):
+        ic.gen_iscc_id_v1(server_id=4096)
+
+
+# ----------------------------------------------------------------- packing
+
+
+def test_pack_code_single_roundtrip():
+    from iscc_search_tpu.ops.packing import pack_code, unpack_code
+
+    body = bytes(range(16))
+    lanes, nlanes = pack_code(body)
+    assert nlanes == 4
+    assert unpack_code(lanes, nlanes) == body
+
+
+# -------------------------------------------------------------------- topk
+
+
+def test_topk_scan_rejects_unknown_metric():
+    import jax.numpy as jnp
+
+    from iscc_search_tpu.ops.topk import topk_scan_impl
+
+    q = jnp.zeros((1, 2), jnp.uint32)
+    ql = jnp.ones(1, jnp.int32)
+    db = jnp.zeros((4, 2), jnp.uint32)
+    dl = jnp.ones(4, jnp.int32)
+    valid = jnp.ones(4, bool)
+    with pytest.raises(ValueError, match="unknown metric"):
+        topk_scan_impl(q, ql, db, dl, valid, k=2, chunk_size=4, metric="cosine")
+
+
+# ------------------------------------------------------------ memory index
+
+
+def test_memory_search_index_deleted_mid_expansion(monkeypatch):
+    """An index deleted between query expansion (outside the lock) and the
+    snapshot read must 404, not KeyError."""
+    from iscc_search_tpu.indexes import common
+    from iscc_search_tpu.indexes.memory.index import MemoryIndex
+    from iscc_search_tpu.schema import IsccIndex, IsccQuery
+
+    idx = MemoryIndex()
+    idx.create_index(IsccIndex(name="gone"))
+
+    real = common.expand_iscc_id_query
+
+    def deleting_expand(query, getter):
+        idx.delete_index("gone")
+        return real(query, getter)
+
+    monkeypatch.setattr(common, "expand_iscc_id_query", deleting_expand)
+    code = ic.gen_iscc_code_v0(
+        [
+            ic.encode_component(ic.MT.DATA, 0, 0, 64, bytes(range(8))),
+            ic.encode_component(ic.MT.INSTANCE, 0, 0, 64, bytes(range(8, 16))),
+        ]
+    )["iscc"]
+    with pytest.raises(FileNotFoundError):
+        idx.search_assets("gone", IsccQuery(iscc_code=code))
+
+
+def test_metadata_from_asset_bytes_rejects_non_dict_metadata():
+    from iscc_search_tpu.indexes.common import metadata_from_asset_bytes
+
+    with pytest.raises(RuntimeError, match="not an object"):
+        metadata_from_asset_bytes(b'{"metadata": [1, 2]}')
+    with pytest.raises(RuntimeError, match="corrupt stored asset record"):
+        metadata_from_asset_bytes(b"[]")  # record itself is not an object
+
+
+def test_wide_composite_with_wrong_body_length_rejected():
+    from iscc_search_tpu.models import IsccCode
+
+    header = ic.encode_header(ic.MT.ISCC, ic.ST_ISCC.WIDE, ic.VS.V0, ic.encode_units(()))
+    code = "ISCC:" + ic.encode_base32(header + bytes(16))  # WIDE needs 32
+    with pytest.raises(ValueError, match="WIDE composite"):
+        IsccCode(code).units
