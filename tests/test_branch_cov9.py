@@ -127,3 +127,82 @@ def test_wide_composite_with_wrong_body_length_rejected():
     code = "ISCC:" + ic.encode_base32(header + bytes(16))  # WIDE needs 32
     with pytest.raises(ValueError, match="WIDE composite"):
         IsccCode(code).units
+
+
+# ---------------------------------------------------------------- managers
+
+
+def test_kv_manager_list_skips_corrupt_and_foreign_entries(tmp_path, caplog):
+    from iscc_search_tpu.indexes.kv.manager import KvIndexManager
+    from iscc_search_tpu.schema import IsccIndex
+
+    mgr = KvIndexManager(tmp_path)
+    mgr.create_index(IsccIndex(name="good"))
+    (tmp_path / "notanindex").mkdir()          # dir without the .kv suffix
+    (tmp_path / "stray.kv").write_bytes(b"")   # .kv FILE, not a dir
+    bad = tmp_path / "bad.kv"
+    bad.mkdir()
+    (bad / "data.tstore").write_bytes(b"\x00" * 7)  # unloadable store
+    with caplog.at_level("WARNING"):
+        names = [i.name for i in mgr.list_indexes()]
+    assert "good" in names
+    assert "notanindex" not in names and "stray" not in names
+    mgr.close()
+
+
+def test_kv_manager_delete_uncached_index(tmp_path):
+    from iscc_search_tpu.indexes.kv.manager import KvIndexManager
+    from iscc_search_tpu.schema import IsccIndex
+
+    mgr = KvIndexManager(tmp_path)
+    mgr.create_index(IsccIndex(name="victim"))
+    mgr.close()  # drop the cache; the dir stays
+
+    mgr2 = KvIndexManager(tmp_path)
+    mgr2.delete_index("victim")  # never loaded into mgr2's cache
+    assert not (tmp_path / "victim.kv").exists()
+    mgr2.close()
+
+
+def test_tpu_manager_delete_uncached_index(tmp_path):
+    from iscc_search_tpu.indexes.tpu.manager import TpuIndexManager
+    from iscc_search_tpu.schema import IsccIndex
+
+    mgr = TpuIndexManager(tmp_path)
+    mgr.create_index(IsccIndex(name="victim"))
+    mgr.close()
+
+    mgr2 = TpuIndexManager(tmp_path)
+    mgr2.delete_index("victim")
+    assert not (tmp_path / "victim").exists()
+    mgr2.close()
+
+
+# ----------------------------------------------------- options/config/cli
+
+
+def test_get_index_memory_uri_with_suffix():
+    from iscc_search_tpu.indexes.memory.index import MemoryIndex
+    from iscc_search_tpu.options import get_index
+
+    idx = get_index("memory://anything")
+    assert isinstance(idx, MemoryIndex)
+    idx.close()
+
+
+def test_add_remote_without_use_keeps_active(tmp_path):
+    from iscc_search_tpu.config import ConfigManager
+
+    mgr = ConfigManager(config_dir=tmp_path)
+    mgr.add_remote("first", "http://a", "main")
+    mgr.add_remote("second", "http://b", "main", use=False)
+    assert mgr.config.active == "first"
+
+
+def test_parse_simprints_skips_feature_with_empty_simprints():
+    from iscc_search_tpu.cli.common import parse_simprints_from_features
+
+    out = parse_simprints_from_features(
+        [{"maintype": "content", "subtype": "text", "version": 0, "simprints": []}]
+    )
+    assert out is None
