@@ -237,3 +237,36 @@ def test_bit_transpose_packed_small_n_single_step():
     out_big = np.asarray(bit_transpose_packed(jnp.asarray(big)))
     np.testing.assert_array_equal(out_big[: PERM_GROUP // 16], out_small)
     np.testing.assert_array_equal(out_big[PERM_GROUP // 16 :], out_small)
+
+
+# ---------------------------------------------------------------- kv index
+
+
+def test_kv_update_keeps_retained_units_and_unitless_assets(tmp_path, entry_factory):
+    from iscc_search_tpu.indexes.kv.index import KvIndex
+    from iscc_search_tpu.schema import IsccEntry, IsccQuery
+
+    idx = KvIndex(tmp_path / "i.kv")
+    try:
+        e = entry_factory(bits=64)
+        idx.add_assets([IsccEntry(**e)])
+
+        # Update dropping the META/CONTENT units but RETAINING data+instance:
+        # the retained units' rows must survive (the `in new_units: continue`
+        # path), the dropped ones must stop matching.
+        kept = e["units"][-2:]
+        idx.add_assets([IsccEntry(iscc_id=e["iscc_id"], iscc_code=e["iscc_code"], units=kept)])
+        res = idx.search_assets(IsccQuery(units=kept))
+        assert [m.iscc_id for m in res.global_matches] == [e["iscc_id"]]
+        dropped = e["units"][0]
+        res2 = idx.search_assets(IsccQuery(units=[dropped, kept[0]]))
+        [m] = res2.global_matches
+        assert m.types.get("CONTENT_TEXT_V0", 0) == 0 or "CONTENT_TEXT_V0" not in m.types
+
+        # An asset carrying no units at all indexes (store row only) and a
+        # query with no units returns no matches instead of dividing by zero.
+        e2 = entry_factory(bits=64)
+        idx.add_assets([IsccEntry(iscc_id=e2["iscc_id"], iscc_code=e2["iscc_code"])])
+        assert idx.get_asset(e2["iscc_id"]).iscc_id == e2["iscc_id"]
+    finally:
+        idx.close()
