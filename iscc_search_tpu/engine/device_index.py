@@ -339,6 +339,12 @@ class PackedCodeIndex:
         self.recall_target = recall_target if (recall_target is None or recall_target < 1.0) else None
         self.scan_kernel = scan_kernel
         self.mesh = mesh if mesh is not None and _mesh_size(mesh) > 1 else None
+        # Multi-host SPMD hook (parallel/service.py): set on the coordinator's
+        # indexes to fan device-relevant ops out to follower processes; None
+        # everywhere else (single-process) and on follower replicas.
+        self.control_hook = None
+        # Followers never persist — the coordinator's directory is the truth.
+        self.save_enabled = True
         self._lock = threading.RLock()
 
         cap = _MIN_DEVICE_ROWS
@@ -458,6 +464,16 @@ class PackedCodeIndex:
         """
         if not keys:
             return
+        if self.control_hook is not None:
+            # Mirror the EXACT engine-level call on every cluster process so
+            # replicas append identical rows in identical order (bytes are
+            # pickle-friendly; ndarray vectors normalize to bytes first).
+            vectors = [self._vector_bytes(v) for v in vectors]
+            return self.control_hook("add", (list(keys), vectors), lambda: self._add_impl(keys, vectors))
+        return self._add_impl(keys, vectors)
+
+    def _add_impl(self, keys, vectors):
+        # type: (list, list[bytes]) -> None
         with self._lock:
             kbs = [self._key(k) for k in keys]
             packed, nlanes = pack_codes([self._vector_bytes(v) for v in vectors], self.max_lanes)
@@ -492,6 +508,12 @@ class PackedCodeIndex:
     def remove(self, keys):
         # type: (list) -> int
         """Tombstone keys; returns the number of keys actually removed."""
+        if self.control_hook is not None:
+            return self.control_hook("remove", (list(keys),), lambda: self._remove_impl(keys))
+        return self._remove_impl(keys)
+
+    def _remove_impl(self, keys):
+        # type: (list) -> int
         removed = 0
         with self._lock:
             keymap = self._keymap
@@ -534,6 +556,15 @@ class PackedCodeIndex:
         """
         if not query_bodies or self._rows == 0 or self._live == 0:
             return [(np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32)) for _ in query_bodies]
+        if self.control_hook is not None:
+            bodies = [self._vector_bytes(b) for b in query_bodies]
+            return self.control_hook(
+                "search", (bodies, count), lambda: self._search_impl(bodies, count)
+            )
+        return self._search_impl(query_bodies, count)
+
+    def _search_impl(self, query_bodies, count):
+        # type: (list[bytes], int) -> list[tuple[np.ndarray, np.ndarray]]
         import jax.numpy as jnp
 
         with self._lock:
@@ -749,6 +780,8 @@ class PackedCodeIndex:
         coalesce (a newer snapshot's manifest supersedes an older one), so at
         most one write queues behind the one in flight.
         """
+        if not self.save_enabled:
+            return
         with self._lock:
             if self.tombstone_fraction > 0.5 and self._rows > _MIN_DEVICE_ROWS:
                 self._compact_locked()
@@ -1091,7 +1124,10 @@ class PackedCodeIndex:
         if self.mesh is not None:
             from iscc_search_tpu.parallel.pm1_sharded import shard_pm1_database
 
-            packed_dev, valid_dev = shard_pm1_database(self.mesh, jnp.asarray(packed), jnp.asarray(valid))
+            # numpy in: place_rows uploads each process's own block directly
+            # (a jnp.asarray here would commit the FULL array to local device 0
+            # first — wrong under multi-process, wasteful on a single chip).
+            packed_dev, valid_dev = shard_pm1_database(self.mesh, packed, valid)
             # The ±1 int8 layouts shard row-wise too, so the per-chip HBM
             # budget applies to the per-shard slice. Per-shard rows are a
             # pow2 >= 8192, so both the Mosaic chunk sizing and the 4096-row

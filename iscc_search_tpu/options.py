@@ -88,7 +88,38 @@ class SearchOptions(BaseModel):
         0,
         ge=0,
         description="ISCC_SEARCH_MESH_DEVICES - shard NPHD partitions over this many devices "
-        "(0 = single device; >1 enables the sharded scan with all-gather top-k merge)",
+        "(0 = single device; >1 enables the sharded scan with all-gather top-k merge). "
+        "With mesh_hosts > 1 this is chips PER HOST (0 = all local devices)",
+    )
+    mesh_hosts: int = Field(
+        0,
+        ge=0,
+        description="ISCC_SEARCH_MESH_HOSTS - host (process) count of the 2-D (dcn x ici) search "
+        "mesh; 0 = auto (jax.process_count() under jax.distributed, else single-host). >1 row-shards "
+        "NPHD partitions across hosts and merges hierarchically (ICI within a host, then DCN)",
+    )
+    multihost_coordinator: str = Field(
+        "localhost",
+        description="ISCC_SEARCH_MULTIHOST_COORDINATOR - hostname of process 0 for the multi-host "
+        "control channel (followers connect here; coordinator listens on all interfaces)",
+    )
+    multihost_control_port: int = Field(
+        7801,
+        ge=1,
+        le=65535,
+        description="ISCC_SEARCH_MULTIHOST_CONTROL_PORT - TCP port of the multi-host SPMD control "
+        "channel (distinct from the HTTP port and the jax.distributed coordinator port)",
+    )
+    distributed: bool = Field(
+        False,
+        description="ISCC_SEARCH_DISTRIBUTED - call jax.distributed.initialize() before serving "
+        "(TPU pods auto-detect topology; elsewhere set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+        "JAX_PROCESS_ID). Process 0 serves HTTP; other processes run the follower loop",
+    )
+    multihost_index: str | None = Field(
+        None,
+        description="ISCC_SEARCH_MULTIHOST_INDEX - index name follower processes open and serve "
+        "(required on followers when the backend manages multiple indexes)",
     )
     compile_cache_dir: str | None = Field(
         None,

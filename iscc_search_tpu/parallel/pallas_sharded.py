@@ -1,12 +1,13 @@
 """
 Sharded fused-Pallas top-k: the fast single-chip kernel, per shard.
 
-Row-shards the ±1 int8 layout over the 1-D mesh axis and runs the fused
+Row-shards the ±1 int8 layout over the mesh's row axes and runs the fused
 Pallas phase-1 + hierarchical block select + Pallas gather rescore on every
 device (the same path the single-chip engine uses), then merges per-shard
-candidates with an all_gather over ICI — so multi-chip deployments keep the
-fast kernel instead of regressing to the XLA packed scan
-(engine/device_index.py routing).
+candidates via parallel/merge — a flat all_gather on a 1-D ICI mesh, the
+hierarchical ICI-then-DCN two-stage merge on the 2-D multi-host mesh — so
+multi-chip AND multi-host deployments keep the fast kernel instead of
+regressing to the XLA packed scan (engine/device_index.py routing).
 """
 
 from __future__ import annotations
@@ -23,11 +24,11 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from iscc_search_tpu.ops.pm1_scan import NEG_SCORE, unpack_pm1
-from iscc_search_tpu.parallel.mesh import SHARD_AXIS
+from iscc_search_tpu.ops.pm1_scan import unpack_pm1
+from iscc_search_tpu.parallel.merge import lift_rows, merge_topk
 
 
-def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chunk_rows=65536, permute=False):
+def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=None, chunk_rows=65536, permute=False):
     # type: (...) -> jnp.ndarray
     """
     Build the row-sharded ±1 int8 layout from a row-sharded packed database.
@@ -52,7 +53,8 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
         )
         return out.reshape(n, nbits)
 
-    kwargs = dict(mesh=mesh, in_specs=P(axis_name, None), out_specs=P(axis_name, None))
+    axes = tuple(mesh.axis_names)
+    kwargs = dict(mesh=mesh, in_specs=P(axes, None), out_specs=P(axes, None))
     try:
         mapped = shard_map(local, check_vma=False, **kwargs)
     except TypeError:  # pragma: no cover - older jax spelling
@@ -61,14 +63,14 @@ def shard_unpacked_db(mesh, db_packed_sharded, nbits, axis_name=SHARD_AXIS, chun
 
 
 @functools.lru_cache(maxsize=32)
-def _penalty_fn(mesh, mode, axis_name):
+def _penalty_fn(mesh, mode, axes):
     # Cached per (mesh, mode, axis): building shard_map + jit objects per
     # call would retrace and recompile the sharded permute on EVERY validity
     # generation — hundreds of ms to save the ~3-6 ms it amortizes.
     from iscc_search_tpu.ops.pallas_scan import make_blockmax_penalty
 
     local = functools.partial(make_blockmax_penalty, mode=mode)
-    kwargs = dict(mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
+    kwargs = dict(mesh=mesh, in_specs=P(axes), out_specs=P(None, axes))
     try:
         mapped = shard_map(local, check_vma=False, **kwargs)
     except TypeError:  # pragma: no cover - older jax spelling
@@ -76,7 +78,7 @@ def _penalty_fn(mesh, mode, axis_name):
     return jax.jit(mapped)
 
 
-def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=SHARD_AXIS):
+def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=None):
     # type: (...) -> jnp.ndarray
     """
     Row-sharded make_blockmax_penalty(): each device builds the (1, local_n)
@@ -84,11 +86,11 @@ def shard_blockmax_penalty(mesh, db_valid_sharded, mode, axis_name=SHARD_AXIS):
     generation and pass to sharded_pallas_topk(db_penalty=...) — the in-jit
     fallback permute costs ~half a sweep at 10M rows per chip.
     """
-    return _penalty_fn(mesh, mode, axis_name)(db_valid_sharded)
+    return _penalty_fn(mesh, mode, tuple(mesh.axis_names))(db_valid_sharded)
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, with_perm, merge_k=None, with_penalty=False):
+def _make_fn(mesh, k, nbits, chunk_size, interpret, axes, with_unpacked, with_perm, merge_k=None, with_penalty=False):
     merge_k = k if merge_k is None else merge_k  # see pm1_sharded._make_fn
     from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_impl
 
@@ -112,18 +114,13 @@ def _make_fn(mesh, k, nbits, chunk_size, interpret, axis_name, with_unpacked, wi
             db_perm=db_perm,
             db_penalty=db_penalty,
         )
-        shard = jax.lax.axis_index(axis_name)
-        idx = jnp.where(idx >= 0, idx + shard * db_packed.shape[0], -1)
-        all_s = jax.lax.all_gather(scores, axis_name, axis=1, tiled=True)
-        all_i = jax.lax.all_gather(idx, axis_name, axis=1, tiled=True)
-        top_s, pos = jax.lax.top_k(all_s, min(merge_k, all_s.shape[1]))
-        top_i = jnp.take_along_axis(all_i, pos, axis=1)
-        return top_s, jnp.where(top_s > NEG_SCORE, top_i, -1)
+        idx = lift_rows(idx, db_packed.shape[0], axes)
+        return merge_topk(scores, idx, axes, merge_k)
 
-    in_specs = [P(), P(), P(axis_name, None), P(axis_name)]
-    in_specs += [P(axis_name, None)] * (int(with_unpacked) + int(with_perm))
+    in_specs = [P(), P(), P(axes, None), P(axes)]
+    in_specs += [P(axes, None)] * (int(with_unpacked) + int(with_perm))
     if with_penalty:
-        in_specs += [P(None, axis_name)]
+        in_specs += [P(None, axes)]
     kwargs = dict(mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()))
     try:
         mapped = shard_map(local_step, check_vma=False, **kwargs)
@@ -144,7 +141,7 @@ def sharded_pallas_topk(
     chunk_size=16384,
     interpret=False,
     db_perm=None,
-    axis_name=SHARD_AXIS,
+    axis_name=None,
     merge_k=None,
     db_penalty=None,
 ):
@@ -168,7 +165,7 @@ def sharded_pallas_topk(
     if db_unpacked is None and db_perm is None:
         raise ValueError("sharded_pallas_topk needs at least one int8 twin")
     fn = _make_fn(
-        mesh, k, nbits, chunk_size, interpret, axis_name,
+        mesh, k, nbits, chunk_size, interpret, tuple(mesh.axis_names),
         db_unpacked is not None, db_perm is not None, merge_k,
         db_penalty is not None,
     )

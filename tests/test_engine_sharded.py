@@ -125,3 +125,52 @@ def test_partition_penalty_memo_reuse_and_invalidation():
     valid2 = jnp.ones(n, bool)
     p2 = part.penalty_for(valid2, "plain")
     assert p2 is not p1
+
+
+class Test2DMesh:
+    """DeviceNphdIndex over the 2-D (dcn x ici) multi-host-shaped mesh: the
+    engine routes through the hierarchical ICI->DCN merge (parallel/merge)
+    while keeping full result parity with the single-device path."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        from iscc_search_tpu.parallel import make_mesh_2d
+
+        return make_mesh_2d(2, 4)
+
+    def test_matches_single_device_mixed_lengths(self, tmp_path, mesh2d):
+        rng = np.random.default_rng(91)
+        bodies = [
+            rng.integers(0, 256, int(rng.choice([8, 16, 32])), dtype=np.uint8).tobytes()
+            for _ in range(3000)
+        ]
+        keys = list(range(3000))
+        single = DeviceNphdIndex(tmp_path / "single")
+        single.add(keys, bodies)
+        sharded = DeviceNphdIndex(tmp_path / "sharded", mesh=mesh2d)
+        sharded.add(keys, bodies)
+        # tombstones must mask identically on both paths
+        dead = list(range(0, 3000, 17))
+        single.remove(dead)
+        sharded.remove(dead)
+
+        queries = [bodies[3], bodies[44], bodies[3][:8], bodies[100]]
+        for (k1, s1), (k2, s2) in zip(single.search(queries, 9), sharded.search(queries, 9)):
+            assert np.allclose(np.sort(s1)[::-1], np.sort(s2)[::-1], atol=2e-3)
+            assert k1[0].tobytes() == k2[0].tobytes()
+        single.close()
+        sharded.close()
+
+    def test_update_and_large_count(self, tmp_path, mesh2d):
+        rng = np.random.default_rng(92)
+        idx = DeviceNphdIndex(tmp_path / "i", mesh=mesh2d)
+        bodies = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(600)]
+        idx.add(list(range(600)), bodies)
+        idx.add([0], [bodies[1]])  # update key 0 to body 1
+        res = idx.search_one(bodies[1], 5)
+        assert res[0] == pytest.approx(1.0, abs=2e-3)
+        # count > per-shard k exercises the widened hierarchical merge
+        (keys, scores), = idx.search([bodies[2]], 300)
+        assert len(scores) == 300
+        assert scores[0] == pytest.approx(1.0, abs=2e-3)
+        idx.close()
