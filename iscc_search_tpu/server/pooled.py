@@ -40,7 +40,7 @@ _STATUS_WITH_NO_BODY = {204, 304}
 
 
 class _Conn:
-    __slots__ = ("sock", "fd", "addr", "buf", "closed", "parked_at")
+    __slots__ = ("sock", "fd", "addr", "buf", "closed", "parked_at", "queued_at")
 
     def __init__(self, sock, addr):
         self.sock = sock
@@ -49,19 +49,34 @@ class _Conn:
         self.buf = b""
         self.closed = False
         self.parked_at = 0.0
+        self.queued_at = 0.0
 
 
 class PooledHTTPServer:
     """Thread-pool keep-alive HTTP/1.1 server for synchronous WSGI apps."""
 
-    def __init__(self, host, port, app, threads=16, backlog=512, sock=None, idle_timeout=120.0, request_timeout=30.0):
-        # type: (str, int, ..., int, int, socket.socket | None, float, float) -> None
+    def __init__(self, host, port, app, threads=16, backlog=512, sock=None, idle_timeout=120.0,
+                 request_timeout=30.0, max_pending=256, queue_deadline=2.0):
+        # type: (str, int, ..., int, int, socket.socket | None, float, float, int, float) -> None
         self.app = app
         self.threads = threads
         self.idle_timeout = idle_timeout
         # Whole-request read budget: per-recv timeouts alone let a trickling
         # client renew 30 s per byte and pin a pool worker indefinitely.
         self.request_timeout = request_timeout
+        # Overload policy: past saturation the server SHEDS (503 +
+        # Retry-After) instead of queueing unboundedly — without this, 2x
+        # offered load measured 12.3 s p50 with zero errors, every response
+        # arriving after the client gave up. Two independent guards:
+        # - max_pending bounds the ready-request queue depth (admission),
+        # - queue_deadline bounds how stale a queued request may get before
+        #   a worker answers it (p50 at overload stays ~deadline, not
+        #   unbounded). 0 disables either guard.
+        self.max_pending = max_pending
+        self.queue_deadline = queue_deadline
+        self.shed_count = 0  # observability: requests shed since start
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         if sock is not None:
             # Pre-bound (SO_REUSEPORT worker) socket: already bound+listening
             self._sock = sock
@@ -197,7 +212,7 @@ class PooledHTTPServer:
                         except (OSError, ValueError):  # pragma: no cover
                             pass
                 if conn is not None:
-                    self._queue.put(conn)
+                    self._enqueue_ready(conn)
             # Reap idle keep-alive connections: each parked socket holds an
             # fd; without a sweep, idle clients accumulate until EMFILE.
             now = time.monotonic()
@@ -228,13 +243,86 @@ class PooledHTTPServer:
 
     # -------------------------------------------------------------- workers
 
+    def _enqueue_ready(self, conn):
+        # type: (_Conn) -> None
+        """Admit a ready request to the worker queue, or shed with 503.
+
+        The 503 write happens on the park/accept thread, so it must never
+        block: a single non-blocking send (the ~120-byte response fits any
+        healthy socket buffer; a peer that cannot take it is closed)."""
+        if self.max_pending:
+            with self._pending_lock:
+                if self._pending >= self.max_pending:
+                    shed = True
+                else:
+                    self._pending += 1
+                    shed = False
+            if shed:
+                self.shed_count += 1
+                self._shed(conn, blocking=False)
+                return
+        else:
+            with self._pending_lock:
+                self._pending += 1
+        conn.queued_at = time.monotonic()
+        self._queue.put(conn)
+
+    def _shed(self, conn, blocking):
+        # type: (_Conn, bool) -> None
+        payload = b'{"detail": "Server overloaded, retry later"}'
+        head = (
+            f"HTTP/1.1 503 Service Unavailable\r\nContent-Type: application/json\r\n"
+            f"Content-Length: {len(payload)}\r\nRetry-After: 1\r\nConnection: close\r\n\r\n"
+        ).encode("latin-1")
+        try:
+            if blocking:
+                conn.sock.settimeout(5.0)
+                conn.sock.sendall(head + payload)
+                conn.sock.shutdown(socket.SHUT_WR)
+                # Drain the UNREAD request bytes: closing with data in the
+                # receive buffer makes the kernel RST the connection, which
+                # discards the 503 before the client reads it. Bounded drain
+                # (graceful-close pattern), then close.
+                conn.sock.settimeout(0.5)
+                for _ in range(64):
+                    if not conn.sock.recv(65536):
+                        break
+            else:
+                # Park/accept thread: one non-blocking send + drain; a peer
+                # that can't take ~170 bytes is closed (possibly RST).
+                conn.sock.setblocking(False)
+                conn.sock.send(head + payload)
+                try:
+                    conn.sock.shutdown(socket.SHUT_WR)
+                    while conn.sock.recv(65536):
+                        pass
+                except (OSError, BlockingIOError):
+                    pass
+        except (OSError, BlockingIOError):
+            pass
+        self._close_conn(conn)
+
     def _worker_loop(self):
         # type: () -> None
         while True:
             conn = self._queue.get()
             if conn is None:
                 return
+            with self._pending_lock:
+                self._pending -= 1
             try:
+                # conn.queued_at == 0 means the conn skipped admission
+                # (direct queue puts in tests) — never deadline-shed those.
+                if (
+                    self.queue_deadline
+                    and conn.queued_at
+                    and time.monotonic() - conn.queued_at > self.queue_deadline
+                ):
+                    # Stale in queue past the deadline: the client has likely
+                    # timed out — shed instead of burning engine time on it.
+                    self.shed_count += 1
+                    self._shed(conn, blocking=True)
+                    continue
                 keep = self._handle_one(conn)
             except Exception:
                 logger.exception("HTTP worker error")
@@ -242,8 +330,9 @@ class PooledHTTPServer:
             if not keep:
                 self._close_conn(conn)
             elif conn.buf:
-                # Pipelined next request already buffered: stay hot
-                self._queue.put(conn)
+                # Pipelined next request already buffered: stay hot (subject
+                # to the same admission bound as fresh arrivals)
+                self._enqueue_ready(conn)
             else:
                 self._park(conn)
 

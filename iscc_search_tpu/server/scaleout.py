@@ -39,7 +39,7 @@ import tempfile
 import threading
 import time
 
-from iscc_search_tpu.utils import get_logger
+from iscc_search_tpu.utils import OverloadedError, get_logger
 
 logger = get_logger(__name__)
 
@@ -56,6 +56,7 @@ _EXC_TYPES = {
     "NotADirectoryError": NotADirectoryError,
     "PermissionError": PermissionError,
     "RuntimeError": RuntimeError,
+    "OverloadedError": OverloadedError,
 }
 
 
@@ -97,10 +98,15 @@ def _recv_frame(sock):
 class EngineIPCServer:
     """Serves the engine index over a unix socket to worker processes."""
 
-    def __init__(self, index, socket_path):
-        # type: (..., str) -> None
+    def __init__(self, index, socket_path, max_inflight=64):
+        # type: (..., str, int) -> None
         self.index = index
         self.socket_path = socket_path
+        # Engine-side overload guard: searches past this in-flight bound get
+        # an immediate OverloadedError reply (workers map it to 503 +
+        # Retry-After) instead of queueing behind the device. Mutations and
+        # admin calls are never shed — they are rare and must not be dropped.
+        self._search_slots = threading.BoundedSemaphore(max_inflight)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(socket_path)
         self._sock.listen(64)
@@ -160,7 +166,12 @@ class EngineIPCServer:
                         # Hot path: plain dict in, dumped dict out — no
                         # pydantic on the worker side beyond input checks.
                         _, name, qdict, limit = frame
-                        result = self.index.search_assets(name, IsccQuery(**qdict), limit)
+                        if not self._search_slots.acquire(blocking=False):
+                            raise OverloadedError("engine search capacity exhausted")
+                        try:
+                            result = self.index.search_assets(name, IsccQuery(**qdict), limit)
+                        finally:
+                            self._search_slots.release()
                         reply = ("ok", result.model_dump(mode="json", exclude_none=True))
                     elif op == "call":
                         _, method, args = frame
@@ -354,7 +365,15 @@ def worker_main(argv=None):
         raise SystemExit("engine IPC not reachable")
     app = create_app(index=rpc, opts=opts)
     sock = reuseport_socket(opts.host, opts.port)
-    srv = PooledHTTPServer(opts.host, opts.port, app, threads=opts.http_threads, sock=sock)
+    srv = PooledHTTPServer(
+        opts.host,
+        opts.port,
+        app,
+        threads=opts.http_threads,
+        sock=sock,
+        max_pending=opts.http_max_pending,
+        queue_deadline=opts.http_queue_deadline_ms / 1000.0,
+    )
 
     def _term(_signum, _frame):  # pragma: no cover - signal timing
         threading.Thread(target=srv.shutdown, daemon=True).start()
@@ -375,6 +394,46 @@ def worker_main(argv=None):
 # ------------------------------------------------------------- orchestrator
 
 
+def _runnable_cores():
+    # type: () -> int
+    """Cores THIS process may run on (cgroup/affinity aware, not host total)."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover - non-Linux
+        return os.cpu_count() or 1
+
+
+def _apply_core_guard(opts):
+    # type: (...) -> object | None
+    """
+    Enforce the >= workers+1 core constraint (the engine process is the +1).
+
+    On fewer cores the workers time-slice against the engine and saturate
+    BELOW single-process pooled (measured 400 vs 600 QPS on a constrained
+    host). Returns opts with the worker count shrunk to fit, or None when
+    even one worker cannot get a dedicated core (caller falls back to
+    single-process serving). ISCC_SEARCH_SCALEOUT_FORCE=1 skips the guard.
+    """
+    if os.environ.get("ISCC_SEARCH_SCALEOUT_FORCE") == "1":
+        return opts
+    cores = _runnable_cores()
+    requested = max(1, int(opts.workers or 1))
+    allowed = cores - 1
+    if allowed < 1:
+        logger.warning(
+            f"scale-out requested but only {cores} core(s) are available "
+            "(needs >= workers+1): falling back to single-process pooled serving"
+        )
+        return None
+    if requested > allowed:
+        logger.warning(
+            f"scale-out workers shrunk {requested} -> {allowed}: only {cores} core(s) "
+            "available (needs >= workers+1; set ISCC_SEARCH_SCALEOUT_FORCE=1 to override)"
+        )
+        return opts.override({"workers": allowed})
+    return opts
+
+
 def serve_scaleout(opts, stop=None):
     # type: (..., threading.Event | None) -> None
     """Run the engine + N HTTP worker processes until interrupted.
@@ -386,6 +445,16 @@ def serve_scaleout(opts, stop=None):
     from iscc_search_tpu.utils import configure_logging
 
     configure_logging(level=opts.log_level)
+
+    guarded = _apply_core_guard(opts)
+    if guarded is None:
+        # Even one worker cannot get a dedicated core: single-process pooled
+        # serving beats a time-sliced scale-out (see _apply_core_guard).
+        from iscc_search_tpu.server import httpd
+
+        httpd.serve(opts.override({"workers": 1}))
+        return
+    opts = guarded
 
     if not opts.port:
         # Port 0 is valid single-process (the bound port is discoverable)

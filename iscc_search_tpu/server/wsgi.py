@@ -18,6 +18,8 @@ from urllib.parse import parse_qs
 
 from pydantic import ValidationError
 
+from iscc_search_tpu.utils import OverloadedError
+
 from iscc_search_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -173,6 +175,9 @@ class WsgiApp:
                 resp = Response({"detail": str(e)}, status=404)
             except FileExistsError as e:
                 resp = Response({"detail": str(e)}, status=409)
+            except OverloadedError as e:
+                resp = Response({"detail": str(e) or "Server overloaded, retry later"}, status=503)
+                resp.headers["Retry-After"] = "1"
             except Exception:
                 logger.error("Unhandled error:\n" + traceback.format_exc())
                 resp = Response({"detail": "Internal Server Error"}, status=500)

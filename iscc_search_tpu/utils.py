@@ -7,6 +7,13 @@ import sys
 import time
 from contextlib import contextmanager
 
+class OverloadedError(RuntimeError):
+    """The serving stack is past its concurrency/queue bound; retry later.
+
+    Maps to HTTP 503 + Retry-After (server/wsgi.py) and crosses the
+    scale-out RPC boundary by name (server/scaleout.py _EXC_TYPES)."""
+
+
 def configure_logging(level="INFO", stream=None):
     # type: (str, ...) -> None
     """Configure package logging in a production-friendly single-line format.

@@ -39,6 +39,12 @@ if _platform == "cpu":
 # override env in pydantic-settings).
 os.environ.setdefault("ISCC_SEARCH_AGGREGATOR_CONVERT_WORKERS", "0")
 
+# The scale-out FUNCTIONAL tests exercise the multi-process topology on
+# whatever host runs them; the >= workers+1 core guard (scaleout.py
+# _apply_core_guard) would otherwise fall them back to single-process on
+# small CI hosts. Guard behavior itself is tested with this forced off.
+os.environ.setdefault("ISCC_SEARCH_SCALEOUT_FORCE", "1")
+
 import jax
 
 jax.config.update("jax_platforms", _platform)
