@@ -123,27 +123,48 @@ def _log_skips(group_tally, hub_url):
 #: contract, just at group granularity (re-backfill is idempotent either way).
 GROUP_BUNDLES = 16
 
+#: Dev-only knob: PYTHONPATH entries containing this substring are stripped
+#: from conversion-worker subprocess environments. Dev/bench hosts attach a
+#: remote TPU by injecting a sitecustomize via PYTHONPATH ("axon_site") that
+#: imports jax and dials a device tunnel at interpreter start; a pure host-side
+#: codec worker must not inherit that. Production deployments without such a
+#: hook are unaffected; override via ISCC_SEARCH_WORKER_PYTHONPATH_EXCLUDE
+#: (empty string disables the filter).
+WORKER_PYTHONPATH_EXCLUDE = os.environ.get("ISCC_SEARCH_WORKER_PYTHONPATH_EXCLUDE", "axon_site")
+
 
 def _worker_env():
     # type: () -> dict
     """
     Private, hermetic env dict for a conversion-worker subprocess.
 
-    Dev/bench environments attach a remote TPU by injecting a sitecustomize
-    via PYTHONPATH that imports jax and dials the device tunnel at interpreter
-    start; a conversion worker (pure host-side codec work) must not inherit
-    that. Snapshot-and-edit of a private dict (the scaleout.py worker-spawn
-    pattern) — never a mutation of os.environ, which other threads of the
-    server process read concurrently.
+    Strips PYTHONPATH entries matching WORKER_PYTHONPATH_EXCLUDE (dev-only
+    device-tunnel hooks, see above). Snapshot-and-edit of a private dict (the
+    scaleout.py worker-spawn pattern) — never a mutation of os.environ, which
+    other threads of the server process read concurrently.
     """
     env = dict(os.environ)
-    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon_site" not in p]
+    parts = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and not (WORKER_PYTHONPATH_EXCLUDE and WORKER_PYTHONPATH_EXCLUDE in p)
+    ]
     pkg_parent = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if pkg_parent not in parts:
         parts.insert(0, pkg_parent)
     env["PYTHONPATH"] = os.pathsep.join(parts)
     env["JAX_PLATFORMS"] = "cpu"
     return env
+
+
+def _log_orphan_convert(task):
+    # type: (asyncio.Task) -> None
+    """Consume the outcome of a conversion roundtrip orphaned by cancellation."""
+    if task.cancelled():
+        return
+    exc = task.exception()
+    if exc is not None:
+        logger.debug(f"aggregator: cancelled conversion finished with {exc!r} (benign during shutdown)")
 
 
 def _reap(proc):
@@ -232,8 +253,19 @@ class ConvertPool:
         # type: (list[bytes], int, str) -> tuple[list[tuple], dict]
         """Convert one group's records, preferring a worker process."""
         if not self._broken:
+            task = asyncio.ensure_future(asyncio.to_thread(self._roundtrip, records, skip, network))
             try:
-                return await asyncio.to_thread(self._roundtrip, records, skip, network)
+                return await asyncio.shield(task)
+            except asyncio.CancelledError:
+                # Caller cancelled (shutdown, or a prefetched group discarded
+                # after its predecessor failed). The worker thread cannot be
+                # interrupted — shield lets it finish its roundtrip in the
+                # background so the checked-out subprocess returns to the idle
+                # pool, and the done-callback consumes its outcome so a
+                # post-close() EOFError never surfaces as an un-retrieved
+                # task exception.
+                task.add_done_callback(_log_orphan_convert)
+                raise
             except Exception as exc:
                 self._broken = True
                 logger.warning(f"aggregator: conversion pool failed, converting inline from now on: {exc}")

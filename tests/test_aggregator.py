@@ -616,6 +616,78 @@ def test_convert_pool_checkout_cap_converts_inline():
         pool.close()
 
 
+def test_convert_pool_cancelled_convert_consumes_orphan(monkeypatch):
+    """Cancelling convert() mid-roundtrip leaves the thread to finish in the
+    background (shield) and consumes its eventual exception via the orphan
+    callback instead of leaving an un-retrieved task exception."""
+    import threading
+
+    pool = poller.ConvertPool(1)
+    gate, release = threading.Event(), threading.Event()
+    orphans = []
+    monkeypatch.setattr(poller, "_log_orphan_convert", orphans.append)
+
+    def blocking_roundtrip(records, skip, network):
+        gate.set()
+        release.wait(10)
+        raise EOFError("conversion worker exited")  # post-close() outcome
+
+    monkeypatch.setattr(pool, "_roundtrip", blocking_roundtrip)
+
+    async def go():
+        task = asyncio.ensure_future(pool.convert([make_record(1)], 0, "testnet"))
+        await asyncio.to_thread(gate.wait, 10)
+        task.cancel()
+        with pytest.raises(asyncio.CancelledError):
+            await task
+        release.set()
+        for _ in range(500):  # orphan thread finishes; callback fires
+            if orphans:
+                break
+            await asyncio.sleep(0.01)
+        assert orphans, "orphan done-callback never registered/fired"
+        exc = orphans[0].exception()
+        assert isinstance(exc, EOFError)
+        # Cancellation must not poison the pool for later calls
+        assert not pool._broken
+
+    run_async(go())
+    pool.close()
+
+
+def test_log_orphan_convert_outcomes():
+    """The orphan consumer tolerates cancelled / failed / clean tasks."""
+
+    async def go():
+        ok = asyncio.ensure_future(asyncio.sleep(0))
+        await ok
+        poller._log_orphan_convert(ok)  # clean: no-op
+
+        failed = asyncio.ensure_future(asyncio.to_thread(lambda: (_ for _ in ()).throw(EOFError("x"))))
+        with pytest.raises(EOFError):
+            await failed
+        poller._log_orphan_convert(failed)  # exception: logged, consumed
+
+        cancelled = asyncio.ensure_future(asyncio.sleep(60))
+        cancelled.cancel()
+        with pytest.raises(asyncio.CancelledError):
+            await cancelled
+        poller._log_orphan_convert(cancelled)  # cancelled: no exception() call
+
+    run_async(go())
+
+
+def test_worker_pythonpath_exclude_override(monkeypatch):
+    """An empty ISCC_SEARCH_WORKER_PYTHONPATH_EXCLUDE disables the dev-only
+    PYTHONPATH filter (the filter substring is configuration, not code)."""
+    import os as os_mod
+
+    monkeypatch.setenv("PYTHONPATH", "/x/axon_site" + os_mod.pathsep + "/b")
+    monkeypatch.setattr(poller, "WORKER_PYTHONPATH_EXCLUDE", "")
+    env = poller._worker_env()
+    assert "/x/axon_site" in env["PYTHONPATH"].split(os_mod.pathsep)
+
+
 def test_worker_env_hermetic_no_global_mutation(monkeypatch):
     """_worker_env strips tunnel hooks into a PRIVATE dict; os.environ intact."""
     import os as os_mod
