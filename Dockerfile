@@ -14,13 +14,16 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /src
-COPY pyproject.toml ./
+COPY pyproject.toml requirements.lock ./
 COPY iscc_search_tpu ./iscc_search_tpu
 
 RUN make -C iscc_search_tpu/native
 
 RUN python -m venv /app/.venv \
     && /app/.venv/bin/pip install --no-cache-dir --upgrade pip \
+    # Locked pins first (reproducible image; scripts/gen_lock.py), then the
+    # package itself and the runtime extras at the locked versions.
+    && /app/.venv/bin/pip install --no-cache-dir -r requirements.lock \
     && /app/.venv/bin/pip install --no-cache-dir . "jax[cpu]" click rich
 
 
