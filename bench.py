@@ -77,19 +77,35 @@ def main():
     q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 256)
     q_pm1_d, q_scale_d = jnp.asarray(q_pm1), jnp.asarray(q_scale)
 
-    from iscc_search_tpu.ops.pallas_scan import build_unpacked_db, pallas_blockmax_topk
+    from iscc_search_tpu.ops.pallas_scan import (
+        bit_transpose_packed,
+        build_unpacked_db,
+        make_blockmax_penalty,
+        pallas_blockmax_topk,
+    )
 
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-    db_unpacked = db_perm = None
+    db_unpacked = db_perm = db_bitplane = pen_bt = None
     if on_tpu:
         t0 = time.perf_counter()
         db_unpacked = build_unpacked_db(db_d, 256)
         db_perm = build_unpacked_db(db_d, 256, permute=True)
+        db_bitplane = jax.jit(bit_transpose_packed)(db_d)
+        pen_bt = make_blockmax_penalty(valid_d, "bitplane")
         _ = np.asarray(db_unpacked[:1, :1])
         details["unpacked_build_s"] = round(time.perf_counter() - t0, 2)
 
     def dispatch(mode):
         if mode == "exact_pallas":
+            # The engine's production tier: bitplane phase 1 (32 B/row HBM)
+            # + plain-int8 Pallas gather phase 3 (EXP_BITPLANE_10M.json).
+            return pallas_blockmax_topk(
+                q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk,
+                db_unpacked=db_unpacked, unpacked=False, db_bitplane=db_bitplane,
+                db_penalty=pen_bt,
+            )
+        if mode == "exact_pallas_perm":
+            # Previous production tier (perm-int8 phase 1), kept for the A/B.
             return pallas_blockmax_topk(
                 q_pm1_d, q_scale_d, db_d, valid_d, k, 256, chunk_size=chunk,
                 db_unpacked=db_unpacked, unpacked=True, db_perm=db_perm,
@@ -105,7 +121,7 @@ def main():
     # per sweep (was 10 in round 1, which inflated sweeps by ~3ms).
     repeat = int(os.environ.get("ISCC_BENCH_REPEAT", 30))
     results = {}
-    modes = ["exact", "recall_0.99"] + (["exact_pallas"] if on_tpu else [])
+    modes = ["exact", "recall_0.99"] + (["exact_pallas", "exact_pallas_perm"] if on_tpu else [])
     for label in modes:
         t0 = time.perf_counter()
         s, i = dispatch(label)

@@ -26,7 +26,10 @@ from pathlib import Path
 import numpy as np
 
 
-def amortized(fn, repeat=5):
+def amortized(fn, repeat=30):
+    # repeat=30 matches bench.py: the tunnel's fixed ~30 ms dispatch+readback
+    # must amortize over MANY async dispatches or it inflates each sweep by
+    # fixed_cost/repeat (repeat=5 measured ~+5 ms/sweep vs repeat=30).
     out = fn()
     np.asarray(out[0])
     best = float("inf")
@@ -110,6 +113,14 @@ def main():
             "bitplane_gather": dict(
                 db_unpacked=unpacked, unpacked=False, db_bitplane=bt, db_penalty=pen_bt
             ),
+            "bitplane_gather_p8": dict(
+                db_unpacked=unpacked, unpacked=False, db_bitplane=bt, db_penalty=pen_bt,
+                planes_per_dot=8,
+            ),
+            "bitplane_gather_c64k": dict(
+                db_unpacked=unpacked, unpacked=False, db_bitplane=bt, db_penalty=pen_bt,
+                chunk_size=65536,
+            ),
             "bitplane_view": dict(
                 db_bitplane=bt, db_packed_view=view, db_penalty=pen_bt
             ),
@@ -117,8 +128,10 @@ def main():
         entry = {}
         ref_scores = None
         for name, kw in variants.items():
-            fn = lambda kw=kw: pallas_blockmax_topk_packedq(
-                qp, ql, db, valid_dev, k, 256, chunk_size=chunk, **kw
+            kw = dict(kw)
+            cs = kw.pop("chunk_size", chunk)
+            fn = lambda kw=kw, cs=cs: pallas_blockmax_topk_packedq(
+                qp, ql, db, valid_dev, k, 256, chunk_size=cs, **kw
             )
             t0 = time.perf_counter()
             s, i = fn()

@@ -142,6 +142,7 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
     n_total = int(rate * seconds)
     latencies = []
     errors = [0]
+    sheds = [0]  # 503 responses — deliberate overload shedding, not failures
     lock = threading.Lock()
     t0 = time.perf_counter() + 0.5  # all threads share one epoch
 
@@ -156,6 +157,7 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
         buf = b""
         local_lat = []
         local_err = 0
+        local_shed = 0
         k = j
         while k < n_total:
             body = queries[k % len(queries)]
@@ -187,6 +189,13 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
                         raise ConnectionError("closed")
                     rest += data
                 buf = rest[clen:]
+                if status == 503:
+                    local_shed += 1
+                    if b"connection: close" in head.lower():
+                        sock.close()
+                        sock = None
+                    k += nthreads
+                    continue
                 if status != 200:
                     raise ConnectionError(f"HTTP {status}")
                 local_lat.append(time.perf_counter() - scheduled)
@@ -207,6 +216,7 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
         with lock:
             latencies.extend(local_lat)
             errors[0] += local_err
+            sheds[0] += local_shed
 
     threads = [threading.Thread(target=run, args=(j,)) for j in range(nthreads)]
     for t in threads:
@@ -215,7 +225,7 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
         t.join()
     wall = time.perf_counter() - t0
     with open(out_file, "w") as f:
-        json.dump({"latencies": latencies, "errors": errors[0], "wall": wall}, f)
+        json.dump({"latencies": latencies, "errors": errors[0], "sheds": sheds[0], "wall": wall}, f)
 
 
 def run_step(port, query_file, rate, seconds, n_procs):
@@ -245,11 +255,13 @@ def run_step(port, query_file, rate, seconds, n_procs):
         p.wait()
     latencies = []
     errors = 0
+    sheds = 0
     wall = 0.0
     for out in outs:
         data = json.load(open(out))
         latencies.extend(data["latencies"])
         errors += data["errors"]
+        sheds += data.get("sheds", 0)
         wall = max(wall, data["wall"])
         os.unlink(out)
     lat = np.array(sorted(latencies)) * 1e3
@@ -257,6 +269,7 @@ def run_step(port, query_file, rate, seconds, n_procs):
         "offered_qps": rate,
         "achieved_qps": round(len(latencies) / wall, 1) if wall else 0.0,
         "errors": errors,
+        "sheds": sheds,
         "p50_ms": round(float(np.percentile(lat, 50)), 1) if len(lat) else None,
         "p90_ms": round(float(np.percentile(lat, 90)), 1) if len(lat) else None,
         "p99_ms": round(float(np.percentile(lat, 99)), 1) if len(lat) else None,

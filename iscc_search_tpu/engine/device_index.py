@@ -222,8 +222,9 @@ def _bitplane_group_rewrite(bt_dev, packed_dev, start, end):
             return jax.lax.dynamic_update_slice(bt, view_rows, (view_offset, 0))
 
         _bitplane_group_rewrite._fn = jax.jit(_rewrite)
+    lanes = packed_dev.shape[1]  # view rows per original row = lanes/128
     packed_slice = jax.lax.dynamic_slice_in_dim(packed_dev, g0, g1 - g0, axis=0)
-    return _bitplane_group_rewrite._fn(bt_dev, packed_slice, g0 // 16)
+    return _bitplane_group_rewrite._fn(bt_dev, packed_slice, g0 * lanes // 128)
 
 
 def _device_append(buf, new, start):
@@ -505,6 +506,77 @@ class PackedCodeIndex:
             self.dirty += n
             self._device_stale = True
 
+    def add_packed(self, keys, packed, nlanes):
+        # type: (np.ndarray, np.ndarray, np.ndarray | int) -> None
+        """
+        Vectorized bulk append of pre-packed rows (the bulk-ingest fast path).
+
+        The per-item ``add()`` loop (key normalization + dict upsert per row)
+        dominates bulk builds — ~28K rows/s at SIMPRINT scale, an hour for
+        the 100M-chunk BASELINE config 4. This path appends whole arrays.
+
+        CONTRACT: ``keys`` must be unique within the batch AND not already
+        present in the index — the dedup/update semantics of ``add()`` are
+        skipped (a violated contract leaves duplicate live rows, exactly as
+        documented for the reference's raw batch loaders,
+        /root/reference/iscc_search/indexes/simprint/usearch_core.py:85-108
+        — its in-batch dedup also trusts the store for cross-batch keys).
+        Rebuild-from-truth and bulk benchmark loaders satisfy this by
+        construction.
+
+        :param keys: (n, key_bytes) uint8 key matrix
+        :param packed: (n, L) uint32 packed codes, L <= max_lanes
+        :param nlanes: (n,) int32 lane counts, or a scalar applied to all rows
+        """
+        keys = np.ascontiguousarray(keys, dtype=np.uint8)
+        packed = np.ascontiguousarray(packed, dtype=np.uint32)
+        n = keys.shape[0]
+        if n == 0:
+            return
+        if keys.ndim != 2 or keys.shape[1] != self.key_bytes:
+            raise ValueError(f"keys must be (n, {self.key_bytes}) uint8, got {keys.shape}")
+        if packed.shape[0] != n or packed.ndim != 2 or packed.shape[1] > self.max_lanes:
+            raise ValueError(f"packed must be (n, <= {self.max_lanes}) uint32, got {packed.shape}")
+        if np.isscalar(nlanes) or getattr(nlanes, "ndim", 1) == 0:
+            nlanes = np.full(n, int(nlanes), np.int32)
+        else:
+            nlanes = np.ascontiguousarray(nlanes, dtype=np.int32)
+            if nlanes.shape != (n,):
+                raise ValueError(f"nlanes must be (n,), got {nlanes.shape}")
+        if int(nlanes.max(initial=0)) > self.max_lanes or int(nlanes.min(initial=1)) < 1:
+            raise ValueError("nlanes out of range")
+        if self.control_hook is not None:
+            return self.control_hook(
+                "add_packed", (keys, packed, nlanes), lambda: self._add_packed_impl(keys, packed, nlanes)
+            )
+        return self._add_packed_impl(keys, packed, nlanes)
+
+    def _add_packed_impl(self, keys, packed, nlanes):
+        # type: (np.ndarray, np.ndarray, np.ndarray) -> None
+        n = keys.shape[0]
+        with self._lock:
+            self._ensure_capacity(self._rows + n)
+            start = self._rows
+            self._keys[start : start + n] = keys
+            self._codes[start : start + n, : packed.shape[1]] = packed
+            if packed.shape[1] < self.max_lanes:
+                self._codes[start : start + n, packed.shape[1] :] = 0
+            self._nlanes[start : start + n] = nlanes
+            self._valid[start : start + n] = True
+            km = self._key_to_row
+            if km is not None:
+                # Keep the materialized map coherent (mutation paths rely on
+                # it); when it is still lazy (None) the bulk rows ride the
+                # one-time rebuild instead — the common bulk-load case.
+                width = self.key_bytes
+                buf = keys.tobytes()
+                for i in range(n):
+                    km[buf[i * width : (i + 1) * width]] = start + i
+            self._rows += n
+            self._live += n
+            self.dirty += n
+            self._device_stale = True
+
     def remove(self, keys):
         # type: (list) -> int
         """Tombstone keys; returns the number of keys actually removed."""
@@ -539,8 +611,24 @@ class PackedCodeIndex:
                 return None
             return unpack_code(self._codes[row], int(self._nlanes[row]))
 
-    def search(self, query_bodies, count):
-        # type: (list[bytes], int) -> list[tuple[np.ndarray, np.ndarray]]
+    def body_at(self, row):
+        # type: (int) -> bytes | None
+        """Stored code body at a ROW returned by ``search(return_rows=True)``,
+        or None when the row no longer exists (a rebuild/reset raced the
+        search snapshot — callers keep the query bytes as fallback, matching
+        the historical get()-miss behavior).
+
+        O(1) array access — unlike :meth:`get`, this never materializes the
+        key->row map (a 100M-row map costs ~15 GB host RAM and minutes to
+        build; per-candidate ``get`` calls in the simprint scoring loop were
+        the host-side ping-pong SURVEY §7 warns about)."""
+        with self._lock:
+            if row < 0 or row >= self._rows or self._nlanes[row] <= 0:
+                return None
+            return unpack_code(self._codes[row], int(self._nlanes[row]))
+
+    def search(self, query_bodies, count, return_rows=False):
+        # type: (list[bytes], int, bool) -> list[tuple]
         """
         Top-``count`` scan for a batch of queries (exact unless a
         recall_target was configured).
@@ -551,20 +639,27 @@ class PackedCodeIndex:
 
         :param query_bodies: query code bodies
         :param count: results per query
+        :param return_rows: also return each candidate's host row id (for
+            O(1) ``body_at`` lookups in scoring loops)
         :return: per query a (keys (m, key_bytes) uint8 array, scores (m,)
-            float32 array) pair, sorted by score descending; m <= count
+            float32 array) pair — plus a rows (m,) int array when
+            ``return_rows`` — sorted by score descending; m <= count
         """
         if not query_bodies or self._rows == 0 or self._live == 0:
-            return [(np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32)) for _ in query_bodies]
+            empty = [
+                (np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32), np.zeros(0, np.int64))
+                for _ in query_bodies
+            ]
+            return empty if return_rows else [e[:2] for e in empty]
         if self.control_hook is not None:
             bodies = [self._vector_bytes(b) for b in query_bodies]
             return self.control_hook(
-                "search", (bodies, count), lambda: self._search_impl(bodies, count)
+                "search", (bodies, count), lambda: self._search_impl(bodies, count, return_rows)
             )
-        return self._search_impl(query_bodies, count)
+        return self._search_impl(query_bodies, count, return_rows)
 
-    def _search_impl(self, query_bodies, count):
-        # type: (list[bytes], int) -> list[tuple[np.ndarray, np.ndarray]]
+    def _search_impl(self, query_bodies, count, return_rows=False):
+        # type: (list[bytes], int, bool) -> list[tuple]
         import jax.numpy as jnp
 
         with self._lock:
@@ -686,11 +781,17 @@ class PackedCodeIndex:
                     penalty_mode,
                 )
 
-                has_int8 = unpacked_dev is not None or perm_dev is not None
+                # Phase-1 preference: bitplane twin first (32 B/row HBM reads;
+                # +57% QPS at Q=64 vs the perm twin's 256 B/row, tie at Q=512
+                # — EXP_BITPLANE_10M.json), else perm/plain int8. Phase 3
+                # rescores from the plain int8 twin when present (Pallas
+                # gather), else the resident packed view.
+                use_bt = bitplane_dev is not None
+                has_int8 = (unpacked_dev is not None or perm_dev is not None) and not use_bt
                 pmode = penalty_mode(
                     unpacked=has_int8,
-                    permuted=perm_dev is not None,
-                    bitplane=not has_int8 and bitplane_dev is not None,
+                    permuted=perm_dev is not None and not use_bt,
+                    bitplane=use_bt,
                 )
                 scores, idx = pallas_blockmax_topk_packedq(
                     q_codes_dev,
@@ -702,10 +803,10 @@ class PackedCodeIndex:
                     chunk_size=max(chunk, _PALLAS_MIN_CHUNK),
                     db_unpacked=unpacked_dev,
                     unpacked=has_int8,
-                    db_perm=perm_dev,
-                    db_bitplane=None if has_int8 else bitplane_dev,
+                    db_perm=None if use_bt else perm_dev,
+                    db_bitplane=bitplane_dev,
                     db_penalty=part.penalty_for(valid_dev, pmode),
-                    db_packed_view=None if has_int8 else view_dev,
+                    db_packed_view=None if unpacked_dev is not None else view_dev,
                     interpret=self._pallas_interpret(),
                 )
             elif self.recall_target is None:
@@ -759,12 +860,17 @@ class PackedCodeIndex:
         results = []
         for qi in range(nq):
             if not cand_scores[qi]:
-                results.append((np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32)))
+                empty = (np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32), np.zeros(0, np.int64))
+                results.append(empty if return_rows else empty[:2])
                 continue
             s = np.concatenate(cand_scores[qi])
             r = np.concatenate(cand_rows[qi])
             order = np.argsort(-s, kind="stable")[:count]
-            results.append((keys_snapshot[r[order]], s[order].astype(np.float32)))
+            rr = r[order]
+            if return_rows:
+                results.append((keys_snapshot[rr], s[order].astype(np.float32), rr))
+            else:
+                results.append((keys_snapshot[rr], s[order].astype(np.float32)))
         return results
 
     def save(self, wait=True):
@@ -1151,27 +1257,40 @@ class PackedCodeIndex:
                 and cap >= _PALLAS_MIN_CHUNK
                 and layout_bytes <= _unpacked_budget_bytes()
             ):
-                from iscc_search_tpu.ops.pallas_scan import build_unpacked_db
+                from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed, build_unpacked_db
 
-                # Budget for both int8 twins: permuted (fast tree-epilogue
-                # phase 1) + plain (Pallas gather phase 3). With room for only
-                # ONE layout, prefer the PERM twin — phase 1 dominates the
-                # sweep and phase 3 falls back to packed takes + XLA unpack,
-                # which beats forfeiting the tree epilogue (in-kernel packed
-                # unpack was measured 9x slower; see exp_packed_gather.py).
-                from iscc_search_tpu.ops.pallas_scan import PERM_GROUP
-
-                perm_ok = cap % PERM_GROUP == 0
-                if 2 * layout_bytes <= _unpacked_budget_bytes() or not perm_ok:
+                if lanes in (4, 8) and cap % PERM_GROUP == 0:
+                    # 128/256-bit partitions: bitplane twin (2x packed bytes)
+                    # for phase 1 + plain int8 twin for the Pallas gather
+                    # phase 3. Replaces perm+plain: the bitplane phase 1
+                    # reads 32 B/row instead of the perm twin's 256 B/row —
+                    # measured 3.15 vs 4.95 ms/sweep at 10M x 256-bit Q=64
+                    # (+57% QPS) and a tie at Q=512 (MXU-bound), while
+                    # freeing a whole int8 layout of HBM
+                    # (benchmarks/EXP_BITPLANE_10M.json).
                     unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
-                if perm_ok:
-                    perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
-            elif self._use_pallas() and cap >= _PALLAS_MIN_CHUNK and lanes == 8:
+                    bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
+                else:
+                    # Narrow/odd widths (64/192-bit): budget for both int8
+                    # twins — permuted (fast tree-epilogue phase 1) + plain
+                    # (Pallas gather phase 3). With room for only ONE layout,
+                    # prefer the PERM twin — phase 1 dominates the sweep and
+                    # phase 3 falls back to packed takes + XLA unpack, which
+                    # beats forfeiting the tree epilogue (in-kernel packed
+                    # unpack was measured 9x slower; see exp_packed_gather.py).
+                    perm_ok = cap % PERM_GROUP == 0
+                    if 2 * layout_bytes <= _unpacked_budget_bytes() or not perm_ok:
+                        unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
+                    if perm_ok:
+                        perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
+            elif self._use_pallas() and cap >= _PALLAS_MIN_CHUNK and lanes in (4, 8):
                 # Beyond the int8 budget (100M-class partitions): the
                 # bit-transposed packed twin costs only 2x the packed bytes
                 # and keeps phase 1 on the MXU — measured 145.3 ms vs the XLA
                 # packed scan's 293.9 ms at 100.7M x 256-bit / Q=256 on v5e
                 # (2.0x, exact-verified; benchmarks/exp_packed_perm.py).
+                # lanes=4 (128-bit SIMPRINT partitions) uses the same layout
+                # at (rows*lanes//128, 128) — the config-4 100M-chunk path.
                 from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed
 
                 if cap % PERM_GROUP == 0:

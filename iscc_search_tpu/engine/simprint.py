@@ -19,6 +19,8 @@ from __future__ import annotations
 from collections import defaultdict
 from pathlib import Path
 
+import numpy as np
+
 from iscc_search_tpu.engine.device_index import DeviceHammingIndex
 from iscc_search_tpu.engine import simprint_ops as ops
 
@@ -58,6 +60,26 @@ class SimprintEngine:
             vecs.append(v)
         self._index.add(keys, vecs)
 
+    def add_packed(self, keys, vectors):
+        # type: (np.ndarray, np.ndarray) -> None
+        """
+        Bulk append of chunk vectors as arrays (rebuild / bulk-ingest path).
+
+        Same contract as :meth:`PackedCodeIndex.add_packed`: keys must be
+        new and unique (no per-row dedup) — satisfied by rebuild-from-truth
+        and bulk loaders by construction.
+
+        :param keys: (n, 16) uint8 composite keys (iscc_id_body+offset+size)
+        :param vectors: (n, ndim // 8) uint8 simprint bytes
+        """
+        vectors = np.ascontiguousarray(vectors, dtype=np.uint8)
+        n, nbytes = vectors.shape
+        if nbytes != self.ndim // 8:
+            raise ValueError(f"vectors must be (n, {self.ndim // 8}) uint8, got {vectors.shape}")
+        # Big-endian lane packing, bit-exact with ops.packing.pack_codes.
+        packed = vectors.reshape(n, nbytes // 4, 4).view(">u4")[..., 0].astype(np.uint32)
+        self._index.add_packed(keys, packed, nbytes // 4)
+
     def remove(self, composite_keys):
         # type: (list[bytes]) -> None
         if composite_keys:
@@ -84,11 +106,11 @@ class SimprintEngine:
             return []
 
         count = max(1, limit * self.oversampling_factor)
-        batch_results = self._index.search(list(simprints), count)
+        batch_results = self._index.search(list(simprints), count, return_rows=True)
 
-        # asset -> {query_idx: (offset, size, score, composite_key)}
+        # asset -> {query_idx: (offset, size, score, row)}
         asset_best = defaultdict(dict)  # type: dict[bytes, dict]
-        for query_idx, (keys, scores) in enumerate(batch_results):
+        for query_idx, (keys, scores, rows) in enumerate(batch_results):
             for i in range(len(scores)):
                 score = float(scores[i])
                 if score < threshold:
@@ -97,11 +119,19 @@ class SimprintEngine:
                 asset_id, offset, size = ops.unpack_chunk_pointer(raw_key)
                 best = asset_best[asset_id].get(query_idx)
                 if best is None or score > best[2]:
-                    asset_best[asset_id][query_idx] = (offset, size, score, raw_key)
+                    asset_best[asset_id][query_idx] = (offset, size, score, int(rows[i]))
 
         if not asset_best:
             return []
 
+        # Matched vectors matter only for doc-frequency lookups and detailed
+        # chunk output; without either, IDF is the same constant for every
+        # simprint (freq == 1) and the fetch is skipped entirely. When they
+        # ARE needed, body_at(row) is an O(1) array read — the per-candidate
+        # get() it replaces built the full key->row map (~15 GB / minutes at
+        # the 100M-chunk BASELINE config 4 scale; SURVEY §7 "doc-frequency
+        # lookups during scoring").
+        need_bytes = doc_freq_fn is not None or detailed
         freq_cache = {}  # type: dict[bytes, int]
 
         def get_freq(sp_key):
@@ -115,23 +145,27 @@ class SimprintEngine:
             total_idf = 0.0
             weighted_sim = 0.0
             match_cache = {}  # type: dict[int, bytes]  # query_idx -> match bytes
-            for query_idx, (offset, size, sim, composite_key) in best_per_query.items():
-                stored = self._index.get(composite_key)
-                match_bytes = stored if stored is not None else bytes(simprints[query_idx])
-                match_cache[query_idx] = match_bytes
-                idf = ops.calculate_idf(get_freq(match_bytes), total_assets)
+            for query_idx, (offset, size, sim, row) in best_per_query.items():
+                if need_bytes:
+                    stored = self._index.body_at(row)
+                    match_bytes = stored if stored is not None else bytes(simprints[query_idx])
+                    match_cache[query_idx] = match_bytes
+                    idf = ops.calculate_idf(get_freq(match_bytes), total_assets)
+                else:
+                    idf = ops.calculate_idf(1, total_assets)
                 total_idf += idf
                 weighted_sim += idf * sim
             for qi in range(len(simprints)):
                 if qi not in best_per_query:
-                    total_idf += ops.calculate_idf(get_freq(bytes(simprints[qi])), total_assets)
+                    freq = get_freq(bytes(simprints[qi])) if need_bytes else 1
+                    total_idf += ops.calculate_idf(freq, total_assets)
 
             asset_score = weighted_sim / total_idf if total_idf > 0 else 0.0
 
             chunks = None
             if detailed:
                 chunks = []
-                for query_idx, (offset, size, sim, composite_key) in best_per_query.items():
+                for query_idx, (offset, size, sim, row) in best_per_query.items():
                     match_bytes = match_cache[query_idx]  # fetched in the scoring loop
                     chunks.append(
                         ops.MatchedChunkRaw(

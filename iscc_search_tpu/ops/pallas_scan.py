@@ -211,42 +211,47 @@ def bit_transpose_packed(packed):
     the XLA packed scan). Bit index u follows unpack_pm1 order (lanes in
     order, MSB-first), so queries need no re-ordering.
 
-    256-bit partitions only (lanes == 8); N % 4096 == 0. Pure
-    reshape/transpose/shift ops — cheap to (re)build on device, jit-safe.
-    The bit-expansion intermediate costs 32x the packed bytes, so large
-    inputs stream through ``lax.map`` in bounded row steps (peak extra HBM
-    ~= rows_per_step KiB) instead of materializing an (N, 256) u32 tensor
-    (68 GiB at 16M rows — over any single-chip HBM).
+    128- and 256-bit partitions (lanes 4 or 8 — the SIMPRINT and NPHD
+    widths); N % 4096 == 0. The row regrouping is width-independent; only
+    the per-row bit count changes, so the stored view is
+    (N * lanes // 128, 128). Pure reshape/transpose/shift ops — cheap to
+    (re)build on device, jit-safe. The bit-expansion intermediate costs 32x
+    the packed bytes, so large inputs stream through ``lax.map`` in bounded
+    row steps (peak extra HBM ~= rows_per_step KiB) instead of
+    materializing an (N, nbits) u32 tensor (68 GiB at 16M x 256-bit — over
+    any single-chip HBM).
     """
     n, lanes = packed.shape
-    if lanes != 8 or n % PERM_GROUP:
-        raise ValueError("bitplane layout needs 256-bit rows and N % 4096 == 0")
+    if lanes not in (4, 8) or n % PERM_GROUP:
+        raise ValueError("bitplane layout needs 128/256-bit rows and N % 4096 == 0")
+    nbits = lanes * 32
 
     def _transpose_groups(chunk_rows):
         g = chunk_rows.shape[0] // PERM_GROUP
         m = chunk_rows.shape[0]
         # bits[o, u] ∈ {0,1}: bit u of row o, unpack_pm1 order (MSB-first/lane)
         shifts = (31 - np.arange(32, dtype=np.uint32))[None, None, :]
-        bits = ((chunk_rows[:, :, None] >> shifts) & jnp.uint32(1)).reshape(m, 256)
+        bits = ((chunk_rows[:, :, None] >> shifts) & jnp.uint32(1)).reshape(m, nbits)
         # regroup rows o = j0*128 + s*4 + j1 -> (j = j1*32 + j0, member s):
         # source axes (g, j0, s, j1, u) -> (g, j1, j0, s, u)
-        b2 = bits.reshape(g, 32, 32, 4, 256).transpose(0, 3, 1, 2, 4).reshape(g, 128, 32, 256)
-        # pack member axis s into bit s of a u32 word; T[u, j] layout (g, 256, 128)
+        b2 = bits.reshape(g, 32, 32, 4, nbits).transpose(0, 3, 1, 2, 4).reshape(g, 128, 32, nbits)
+        # pack member axis s into bit s of a u32 word; T[u, j] layout (g, nbits, 128)
         weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :, None]
-        t = (b2 * weights).sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)  # (g, 256, 128)
-        # Keep the NATIVE (rows/16, 128) view as the stored shape: a minor
-        # dim of 128 tiles compactly in HBM. Storing the logically-equivalent
-        # (m, 8) shape instead lane-pads 8 -> 128 on the Pallas operand path —
-        # a measured 16x HBM copy (51 GiB at 100M rows, an instant OOM).
-        return t.reshape(m // 16, 128)
+        t = (b2 * weights).sum(axis=2, dtype=jnp.uint32).transpose(0, 2, 1)  # (g, nbits, 128)
+        # Keep the NATIVE (rows*lanes//128, 128) view as the stored shape: a
+        # minor dim of 128 tiles compactly in HBM. Storing the logically-
+        # equivalent (m, lanes) shape instead lane-pads lanes -> 128 on the
+        # Pallas operand path — a measured 16x HBM copy (51 GiB at 100M
+        # 256-bit rows, an instant OOM).
+        return t.reshape(m * lanes // 128, 128)
 
     step = 1 << 19  # 512Ki rows/step: ~512 MiB bit-expansion working set
     while n % step:
         step >>= 1  # groups stay 4096-aligned (n % 4096 == 0 guaranteed above)
     if n <= step:
         return _transpose_groups(packed)
-    out = jax.lax.map(_transpose_groups, packed.reshape(n // step, step, 8))
-    return out.reshape(n // 16, 128)
+    out = jax.lax.map(_transpose_groups, packed.reshape(n // step, step, lanes))
+    return out.reshape(n * lanes // 128, 128)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("length",))
@@ -302,7 +307,7 @@ def bitplane_penalty_perm(penalty_flat):
     return penalty_flat.reshape(g, 32, 32, 4).transpose(0, 2, 3, 1).reshape(n)
 
 
-def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, planes_per_dot):
+def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chunk, planes_per_dot):
     """Fused bitplane scan: per-lane shift/mask unpack + int8 MXU dot + tree max.
 
     db arrives as the (chunk//16, 128) u32 view of bit_transpose_packed().
@@ -331,13 +336,13 @@ def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk, pla
     Exact: dot01 in [-256, 256] is exactly representable in bf16, and the
     -32768 penalty only needs to order below every valid value.
     """
-    qv = q_ref[:]  # (Q, 256) int8 ±1/0
+    qv = q_ref[:]  # (Q, nbits) int8 ±1/0
     qsum = jnp.sum(qv.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)  # (Q, 1)
     slab = min(_SUBTILE, chunk)
     nb = slab // BLOCK
-    vr = slab // 16  # 256 view rows per 4096-row slab
+    vr = slab * (nbits // 32) // 128  # nbits view rows per 4096-row slab
     for t in range(chunk // slab):
-        tile = db_ref[t * vr : (t + 1) * vr, :]  # (256, 128) uint32
+        tile = db_ref[t * vr : (t + 1) * vr, :]  # (nbits, 128) uint32
         dots = []
         for s0 in range(0, 32, planes_per_dot):
             planes = []
@@ -512,8 +517,8 @@ def pallas_blockmax(
         block b = original rows [b*128, (b+1)*128) in both modes
     """
     # Logical db rows: the bitplane twin is stored as its native
-    # (rows // 16, 128) u32 view (see bit_transpose_packed).
-    n = db.shape[0] * 16 if bitplane else db.shape[0]
+    # (rows * lanes // 128, 128) u32 view (see bit_transpose_packed).
+    n = db.shape[0] * 4096 // nbits if bitplane else db.shape[0]
     q = q_pm1.shape[0]
     if n % chunk_size or chunk_size % BLOCK:
         raise ValueError("db rows must divide by chunk_size, chunk_size by 128")
@@ -525,8 +530,8 @@ def pallas_blockmax(
         raise ValueError("permuted scan needs the unpacked layout and chunk_size % 4096 == 0")
     if packed_perm and (unpacked or permuted or chunk_size % PERM_GROUP or 128 % (nbits // 32)):
         raise ValueError("packed_perm needs the packed layout, chunk_size % 4096 == 0, lanes | 128")
-    if bitplane and (unpacked or permuted or packed_perm or chunk_size % PERM_GROUP or nbits != 256):
-        raise ValueError("bitplane needs the 256-bit packed layout and chunk_size % 4096 == 0")
+    if bitplane and (unpacked or permuted or packed_perm or chunk_size % PERM_GROUP or nbits not in (128, 256)):
+        raise ValueError("bitplane needs a 128/256-bit packed layout and chunk_size % 4096 == 0")
     nch = n // chunk_size
 
     # Validity as an additive penalty row in the DOT domain (broadcasts over
@@ -562,12 +567,12 @@ def pallas_blockmax(
     qs = q_scale.astype(jnp.float32)[:, None]  # (Q, 1)
 
     if bitplane:
-        if db.shape != (n // 16, 128):  # the native stored view (see builder)
-            raise ValueError(f"bitplane twin must be (rows//16, 128), got {db.shape}")
+        if db.shape != (n * nbits // 32 // 128, 128):  # the native stored view
+            raise ValueError(f"bitplane twin must be (rows*lanes//128, 128), got {db.shape}")
         kernel = functools.partial(
-            _scan_kernel_bitplane, chunk=chunk_size, planes_per_dot=planes_per_dot
+            _scan_kernel_bitplane, nbits=nbits, chunk=chunk_size, planes_per_dot=planes_per_dot
         )
-        db_block = (chunk_size // 16, 128)
+        db_block = (chunk_size * nbits // 32 // 128, 128)
     elif packed_perm:
         lanes = nbits // 32
         db = db.reshape(n * lanes // 128, 128)  # free view: row-major bytes
@@ -670,6 +675,7 @@ def pallas_blockmax_topk_impl(
     db_bitplane=None,
     db_penalty=None,
     db_packed_view=None,
+    planes_per_dot=4,
 ):
     # type: (...) -> tuple[jnp.ndarray, jnp.ndarray]
     """
@@ -732,6 +738,7 @@ def pallas_blockmax_topk_impl(
         permuted=permuted,
         packed_perm=packed_perm,
         bitplane=bitplane,
+        planes_per_dot=planes_per_dot,
         db_penalty=db_penalty,
     )
 
@@ -796,7 +803,7 @@ def pallas_blockmax_topk_impl(
 
 pallas_blockmax_topk = jax.jit(
     pallas_blockmax_topk_impl,
-    static_argnames=("k", "nbits", "chunk_size", "interpret", "unpacked"),
+    static_argnames=("k", "nbits", "chunk_size", "interpret", "unpacked", "planes_per_dot"),
 )
 
 
@@ -811,7 +818,7 @@ def pallas_blockmax_topk_packedq_impl(q_packed, q_lanes, db_packed, db_valid, k,
 
 pallas_blockmax_topk_packedq = jax.jit(
     pallas_blockmax_topk_packedq_impl,
-    static_argnames=("k", "nbits", "chunk_size", "interpret", "unpacked"),
+    static_argnames=("k", "nbits", "chunk_size", "interpret", "unpacked", "planes_per_dot"),
 )
 
 

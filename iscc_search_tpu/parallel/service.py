@@ -200,6 +200,8 @@ class MultihostService:
                     index._search_impl(op[2], op[3])
                 elif kind == "add":
                     index._add_impl(op[2], op[3])
+                elif kind == "add_packed":
+                    index._add_packed_impl(op[2], op[3], op[4])
                 elif kind == "remove":
                     index._remove_impl(op[2])
                 elif kind == "check":

@@ -336,3 +336,36 @@ def test_bitplane_layout_beyond_budget(tmp_path, monkeypatch):
     ((keys, _),) = idx.search([vs[3]], 1)
     assert int.from_bytes(keys[0].tobytes(), "big") == 3
     idx.close()
+
+
+def test_bitplane_layout_128bit_beyond_budget(tmp_path, monkeypatch):
+    """128-bit (lanes=4) partitions past the int8 budget — the SIMPRINT
+    width of BASELINE config 4 — build the generalized bitplane twin at
+    (cap*lanes//128, 128) and search exactly through the bitplane Pallas
+    path, including after an append (group-local twin rewrite)."""
+    from iscc_search_tpu.engine.device_index import DeviceHammingIndex
+
+    rng = np.random.default_rng(41)
+    n = 16384
+    monkeypatch.setattr(di, "_unpacked_budget_bytes", lambda: 1)  # no int8 twin fits
+    idx = DeviceHammingIndex(tmp_path / "h", ndim=128, scan_kernel="pallas")
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(n + 64)]
+    vs = [vec(rng, 16) for _ in range(n + 64)]
+    idx.add(keys[:n], vs[:n])
+    part = idx._sync_device()[4]
+    assert part.unpacked_dev is None and part.perm_dev is None
+    assert part.bitplane_dev is not None
+    assert part.bitplane_dev.shape == (part.cap * 4 // 128, 128)
+    assert part.view_dev is not None
+    ((got_keys, scores),) = idx.search([vs[777]], 1)
+    assert got_keys[0].tobytes() == keys[777]
+    assert scores[0] == pytest.approx(1.0)
+    # Append within capacity: the twin rewrites only the touched groups
+    idx.add(keys[n:], vs[n:])
+    ((got_keys, scores),) = idx.search([vs[n + 5]], 1)
+    assert got_keys[0].tobytes() == keys[n + 5]
+    assert scores[0] == pytest.approx(1.0)
+    # Old rows still found after the rewrite
+    ((got_keys, _),) = idx.search([vs[3]], 1)
+    assert got_keys[0].tobytes() == keys[3]
+    idx.close()

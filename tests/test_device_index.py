@@ -336,3 +336,117 @@ def test_device_index_model_fuzz(tmp_path):
 
     assert idx.size == len(model)
     idx.close()
+
+
+# ---------------------------------------------------------- bulk ingest path
+
+
+def test_add_packed_bulk_rows_searchable(tmp_path, rng):
+    """add_packed appends whole arrays; rows are searchable, persistable,
+    and mutable afterwards (the bulk-ingest fast path for rebuilds and the
+    100M-chunk BASELINE config 4 build)."""
+    from iscc_search_tpu.ops import pack_codes
+
+    idx = DeviceHammingIndex(tmp_path / "h", ndim=128)
+    n = 300
+    keys = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    vecs = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    packed, nlanes = pack_codes([v.tobytes() for v in vecs])
+    idx.add_packed(keys, packed[:, :4], 4)
+    assert idx.size == n and len(idx) == n
+
+    (kk, ss), = idx.search([vecs[7].tobytes()], 3)
+    assert ss[0] == pytest.approx(1.0)
+    assert kk[0].tobytes() == keys[7].tobytes()
+
+    # Lazy keymap builds correctly over bulk rows
+    assert keys[5].tobytes() in idx
+    assert idx.get(keys[5].tobytes()) == vecs[5].tobytes()
+
+    # Mutations after bulk load behave normally (update + remove)
+    idx.add([keys[7].tobytes()], [vecs[8].tobytes()])
+    assert idx.size == n
+    assert idx.get(keys[7].tobytes()) == vecs[8].tobytes()
+    assert idx.remove([keys[3].tobytes()]) == 1
+    assert idx.size == n - 1
+
+    # Persistence roundtrip
+    idx.save()
+    idx.close()
+    idx2 = DeviceHammingIndex(tmp_path / "h", ndim=128)
+    assert idx2.size == n - 1
+    assert idx2.get(keys[7].tobytes()) == vecs[8].tobytes()
+    idx2.close()
+
+
+def test_add_packed_variable_lanes_nphd(tmp_path, rng):
+    """Bulk path with per-row lane counts (variable-length NPHD rows)."""
+    idx = DeviceNphdIndex(tmp_path / "v")
+    bodies = [rand_body(rng, nb) for nb in (8, 16, 32, 32, 24)]
+    from iscc_search_tpu.ops import pack_codes
+
+    packed, nlanes = pack_codes(bodies)
+    keys = np.array([np.frombuffer(int(i).to_bytes(8, "big"), np.uint8) for i in range(5)])
+    idx.add_packed(keys, packed, nlanes)
+    assert idx.size == 5
+    res = idx.search_one(bodies[1], count=2)
+    assert res[1] == pytest.approx(1.0)
+    idx.close()
+
+
+def test_add_packed_validation_and_empty(tmp_path, rng):
+    idx = DeviceHammingIndex(tmp_path / "h", ndim=128)
+    idx.add_packed(np.zeros((0, 16), np.uint8), np.zeros((0, 4), np.uint32), 4)
+    assert idx.size == 0
+    with pytest.raises(ValueError):  # wrong key width
+        idx.add_packed(np.zeros((2, 8), np.uint8), np.zeros((2, 4), np.uint32), 4)
+    with pytest.raises(ValueError):  # too many lanes
+        idx.add_packed(np.zeros((2, 16), np.uint8), np.zeros((2, 9), np.uint32), 9)
+    with pytest.raises(ValueError):  # nlanes shape mismatch
+        idx.add_packed(np.zeros((2, 16), np.uint8), np.zeros((2, 4), np.uint32), np.array([4], np.int32))
+    with pytest.raises(ValueError):  # nlanes out of range
+        idx.add_packed(np.zeros((2, 16), np.uint8), np.zeros((2, 4), np.uint32), 0)
+    idx.close()
+
+
+def test_simprint_add_packed_matches_add_raw(tmp_path, rng):
+    """SimprintEngine.add_packed packs bit-exactly like the per-item path."""
+    from iscc_search_tpu.engine.simprint import SimprintEngine
+
+    n = 64
+    keys = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    vecs = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+
+    a = SimprintEngine(tmp_path / "a", ndim=128)
+    a.add_raw([k.tobytes() for k in keys], [v.tobytes() for v in vecs])
+    b = SimprintEngine(tmp_path / "b", ndim=128)
+    b.add_packed(keys, vecs)
+    assert a.size == b.size == n
+
+    qa = a.search_raw([vecs[9].tobytes()], limit=5, total_assets=n)
+    qb = b.search_raw([vecs[9].tobytes()], limit=5, total_assets=n)
+    assert [(r.iscc_id_body, round(r.score, 6)) for r in qa] == [
+        (r.iscc_id_body, round(r.score, 6)) for r in qb
+    ]
+    with pytest.raises(ValueError):  # wrong vector width
+        b.add_packed(keys[:1], vecs[:1, :8])
+    a.close()
+    b.close()
+
+
+def test_body_at_rows_and_stale_fallback(tmp_path, rng):
+    """body_at returns stored bytes for rows from search(return_rows=True)
+    and None for rows that no longer exist (rebuild raced the snapshot)."""
+    idx = DeviceHammingIndex(tmp_path / "h", ndim=128)
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(50)]
+    vecs = [rand_body(rng, 16) for _ in range(50)]
+    idx.add(keys, vecs)
+    ((kk, ss, rows),) = idx.search([vecs[9]], 1, return_rows=True)
+    assert kk[0].tobytes() == keys[9]
+    assert idx.body_at(int(rows[0])) == vecs[9]
+    # Stale rows (out of range / reset) return None instead of empty bytes
+    assert idx.body_at(10_000) is None
+    assert idx.body_at(-1) is None
+    idx.reset()
+    assert idx.body_at(int(rows[0])) is None
+    idx.close()

@@ -177,9 +177,11 @@ def test_permuted_topk_exact_vs_brute_force():
                 assert abs(ref[qi, fi[qi, r]] - fs[qi, r]) < 1e-3
 
 
-def test_engine_perm_twin_incremental_append(tmp_path, monkeypatch):
-    """Forced-pallas engine builds the permuted twin and keeps it in sync
-    through incremental device appends (_perm_group_rewrite path)."""
+def test_engine_fast_twin_incremental_append(tmp_path, monkeypatch):
+    """Forced-pallas engine builds the fast phase-1 twin (bitplane for
+    256-bit partitions since EXP_BITPLANE_10M) plus the plain int8 gather
+    twin, and keeps both in sync through incremental device appends
+    (_bitplane_group_rewrite path)."""
     from iscc_search_tpu.engine import device_index as di
     from iscc_search_tpu.engine.device_index import DeviceNphdIndex
 
@@ -190,7 +192,8 @@ def test_engine_perm_twin_incremental_append(tmp_path, monkeypatch):
     idx.add(list(range(500)), bodies[:500])
     (k0, s0), = idx.search([bodies[42]], 3)
     part = next(iter(idx._partitions.values()))
-    assert part.perm_dev is not None
+    assert part.bitplane_dev is not None and part.unpacked_dev is not None
+    assert part.perm_dev is None
     # incremental append into the existing partition, then search again
     idx.add(list(range(500, 600)), bodies[500:])
     (k1, s1), = idx.search([bodies[550]], 3)
@@ -274,9 +277,11 @@ def test_unpacked_flag_requires_a_twin():
         )
 
 
-def test_engine_perm_only_budget(tmp_path, monkeypatch):
-    """With HBM budget for exactly one int8 layout the engine prefers the
-    PERM twin (fast phase 1) and searches exactly without the plain twin."""
+def test_engine_single_layout_budget_256bit(tmp_path, monkeypatch):
+    """With HBM budget for exactly one int8 layout, 256-bit partitions build
+    the plain int8 gather twin + the bitplane phase-1 twin (2x packed bytes,
+    outside the int8 budget accounting) and search exactly — the perm twin is
+    retired for 128/256-bit widths (EXP_BITPLANE_10M.json)."""
     from iscc_search_tpu.engine import device_index as di
     from iscc_search_tpu.engine.device_index import DeviceNphdIndex
 
@@ -290,7 +295,28 @@ def test_engine_perm_only_budget(tmp_path, monkeypatch):
     idx.add(list(range(700)), bodies)
     (k1, s1), = idx.search([bodies[611]], 3)  # triggers the device sync
     part = next(iter(idx._partitions.values()))
-    assert part.perm_dev is not None
+    assert part.perm_dev is None
+    assert part.unpacked_dev is not None and part.bitplane_dev is not None
+    assert int.from_bytes(k1[0].tobytes(), "big") == 611
+    assert s1[0] == pytest.approx(1.0, abs=1e-3)
+    idx.close()
+
+
+def test_engine_perm_only_budget_192bit(tmp_path, monkeypatch):
+    """192-bit partitions (no bitplane layout) with budget for one int8
+    layout keep the PERM-twin-only preference and search exactly."""
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    rng = np.random.default_rng(95)
+    monkeypatch.setattr(di, "_PALLAS_MIN_CHUNK", 4096)
+    monkeypatch.setenv("ISCC_SEARCH_UNPACKED_MAX_BYTES", str(8192 * 192))
+    idx = DeviceNphdIndex(tmp_path / "p", scan_kernel="pallas")
+    bodies = [rng.integers(0, 256, 24, dtype=np.uint8).tobytes() for _ in range(700)]
+    idx.add(list(range(700)), bodies)
+    (k1, s1), = idx.search([bodies[611]], 3)
+    part = next(iter(idx._partitions.values()))
+    assert part.perm_dev is not None and part.bitplane_dev is None
     assert part.unpacked_dev is None
     assert int.from_bytes(k1[0].tobytes(), "big") == 611
     assert s1[0] == pytest.approx(1.0, abs=1e-3)
@@ -442,13 +468,47 @@ def test_bitplane_rejects_bad_config():
     from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
 
     with pytest.raises(ValueError):
-        bit_transpose_packed(jnp.zeros((4096, 4), jnp.uint32))  # not 256-bit
+        bit_transpose_packed(jnp.zeros((4096, 2), jnp.uint32))  # not 128/256-bit
     with pytest.raises(ValueError):
         bit_transpose_packed(jnp.zeros((100, 8), jnp.uint32))  # N % 4096
     q = jnp.zeros((8, 256), jnp.float32)
     with pytest.raises(ValueError):
         pallas_blockmax(q, jnp.ones(8, jnp.float32), jnp.zeros((4096, 8), jnp.uint32),
                         jnp.ones(4096, bool), 256, chunk_size=256, interpret=True, bitplane=True)
+
+
+def test_bitplane_128bit_topk_exact_vs_brute_force():
+    """The generalized 128-bit bitplane layout (lanes=4 — SIMPRINT width,
+    the config-4 100M-chunk tier) is exact vs the dense reference."""
+    from iscc_search_tpu.ops import nphd_scores
+    from iscc_search_tpu.ops.nphd import NEG_SCORE as NEG
+    from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
+
+    rng = np.random.default_rng(83)
+    n = 8192
+    packed = rng.integers(0, 2**32, (n, 4), dtype=np.uint32)
+    valid = np.ones(n, bool)
+    valid[rng.integers(0, n, 500)] = False
+    q_packed = packed[:8]
+    q_lanes = np.full(8, 4, np.int32)
+    q_pm1, q_scale = prepare_queries(q_packed, q_lanes, 128)
+    bt = bit_transpose_packed(jnp.asarray(packed))
+    assert bt.shape == (n * 4 // 128, 128)
+
+    scores, idx = pallas_blockmax_topk(
+        jnp.asarray(q_pm1), jnp.asarray(q_scale), jnp.asarray(packed), jnp.asarray(valid), 7, 128,
+        chunk_size=4096, interpret=True, db_bitplane=bt,
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    lanes_db = np.full(n, 4, np.int32)
+    ref = np.array(nphd_scores(jnp.asarray(q_packed), jnp.asarray(q_lanes), jnp.asarray(packed), jnp.asarray(lanes_db)))
+    ref[:, ~valid] = NEG
+    for qi in range(8):
+        expected = np.sort(ref[qi])[::-1][:7]
+        assert np.allclose(np.sort(scores[qi])[::-1], expected, atol=2e-3)
+        for r in range(7):
+            if idx[qi, r] >= 0:
+                assert ref[qi, idx[qi, r]] == pytest.approx(scores[qi, r], abs=2e-3)
 
 
 def test_bitplane_fallback_rescore_segmented_non_pow2_k():
@@ -672,3 +732,24 @@ def test_penalty_memo_keeps_two_generations():
     v3 = jnp.ones(n, bool)
     assert part.penalty_for(v3, "m", builder=mk("p3")) == "p3"
     assert len(part.pen_memo["m"]) == 2
+
+
+def test_engine_perm_twin_64bit_incremental_append(tmp_path, monkeypatch):
+    """64-bit partitions (lanes=2, no bitplane layout) still use the perm
+    int8 twin and keep it in sync through appends (_perm_group_rewrite)."""
+    from iscc_search_tpu.engine import device_index as di
+    from iscc_search_tpu.engine.device_index import DeviceNphdIndex
+
+    rng = np.random.default_rng(94)
+    monkeypatch.setattr(di, "_PALLAS_MIN_CHUNK", 4096)
+    idx = DeviceNphdIndex(tmp_path / "p64", scan_kernel="pallas")
+    bodies = [rng.integers(0, 256, 8, dtype=np.uint8).tobytes() for _ in range(600)]
+    idx.add(list(range(500)), bodies[:500])
+    idx.search([bodies[42]], 3)  # triggers the device sync
+    part = next(iter(idx._partitions.values()))
+    assert part.perm_dev is not None and part.bitplane_dev is None
+    idx.add(list(range(500, 600)), bodies[500:])
+    (k1, s1), = idx.search([bodies[550]], 3)
+    assert int.from_bytes(k1[0].tobytes(), "big") == 550
+    assert s1[0] == pytest.approx(1.0, abs=1e-3)
+    idx.close()
