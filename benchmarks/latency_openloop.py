@@ -330,8 +330,17 @@ def main():
                 data=body.encode() if isinstance(body, str) else body,
                 headers={"Content-Type": "application/json"},
             )
-            with urllib.request.urlopen(req, timeout=900) as res:
-                res.read()
+            for _ in range(20):
+                try:
+                    with urllib.request.urlopen(req, timeout=900) as res:
+                        res.read()
+                    return
+                except urllib.error.HTTPError as exc:
+                    # Warm bursts intentionally exceed the admission bound;
+                    # 503 sheds are the overload policy working, not failures.
+                    if exc.code != 503:
+                        raise
+                    time.sleep(0.2)
 
         # The port file appears before workers finish binding (scaleout
         # writes it ahead of the blocking serve call): poll readiness first.
@@ -364,29 +373,52 @@ def main():
 
         steps = []
         saturation = None
+        past = 0  # keep sweeping 2 steps past saturation: the artifact must
+        # show OVERLOAD behavior (sheds rise, p50 of served stays bounded),
+        # not just where the knee is.
         for rate in rates:
             step = run_step(port, query_file, rate, seconds, n_client_procs)
             steps.append(step)
             print(step, flush=True)
-            if step["achieved_qps"] >= 0.95 * rate and step["errors"] == 0:
+            if step["achieved_qps"] >= 0.95 * rate and step["errors"] == 0 and past == 0:
                 saturation = step
             else:
-                break
+                past += 1
+                if past >= 2:
+                    break
 
         out = {
             "description": (
                 f"Open-loop offered-load sweep through the full HTTP stack, {n_assets} assets, "
                 f"single-unit queries, fixed-schedule arrivals (no coordinated omission); "
                 f"topology={TOPOLOGY}; server and each of the {n_client_procs} keep-alive load "
-                "generators run in their own processes (GIL isolation)"
+                "generators run in their own processes (GIL isolation). 'sheds' are deliberate "
+                "503 + Retry-After overload responses (admission bound + queue deadline); past "
+                "saturation the server sheds instead of queueing unboundedly, so p50 of SERVED "
+                "requests stays bounded"
             ),
             "assets": n_assets,
             "topology": TOPOLOGY,
             "step_seconds": seconds,
+            "overload_policy": {
+                "http_max_pending": 64,
+                "http_queue_deadline_ms": 500.0,
+            },
             "steps": steps,
             "saturation_qps": saturation["offered_qps"] if saturation else None,
             "saturation_detail": saturation,
         }
+        if TOPOLOGY == "scaleout":
+            cores = len(os.sched_getaffinity(0))
+            out["core_guard"] = {
+                "host_runnable_cores": cores,
+                "forced": os.environ.get("ISCC_SEARCH_SCALEOUT_FORCE") == "1",
+                "note": (
+                    "scale-out needs >= workers+1 cores; on fewer the guard shrinks the worker "
+                    "count or falls back to single-process pooled serving. A forced run on an "
+                    "undersized host measures the overload/shedding path, not scale-out speedup."
+                ),
+            }
         print(json.dumps(out, indent=1))
         suffix = {"wsgiref": "", "pooled": "_POOLED", "scaleout": "_SCALEOUT"}[TOPOLOGY]
         with open(f"benchmarks/LATENCY_OPENLOOP{suffix}.json", "w") as f:

@@ -307,11 +307,11 @@ def encode_base32(data):
     v = int.from_bytes(data, "big") << (nchars * 5 - n * 8)
     t = _B32_PAIRS
     out = []
-    shift = nchars * 5
-    while shift >= 10:
-        shift -= 10
+    # nchars >= 2 for any non-empty input (8n+4)//5, so the pair loop always
+    # runs at least once; the tail char appears only for odd nchars.
+    for shift in range(nchars * 5 - 10, -1, -10):
         out.append(t[(v >> shift) & 1023])
-    if shift:  # odd char count: one trailing 5-bit group
+    if nchars & 1:  # odd char count: one trailing 5-bit group
         out.append(_B32_ALPHABET[v & 31])
     return "".join(out)
 

@@ -57,10 +57,12 @@ def metadata_from_asset_bytes(data):
     blaming the client for server-side bit rot)."""
     try:
         record = json.loads(data.decode("utf-8"))
-        metadata = record.get("metadata")
     except Exception as exc:
         raise RuntimeError(f"corrupt stored asset record: {exc}") from None
-    if not isinstance(record, dict) or not (metadata is None or isinstance(metadata, dict)):
+    if not isinstance(record, dict):
+        raise RuntimeError("corrupt stored asset record: not an object")
+    metadata = record.get("metadata")
+    if not (metadata is None or isinstance(metadata, dict)):
         raise RuntimeError("corrupt stored asset record: metadata is not an object")
     return metadata
 
@@ -195,17 +197,16 @@ def normalize_query(query):
     derivable; simprint-only queries pass through; raise when the query is
     entirely empty.
     """
-    if query.units and query.iscc_code:
-        return query
-
-    if query.units and not query.iscc_code:
+    if query.units:
+        if query.iscc_code:
+            return query
         try:
             iscc_code = ic.gen_iscc_code_v0(query.units, wide=True)["iscc"]
             return query.model_copy(update={"iscc_code": iscc_code})
         except ValueError:
             return query
 
-    if query.iscc_code and not query.units:
+    if query.iscc_code:
         units = [str(unit) for unit in IsccCode(query.iscc_code).units]
         return query.model_copy(update={"units": units})
 

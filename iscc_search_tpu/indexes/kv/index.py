@@ -141,7 +141,8 @@ class KvIndex:
         num_queried = len(query.units or [])
         for iscc_id, unit_bits in matches.items():
             unit_scores = {t: bits / float(query_unit_lengths[t]) for t, bits in unit_bits.items()}
-            total = sum(unit_scores.values()) / num_queried if num_queried else 0.0
+            # matches only come from the units loop, so num_queried >= 1 here
+            total = sum(unit_scores.values()) / num_queried
             metadata = None
             raw = self.store.get(DB_ASSETS, iscc_id.encode("utf-8"))
             if raw is not None:

@@ -87,15 +87,19 @@ class IsccBase:
         # string is fully determined by those bytes — cache process-wide
         # (unit-type resolution dominates bulk-ingest profiles otherwise).
         header = self.digest[:2]
-        cached = _TYPE_CACHE.get(header)
-        if cached is not None and not ((header[0] | header[1]) & 0x88):
-            return cached
+        # 0x88 in either byte marks a multi-nibble (extended) header field:
+        # those types are not 2-byte-determined, so they bypass the cache.
+        cacheable = not ((header[0] | header[1]) & 0x88)
+        if cacheable:
+            cached = _TYPE_CACHE.get(header)
+            if cached is not None:
+                return cached
         mt = ic.MT(self.fields.maintype)
         st_enum = ic.SUBTYPE_MAP.get((mt, ic.VS(self.fields.version)), ic.ST)
         st = st_enum(self.fields.subtype)
         vs = ic.VS(self.fields.version)
         result = f"{mt.name}_{st.name}_{vs.name}"
-        if not ((header[0] | header[1]) & 0x88):
+        if cacheable:
             _TYPE_CACHE[header] = result
         return result
 

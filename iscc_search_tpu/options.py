@@ -55,14 +55,15 @@ class SearchOptions(BaseModel):
         16, ge=1, description="ISCC_SEARCH_HTTP_THREADS - worker threads for the pooled HTTP server"
     )
     http_max_pending: int = Field(
-        256,
+        64,
         ge=0,
         description="ISCC_SEARCH_HTTP_MAX_PENDING - ready-request queue depth bound for the pooled "
         "server; requests past it are shed with 503 + Retry-After instead of queueing unboundedly "
-        "(0 disables admission control)",
+        "(0 disables admission control). Added queue wait at overload ~= depth / capacity-QPS, so "
+        "64 keeps p50 within ~3x the at-saturation p50 on a ~600 QPS host",
     )
     http_queue_deadline_ms: float = Field(
-        2000.0,
+        500.0,
         ge=0.0,
         description="ISCC_SEARCH_HTTP_QUEUE_DEADLINE_MS - a request queued longer than this is shed "
         "with 503 instead of served (bounds at-overload latency to ~deadline; 0 disables)",

@@ -56,7 +56,7 @@ class PooledHTTPServer:
     """Thread-pool keep-alive HTTP/1.1 server for synchronous WSGI apps."""
 
     def __init__(self, host, port, app, threads=16, backlog=512, sock=None, idle_timeout=120.0,
-                 request_timeout=30.0, max_pending=256, queue_deadline=2.0):
+                 request_timeout=30.0, max_pending=64, queue_deadline=0.5):
         # type: (str, int, ..., int, int, socket.socket | None, float, float, int, float) -> None
         self.app = app
         self.threads = threads
