@@ -434,6 +434,35 @@ def _apply_core_guard(opts):
     return opts
 
 
+def _supervise(procs, spawn, stop, poll_wait=0.5, stable_after=10.0):
+    # type: (list, ..., threading.Event, float, float) -> None
+    """Worker respawn loop with per-slot exponential backoff.
+
+    A persistent startup failure (bad config, import error) must not become
+    a 2 Hz fork-and-crash loop — back off to 30 s and say so clearly; a slot
+    that stays up for ``stable_after`` seconds resets to the base backoff.
+    """
+    n_workers = len(procs)
+    backoff = [0.5] * n_workers
+    next_spawn = [0.0] * n_workers
+    while not stop.is_set():
+        now = time.monotonic()
+        for i, proc in enumerate(procs):
+            code = proc.poll()
+            if code is not None and not stop.is_set() and now >= next_spawn[i]:
+                level = logger.warning if backoff[i] < 8 else logger.error
+                level(
+                    f"Worker {proc.pid} exited with {code}; respawning "
+                    f"(next backoff {backoff[i]:.1f}s — repeated exits indicate a crash loop)"
+                )
+                procs[i] = spawn()
+                next_spawn[i] = now + backoff[i]
+                backoff[i] = min(backoff[i] * 2, 30.0)
+            elif code is None and now >= next_spawn[i] + stable_after:
+                backoff[i] = 0.5  # stable for a while: reset the backoff
+        stop.wait(poll_wait)
+
+
 def serve_scaleout(opts, stop=None):
     # type: (..., threading.Event | None) -> None
     """Run the engine + N HTTP worker processes until interrupted.
@@ -536,27 +565,7 @@ def serve_scaleout(opts, stop=None):
             f"Scale-out serving on http://{opts.host}:{opts.port} "
             f"({n_workers} workers x {opts.http_threads} threads, backend: {opts.index_uri})"
         )
-        # Respawn with per-slot exponential backoff: a persistent startup
-        # failure (bad config, import error) must not become a 2 Hz
-        # fork-and-crash loop — back off to 30 s and say so clearly.
-        backoff = [0.5] * n_workers
-        next_spawn = [0.0] * n_workers
-        while not stop.is_set():
-            now = time.monotonic()
-            for i, proc in enumerate(procs):
-                code = proc.poll()
-                if code is not None and not stop.is_set() and now >= next_spawn[i]:
-                    level = logger.warning if backoff[i] < 8 else logger.error
-                    level(
-                        f"Worker {proc.pid} exited with {code}; respawning "
-                        f"(next backoff {backoff[i]:.1f}s — repeated exits indicate a crash loop)"
-                    )
-                    procs[i] = spawn()
-                    next_spawn[i] = now + backoff[i]
-                    backoff[i] = min(backoff[i] * 2, 30.0)
-                elif code is None and now >= next_spawn[i] + 10.0:
-                    backoff[i] = 0.5  # stable for a while: reset the backoff
-            stop.wait(0.5)
+        _supervise(procs, spawn, stop)
     except KeyboardInterrupt:  # pragma: no cover
         pass
     finally:

@@ -345,3 +345,256 @@ def test_pooled_accept_survives_listener_close_without_shutdown():
     srv.server_close()
     t.join(5)
     assert not t.is_alive()
+
+
+# ------------------------------------------------- native store (HostStore)
+
+from iscc_search_tpu.store import kv as kvmod
+from iscc_search_tpu.store.kv import HostStore
+
+
+def test_lib_freshness_arms(tmp_path, monkeypatch):
+    lib = tmp_path / "lib.so"
+    native = tmp_path
+    (native / "store.cpp").write_bytes(b"")
+    (native / "Makefile").write_bytes(b"")
+    monkeypatch.setattr(kvmod, "_LIB_PATH", lib)
+    monkeypatch.setattr(kvmod, "_NATIVE_DIR", native)
+    assert kvmod._lib_is_fresh() is False  # no lib yet
+    lib.write_bytes(b"")
+    import os
+
+    os.utime(native / "store.cpp", (2, 2))
+    os.utime(native / "Makefile", (2, 2))
+    os.utime(lib, (1, 1))  # stale vs both sources
+    assert kvmod._lib_is_fresh() is False  # genexp early-False arm
+    os.utime(lib, (3, 3))
+    assert kvmod._lib_is_fresh() is True
+
+
+def test_build_library_fresh_early_return():
+    # The suite already built the real library, so this is the no-op arm.
+    assert kvmod._lib_is_fresh() is True
+    kvmod._build_library()
+
+
+class _LibProxy:
+    """Delegates to the real CDLL except for scripted function names."""
+
+    def __init__(self, real, **fakes):
+        self._real = real
+        self._fakes = fakes
+
+    def __getattr__(self, name):
+        if name in self._fakes:
+            return self._fakes[name]
+        return getattr(self._real, name)
+
+
+def _nonnull_empty(*args):
+    """Scan fn returning a non-NULL pointer with zero payload bytes."""
+    out_len = args[-2]
+    out_count = args[-1]
+    out_len._obj.value = 0
+    out_count._obj.value = 0
+    return 1
+
+
+def test_scan_nonnull_empty_pointer_arms(tmp_path, monkeypatch):
+    """The `ptr truthy but out_len == 0` arm of every scan early-return."""
+    s = HostStore(tmp_path / "db")
+    try:
+        proxy = _LibProxy(
+            s._lib,
+            ts_prefix_scan=_nonnull_empty,
+            ts_range_scan_after=_nonnull_empty,
+            ts_get_dups=_nonnull_empty,
+            ts_list_dbs=lambda h, ol, oc: (_nonnull_empty(h, ol, oc)),
+        )
+        monkeypatch.setattr(s, "_lib", proxy)
+        assert s.prefix_scan("assets", b"x") == []
+        assert s.range_scan_after("assets", b"a", b"b") == []
+        assert s.get_dups("assets", b"k") == []
+        assert s.list_dbs() == []
+    finally:
+        monkeypatch.undo()
+        s.close()
+
+
+def test_use_concurrent_inflight_and_close_waits(tmp_path):
+    """Two overlapping sessions (the inflight>0 arm of _use's finally) and a
+    close() that has to wait for an in-flight call."""
+    s = HostStore(tmp_path / "db")
+    a_in = threading.Event()
+    a_release = threading.Event()
+
+    def hold():
+        with s._use():
+            a_in.set()
+            a_release.wait(10)
+
+    t = threading.Thread(target=hold)
+    t.start()
+    assert a_in.wait(10)
+    with s._use():  # exits while t still holds one -> no notify arm
+        pass
+
+    closer = threading.Thread(target=s.close)
+    closer.start()
+    time.sleep(0.2)  # close() is now waiting on the inflight session
+    assert closer.is_alive()
+    a_release.set()
+    t.join(10)
+    closer.join(10)
+    assert not closer.is_alive()
+
+
+def test_compact_in_background_skips_while_running(tmp_path):
+    s = HostStore(tmp_path / "db")
+    try:
+        gate = threading.Event()
+        dummy = threading.Thread(target=gate.wait, args=(5,))
+        dummy.start()
+        s._compact_thread = dummy
+        s._compact_in_background()  # must not start a second one
+        assert s._compact_thread is dummy
+        gate.set()
+        dummy.join(10)
+        s._compact_in_background()  # dead thread -> a real one starts
+        assert s._compact_thread is not dummy
+        s._compact_thread.join(10)
+    finally:
+        s.close()
+
+
+# --------------------------------------------------- scale-out edge arms
+
+from iscc_search_tpu.server import scaleout as so_mod
+
+
+def test_runnable_cores_direct():
+    assert so_mod._runnable_cores() >= 1
+
+
+def test_rpc_ping_times_out_against_missing_socket(tmp_path):
+    rpc = so_mod.EngineRPCIndex(str(tmp_path / "nope.sock"))
+    t0 = time.monotonic()
+    assert rpc.ping(timeout=0.15) is False
+    assert time.monotonic() - t0 < 5
+
+
+class _FakeTime:
+    def __init__(self):
+        self.t = 0.0
+
+    def monotonic(self):
+        return self.t
+
+
+class _FakeProc:
+    def __init__(self, clock, dead, advance):
+        self.clock = clock
+        self.dead = dead
+        self.advance = advance
+        self.pid = 4242
+        self.polls = 0
+
+    def poll(self):
+        self.polls += 1
+        self.clock.t += self.advance
+        return 1 if self.dead else None
+
+
+def test_supervise_backoff_escalation_and_reset(monkeypatch):
+    """Slot 0 crash-loops to the error-level backoff tier; slot 1 stays up
+    through both sides of the stability-reset window."""
+    clock = _FakeTime()
+    monkeypatch.setattr(so_mod, "time", clock)
+    stop = threading.Event()
+    crasher = _FakeProc(clock, dead=True, advance=40.0)
+    steady = _FakeProc(clock, dead=False, advance=0.0)
+    procs = [crasher, steady]
+    spawns = []
+
+    def spawn():
+        p = _FakeProc(clock, dead=True, advance=40.0)
+        spawns.append(p)
+        if len(spawns) >= 7:  # past the 8s backoff tier -> logger.error arm
+            stop.set()
+        return p
+
+    so_mod._supervise(procs, spawn, stop, poll_wait=0.001, stable_after=50.0)
+    assert len(spawns) >= 7
+    assert procs[0] is spawns[-1]
+
+
+def test_supervise_respawn_gated_by_backoff_window(monkeypatch):
+    """A replacement that dies instantly is NOT respawned inside its backoff
+    window (the now < next_spawn arm)."""
+    clock = _FakeTime()
+    monkeypatch.setattr(so_mod, "time", clock)
+    stop = threading.Event()
+    crasher = _FakeProc(clock, dead=True, advance=0.01)
+    spawns = []
+
+    def spawn():
+        p = _FakeProc(clock, dead=True, advance=0.01)
+        spawns.append(p)
+        return p
+
+    def stopper():
+        time.sleep(0.2)
+        stop.set()
+
+    t = threading.Thread(target=stopper)
+    t.start()
+    so_mod._supervise([crasher], spawn, stop, poll_wait=0.001)
+    t.join(5)
+    # clock advances 0.01/poll; the 0.5s backoff window spans ~50 polls, so
+    # far fewer spawns than polls happened
+    assert len(spawns) < spawns[0].polls + crasher.polls
+
+
+def test_supervise_stop_set_during_poll(monkeypatch):
+    """stop set between the while check and the respawn decision: the
+    mid-iteration stop arm."""
+    clock = _FakeTime()
+    monkeypatch.setattr(so_mod, "time", clock)
+    stop = threading.Event()
+
+    class StopperProc(_FakeProc):
+        def poll(self):
+            stop.set()
+            return 1
+
+    spawned = []
+    so_mod._supervise(
+        [StopperProc(clock, dead=True, advance=1.0)],
+        lambda: spawned.append(1),  # pragma: no cover - must not spawn
+        stop,
+        poll_wait=0.001,
+    )
+    assert spawned == []
+
+
+class _NullIndex:
+    def close(self):
+        pass
+
+
+def test_ipc_accept_prunes_dead_handlers_and_exits_cleanly(tmp_path):
+    sp = str(tmp_path / "e.sock")
+    ipc = so_mod.EngineIPCServer(_NullIndex(), sp)
+    ipc.start()
+    c1 = socket.socket(socket.AF_UNIX)
+    c1.connect(sp)
+    c1.close()
+    time.sleep(0.3)  # handler thread exits on peer close
+    c2 = socket.socket(socket.AF_UNIX)
+    c2.connect(sp)  # prune comprehension drops the dead handler
+    time.sleep(0.2)
+    ipc._stop.set()
+    time.sleep(1.2)  # accept() times out, while-condition exits cleanly
+    c2.close()
+    ipc.close()
+    assert not ipc._accept.is_alive()
