@@ -27,8 +27,9 @@ def expand_pattern_to_files(pattern):
     if p.is_dir():
         files = list(p.glob("*.iscc.json")) + list(p.glob("*.ndjson")) + list(p.glob("*.jsonl"))
         return sorted(files)
-    parent = p.parent if p.parent != Path("") else Path(".")
-    return sorted(parent.glob(p.name))
+    # For a bare glob like "*.json", Path().parent is already "." — glob
+    # from it directly.
+    return sorted(p.parent.glob(p.name))
 
 
 def dict_to_entry(data, simprint_bits=None, include_simprints=True):

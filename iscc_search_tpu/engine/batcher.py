@@ -103,10 +103,11 @@ class SearchBatcher:
                     item = self._queue.pop(0)
                     batch.append(item)
                     n_queries += len(item.bodies)
-                if not batch and self._queue:  # single oversized request
+                if not batch:
+                    # The queue is never empty here (the wait loop above only
+                    # falls through with items queued, and nothing else pops),
+                    # so an empty batch means one oversized request.
                     batch.append(self._queue.pop(0))
-            if not batch:
-                continue
             self._run_batch(batch)
             last_dispatch = time.monotonic()
 
