@@ -859,7 +859,7 @@ class PackedCodeIndex:
 
         results = []
         for qi in range(nq):
-            if not cand_scores[qi]:
+            if not cand_scores[qi]:  # pragma: no cover - every live partition appends per query
                 empty = (np.zeros((0, self.key_bytes), np.uint8), np.zeros(0, np.float32), np.zeros(0, np.int64))
                 results.append(empty if return_rows else empty[:2])
                 continue

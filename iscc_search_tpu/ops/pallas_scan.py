@@ -79,8 +79,7 @@ def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
     # than element-repeats, permuting columns). Widths that are not multiples
     # of 128 (e.g. 192-bit units) get a trailing narrower segment.
     pieces = []
-    lane_base = 0
-    while lane_base < lanes:
+    for lane_base in range(0, lanes, 4):
         seg_lanes = min(4, lanes - lane_base)
         seg_w = seg_lanes * 32
         col = jax.lax.broadcasted_iota(jnp.int32, (c, seg_w), 1)
@@ -93,7 +92,6 @@ def _unpack_pm1_2d(chunk_codes, nbits, dtype, interpret):
         # Select in f32 (same 32-bit tiling as the i1 mask — no relayout),
         # then cast down; Mosaic rejects i1 -> 16-bit-tiled selects.
         pieces.append(jnp.where(bits > 0, jnp.float32(1.0), jnp.float32(-1.0)))
-        lane_base += seg_lanes
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
     return out.astype(dtype)
 
@@ -245,9 +243,10 @@ def bit_transpose_packed(packed):
         # 256-bit rows, an instant OOM).
         return t.reshape(m * lanes // 128, 128)
 
-    step = 1 << 19  # 512Ki rows/step: ~512 MiB bit-expansion working set
-    while n % step:
-        step >>= 1  # groups stay 4096-aligned (n % 4096 == 0 guaranteed above)
+    # 512Ki rows/step (~512 MiB bit-expansion working set), shrunk to the
+    # largest power-of-2 divisor of n; groups stay 4096-aligned (n % 4096 == 0
+    # guaranteed above, so n & -n >= 4096).
+    step = min(1 << 19, n & -n)
     if n <= step:
         return _transpose_groups(packed)
     out = jax.lax.map(_transpose_groups, packed.reshape(n // step, step, lanes))
@@ -284,8 +283,7 @@ def packed_to_view(packed, step=1 << 20):
     if (n * lanes) % 128:
         raise ValueError("packed view needs N*lanes % 128 == 0")
     rows = n * lanes // 128
-    while n % step:
-        step >>= 1
+    step = min(step, n & -n)  # largest pow2 divisor of n within the budget
     if n <= step:
         return packed.reshape(rows, 128)
     if (step * lanes) % 128:
@@ -362,7 +360,7 @@ def _scan_kernel_bitplane(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, chu
         # bf16 + pre-halved penalty: 0 / -32768 (see docstring)
         x = dot01.astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
         w = slab
-        while w > nb:
+        for _ in range((slab // nb).bit_length() - 1):  # slab/nb is a pow2
             x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
             w //= 2
         pm1 = 2.0 * x.astype(jnp.float32) - qsum  # (Q, nb): ±1-dot block maxima
@@ -401,7 +399,7 @@ def _scan_kernel_packed_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, nbits, 
         # bf16 tree is exact: dots are integers <= 256, penalty -65536
         x = dot.astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
         w = slab
-        while w > nb:
+        for _ in range((slab // nb).bit_length() - 1):  # slab/nb is a pow2
             x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
             w //= 2
         out_ref[:, t * nb : (t + 1) * nb] = 0.5 + x.astype(jnp.float32) * qs_ref[:]
@@ -425,7 +423,7 @@ def _scan_kernel_unpacked_perm(q_ref, qs_ref, db_ref, pen_ref, out_ref, *, chunk
         )
         x = dot.astype(jnp.bfloat16) + pen_ref[0:1, t * slab : (t + 1) * slab]
         w = slab
-        while w > nb:
+        for _ in range((slab // nb).bit_length() - 1):  # slab/nb is a pow2
             x = jnp.maximum(x[:, : w // 2], x[:, w // 2 : w])
             w //= 2
         out_ref[:, t * nb : (t + 1) * nb] = 0.5 + x.astype(jnp.float32) * qs_ref[:]
@@ -591,7 +589,7 @@ def pallas_blockmax(
         db_block = (chunk_size, db.shape[1])
 
     kwargs = {}
-    if _HAS_PLTPU and not interpret:
+    if _HAS_PLTPU and not interpret:  # pragma: no cover - real-TPU compile path
         # The sub-tiled kernel's live set (unpack temporaries + score tile +
         # double-buffered input blocks) exceeds the default 16 MiB scoped-VMEM
         # budget; grant it most of the chip's VMEM.
