@@ -109,14 +109,6 @@ def test_index_remove_with_delete_data_on_unconfigured_dir(runner, tmp_path):
     r, manager, base = runner
     r.invoke(cli, ["index", "add", "main", "--path", str(base / "data")])
     r.invoke(cli, ["index", "add", "aux", "--path", str(base / "aux"), "--no-use"])
-    import iscc_search_tpu.cli.index as idx_mod
-
-    orig_list = manager.list
-
-    def hiding_list():
-        out = dict(orig_list())
-        return out
-
     result = r.invoke(cli, ["index", "remove", "aux", "--delete-data"])
     assert result.exit_code == 0, result.output
 
@@ -137,11 +129,15 @@ def test_serve_aggregator_single_worker_passes_gate(runner, monkeypatch):
     monkeypatch.setattr(
         "iscc_search_tpu.server.httpd.serve", lambda opts: called.update(ok=True)
     )
-    result = r.invoke(
-        cli,
-        ["serve", "--workers", "1"],
-        env={"ISCC_SEARCH_AGGREGATOR_NETWORK": "testnet", "ISCC_SEARCH_INDEX_URI": "memory://"},
+    # the CLI builds from the module-level search_opts singleton — env vars
+    # set at invoke time are too late, so swap the singleton itself
+    from iscc_search_tpu.options import SearchOptions
+
+    monkeypatch.setattr(
+        "iscc_search_tpu.options.search_opts",
+        SearchOptions(index_uri="memory://", aggregator_network="testnet"),
     )
+    result = r.invoke(cli, ["serve", "--workers", "1"])
     assert result.exit_code == 0, result.output
     assert called == {"ok": True}
 

@@ -300,12 +300,14 @@ def test_cli_serve_aggregator_default_workers(monkeypatch, tmp_path):
     cli_common.set_config_manager(manager)
     called = {}
     monkeypatch.setattr("iscc_search_tpu.server.httpd.serve", lambda opts: called.update(ok=True))
-    r = CliRunner()
-    result = r.invoke(
-        cli,
-        ["serve"],
-        env={"ISCC_SEARCH_AGGREGATOR_NETWORK": "testnet", "ISCC_SEARCH_INDEX_URI": "memory://"},
+    from iscc_search_tpu.options import SearchOptions
+
+    monkeypatch.setattr(
+        "iscc_search_tpu.options.search_opts",
+        SearchOptions(index_uri="memory://", aggregator_network="testnet"),
     )
+    r = CliRunner()
+    result = r.invoke(cli, ["serve"])
     cli_common.set_config_manager(None)
     assert result.exit_code == 0, result.output
     assert called == {"ok": True}
