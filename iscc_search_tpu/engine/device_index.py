@@ -915,8 +915,10 @@ class PackedCodeIndex:
                 emitted.add(seg["file"])
             self._resave_all = False
         else:
+            # emitted is empty on this branch and segment files are unique,
+            # so membership in _unconfirmed_seals alone decides re-emission.
             for seg in self._segments:
-                if seg["file"] in self._unconfirmed_seals and seg["file"] not in emitted:
+                if seg["file"] in self._unconfirmed_seals:
                     writes.append(self._segment_snapshot(seg))
                     emitted.add(seg["file"])
         while self._rows - sealed_rows >= self.shard_rows:

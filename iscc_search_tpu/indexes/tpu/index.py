@@ -573,7 +573,8 @@ class TpuIndex:
         threshold = self._opts.match_threshold_simprints
         total_assets = self.store.entries(DB_ASSETS)
 
-        for sp_type, simprint_strs in (query.simprints or {}).items():
+        # search_assets only routes here when query.simprints is truthy
+        for sp_type, simprint_strs in query.simprints.items():
             query_sp_bytes = [ic.decode_base64(s) for s in simprint_strs]
             if exact:
                 if self.store.key_count(_sp_db(sp_type)) == 0:

@@ -35,9 +35,13 @@ _branches = {}  # type: dict[tuple[str, str, int], set[int]]
 
 # Conditional-branch opcodes on CPython 3.12 (the set the BRANCH monitoring
 # event fires for): two-successor instructions only — unconditional jumps
-# (JUMP_FORWARD/BACKWARD) never fire and are not branch sites.
+# (JUMP_FORWARD/BACKWARD) never fire and are not branch sites. SEND (the
+# await/yield-from resume) is deliberately EXCLUDED: coverage.py's branch
+# semantics derive from source-level arcs and do not treat awaits as
+# branches — counting SEND adds uncoverable "which way did the coroutine
+# resume" sites on every await expression.
 _COND_BRANCH_OPS = frozenset(
-    {"FOR_ITER", "POP_JUMP_IF_FALSE", "POP_JUMP_IF_TRUE", "POP_JUMP_IF_NONE", "POP_JUMP_IF_NOT_NONE", "SEND"}
+    {"FOR_ITER", "POP_JUMP_IF_FALSE", "POP_JUMP_IF_TRUE", "POP_JUMP_IF_NONE", "POP_JUMP_IF_NOT_NONE"}
 )
 
 
