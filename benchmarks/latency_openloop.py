@@ -341,6 +341,7 @@ def main():
                     if exc.code != 503:
                         raise
                     time.sleep(0.2)
+            raise RuntimeError("warm-up request shed 20 times - server wedged?")
 
         # The port file appears before workers finish binding (scaleout
         # writes it ahead of the blocking serve call): poll readiness first.
@@ -400,16 +401,19 @@ def main():
             "assets": n_assets,
             "topology": TOPOLOGY,
             "step_seconds": seconds,
-            "overload_policy": {
-                "http_max_pending": 64,
-                "http_queue_deadline_ms": 500.0,
+            "overload_policy": {  # what the spawned server actually runs with
+                "http_max_pending": int(os.environ.get("ISCC_SEARCH_HTTP_MAX_PENDING", 64)),
+                "http_queue_deadline_ms": float(
+                    os.environ.get("ISCC_SEARCH_HTTP_QUEUE_DEADLINE_MS", 500.0)
+                ),
             },
             "steps": steps,
             "saturation_qps": saturation["offered_qps"] if saturation else None,
             "saturation_detail": saturation,
         }
         if TOPOLOGY == "scaleout":
-            cores = len(os.sched_getaffinity(0))
+            affinity = getattr(os, "sched_getaffinity", None)
+            cores = len(affinity(0)) if affinity is not None else (os.cpu_count() or 1)
             out["core_guard"] = {
                 "host_runnable_cores": cores,
                 "forced": os.environ.get("ISCC_SEARCH_SCALEOUT_FORCE") == "1",

@@ -283,7 +283,9 @@ def packed_to_view(packed, step=1 << 20):
     if (n * lanes) % 128:
         raise ValueError("packed view needs N*lanes % 128 == 0")
     rows = n * lanes // 128
-    step = min(step, n & -n)  # largest pow2 divisor of n within the budget
+    # Largest power-of-2 divisor of n within the budget (a non-pow2 caller
+    # step is floored to a pow2 first so the chosen step always divides n).
+    step = min(1 << (max(int(step), 1).bit_length() - 1), n & -n)
     if n <= step:
         return packed.reshape(rows, 128)
     if (step * lanes) % 128:
