@@ -48,11 +48,15 @@ class SearchBatcher:
     :param window_ms: how long the collector waits to fill a batch after the
         first request arrives (0 = no extra wait, still batches whatever is
         queued at collection time)
+    :param return_rows: fuse ``search(..., return_rows=True)`` calls instead —
+        per-query results are (keys, scores, rows) triples (the simprint
+        engine's sweep shape, which feeds ``body_at`` scoring lookups)
     """
 
-    def __init__(self, index, max_batch=256, window_ms=2.0):
-        # type: (..., int, float) -> None
+    def __init__(self, index, max_batch=256, window_ms=2.0, return_rows=False):
+        # type: (..., int, float, bool) -> None
         self.index = index
+        self.return_rows = return_rows
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self._queue = []  # type: list[_Pending]
@@ -126,7 +130,10 @@ class SearchBatcher:
             from iscc_search_tpu.server import metrics
 
             t0 = time.perf_counter()
-            results = self.index.search(bodies, max_count)
+            if self.return_rows:
+                results = self.index.search(bodies, max_count, return_rows=True)
+            else:
+                results = self.index.search(bodies, max_count)
             metrics.sweep_seconds.observe(time.perf_counter() - t0)
             metrics.batch_queries.observe(len(bodies))
             if len(results) != len(bodies):
@@ -140,8 +147,8 @@ class SearchBatcher:
             for item in batch:
                 n = len(item.bodies)
                 per_query = []
-                for keys, scores in results[offset : offset + n]:
-                    per_query.append((keys[: item.count], scores[: item.count]))
+                for res in results[offset : offset + n]:
+                    per_query.append(tuple(col[: item.count] for col in res))
                 distributed.append(per_query)
                 offset += n
         except Exception as exc:

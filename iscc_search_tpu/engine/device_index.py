@@ -61,6 +61,24 @@ def _pow2ceil(n):
     return p
 
 
+_CAP_QUANTUM = 65536  # single-device partition capacity granularity
+
+
+def _cap_rows(n):
+    # type: (int) -> int
+    """Single-device partition capacity for ``n`` rows.
+
+    Small partitions keep the pow2 sizing; large ones round 12.5% headroom up
+    to a 65536 multiple instead of the next power of two — pow2ceil doubled
+    the scan work of a 4.2M-row partition (cap 8.4M), and with four mixed
+    length partitions (BASELINE config 3) the padding alone cost ~1.7x the
+    live rows. 65536 keeps every divisibility the kernels need: the 32768
+    scan chunk, the 4096 permute/bitplane group, and the 128 block."""
+    if n <= _CAP_QUANTUM:
+        return max(_MIN_DEVICE_ROWS, _pow2ceil(n))
+    return -(-(n + n // 8) // _CAP_QUANTUM) * _CAP_QUANTUM
+
+
 def _mesh_size(mesh):
     # type: (...) -> int
     return int(np.prod(list(mesh.shape.values())))
@@ -133,6 +151,75 @@ def _penalty_builder(mode):
         fn = jax.jit(functools.partial(make_blockmax_penalty, mode=mode))
         _PEN_BUILDERS[mode] = fn
     return fn
+
+
+_FUSED_SCAN = None
+
+
+def _fused_scan_fn():
+    """ONE jitted program scanning every length partition back-to-back.
+
+    The per-partition dispatch loop paid one host->device program chain per
+    partition; on a fixed-latency link (the serving harness tunnels the chip)
+    four mixed-length partitions cost ~4x the dispatch overhead of one even
+    with async dispatch. Tracing all partitions into a single program makes
+    the whole variable-length sweep one dispatch + one readback — XLA
+    schedules the partition scans back-to-back on device. Static cache key:
+    the spec tuple (kind, nbits, k, chunk, has_int8, recall_target) per
+    partition plus the buffer shapes/treedef jit already keys on.
+    """
+    global _FUSED_SCAN
+    if _FUSED_SCAN is None:
+        import jax
+
+        from iscc_search_tpu.ops.pallas_scan import pallas_blockmax_topk_packedq_impl
+        from iscc_search_tpu.ops.pm1_scan import (
+            pm1_blockmax_topk_packedq_impl,
+            pm1_topk_packedq_impl,
+        )
+
+        def run(q_codes, q_lanes, buffers, specs, interpret):
+            outs = []
+            for spec, bufs in zip(specs, buffers):
+                kind, nbits, k, chunk, has_int8, recall = spec
+                packed, valid, pen, unpacked, perm, bitplane, view = bufs
+                if kind == "pallas":
+                    s, i = pallas_blockmax_topk_packedq_impl(
+                        q_codes,
+                        q_lanes,
+                        packed,
+                        valid,
+                        k,
+                        nbits,
+                        chunk_size=chunk,
+                        interpret=interpret,
+                        db_unpacked=unpacked,
+                        unpacked=has_int8,
+                        db_perm=perm,
+                        db_bitplane=bitplane,
+                        db_penalty=pen,
+                        db_packed_view=view,
+                    )
+                elif kind == "blockmax":
+                    s, i = pm1_blockmax_topk_packedq_impl(
+                        q_codes, q_lanes, packed, valid, k, nbits, chunk_size=chunk
+                    )
+                else:
+                    s, i = pm1_topk_packedq_impl(
+                        q_codes,
+                        q_lanes,
+                        packed,
+                        valid,
+                        k,
+                        nbits,
+                        chunk_size=chunk,
+                        recall_target=recall,
+                    )
+                outs.append((s, i))
+            return tuple(outs)
+
+        _FUSED_SCAN = jax.jit(run, static_argnames=("specs", "interpret"))
+    return _FUSED_SCAN
 
 
 def _to_view(packed_dev):
@@ -688,12 +775,76 @@ class PackedCodeIndex:
         q_codes_dev = jnp.asarray(q_codes)
         q_lanes_dev = jnp.asarray(q_lanes)
 
-        # Scan every partition: dispatch all sweeps asynchronously first, then
-        # collect — device work on later partitions overlaps the readback
-        # latency of earlier ones (one fixed host<->device round-trip total
-        # instead of one per partition).
+        # Scan every partition. Single device: ALL partitions trace into ONE
+        # jitted program (one dispatch + one readback for the whole
+        # variable-length sweep — see _fused_scan_fn). Mesh: per-partition
+        # sharded dispatches, still issued asynchronously before collecting.
         pending = []  # type: list[tuple[np.ndarray, object, object]]
-        n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
+        if self.mesh is None:
+            from iscc_search_tpu.ops.pallas_scan import penalty_mode
+
+            specs = []  # type: list[tuple]
+            buffers = []  # type: list[tuple]
+            row_maps = []  # type: list[np.ndarray]
+            for lanes in sorted(partitions):
+                packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev, view_dev, part = partitions[lanes]
+                nbits = lanes * 32
+                chunk = min(cap, _DEFAULT_CHUNK_ROWS)
+                # Bucket k to a power of two so user-supplied limits don't
+                # each trigger a fresh compile; trim to `count` below.
+                k = _pow2ceil(max(1, count))
+                if k > chunk:
+                    # Honor large counts exactly: the per-chunk top-k must
+                    # hold k candidates, so grow the scan chunk. A chunk that
+                    # no longer divides the (65536-quantized) capacity scans
+                    # the whole partition as one chunk; chunks past the
+                    # Pallas-friendly size route to the XLA path below.
+                    chunk = min(cap, k)
+                    if cap % chunk:
+                        chunk = cap
+                    k = min(k, chunk)
+                pallas_ok = chunk <= max(_DEFAULT_CHUNK_ROWS, _PALLAS_MIN_CHUNK)
+                if self.recall_target is None and pallas_ok and (
+                    unpacked_dev is not None or perm_dev is not None or bitplane_dev is not None
+                ):
+                    # Exact fused Pallas phase 1 (bitplane twin first — 32
+                    # B/row HBM reads; else perm/plain int8), Pallas gather
+                    # or resident-view phase 3 (same preference order as the
+                    # pre-fusion dispatch, benchmarks/EXP_BITPLANE_10M.json).
+                    use_bt = bitplane_dev is not None
+                    has_int8 = (unpacked_dev is not None or perm_dev is not None) and not use_bt
+                    pmode = penalty_mode(
+                        unpacked=has_int8,
+                        permuted=perm_dev is not None and not use_bt,
+                        bitplane=use_bt,
+                    )
+                    specs.append(("pallas", nbits, k, max(chunk, _PALLAS_MIN_CHUNK), has_int8, None))
+                    buffers.append((
+                        packed_dev,
+                        valid_dev,
+                        part.penalty_for(valid_dev, pmode),
+                        unpacked_dev,
+                        None if use_bt else perm_dev,
+                        bitplane_dev,
+                        None if unpacked_dev is not None else view_dev,
+                    ))
+                elif self.recall_target is None:
+                    # Exact two-phase block-max selection (no per-chunk sort)
+                    specs.append(("blockmax", nbits, k, chunk, False, None))
+                    buffers.append((packed_dev, valid_dev, None, None, None, None, None))
+                else:
+                    specs.append(("approx", nbits, k, chunk, False, self.recall_target))
+                    buffers.append((packed_dev, valid_dev, None, None, None, None, None))
+                row_maps.append(row_map)
+            outs = _fused_scan_fn()(
+                q_codes_dev, q_lanes_dev, tuple(buffers), tuple(specs), self._pallas_interpret()
+            )
+            pending = [(rm, s, i) for rm, (s, i) in zip(row_maps, outs)]
+            return self._collect_results(
+                pending, nq, count, keys_snapshot, return_rows
+            )
+
+        n_shards = _mesh_size(self.mesh)
         for lanes, (packed_dev, valid_dev, row_map, cap, unpacked_dev, perm_dev, bitplane_dev, view_dev, part) in partitions.items():
             nbits = lanes * 32
             chunk = min(cap // n_shards, _DEFAULT_CHUNK_ROWS)
@@ -712,13 +863,12 @@ class PackedCodeIndex:
             # per-shard k needs a WIDER global top-k or rows that exist
             # across shards are silently dropped from the merged result.
             merge_k = min(_pow2ceil(max(1, count)), k * n_shards)
-            if self.mesh is not None:
-                # Mesh paths take prepared queries (replicated); prep runs as
-                # its own device program.
-                from iscc_search_tpu.ops.pm1_scan import prepare_queries_device
+            # Mesh paths take prepared queries (replicated); prep runs as
+            # its own device program.
+            from iscc_search_tpu.ops.pm1_scan import prepare_queries_device
 
-                q_pm1, q_scale = prepare_queries_device(q_codes_dev, q_lanes_dev, nbits)
-            if self.mesh is not None and self.recall_target is None and pallas_ok and (
+            q_pm1, q_scale = prepare_queries_device(q_codes_dev, q_lanes_dev, nbits)
+            if self.recall_target is None and pallas_ok and (
                 unpacked_dev is not None or perm_dev is not None
             ):
                 # Exact: the fused Pallas kernel per shard + ICI merge — the
@@ -755,7 +905,7 @@ class PackedCodeIndex:
                     db_perm=perm_dev,
                     db_penalty=pen,
                 )
-            elif self.mesh is not None:
+            else:
                 from iscc_search_tpu.parallel.pm1_sharded import sharded_pm1_topk
 
                 scores, idx = sharded_pm1_topk(
@@ -770,73 +920,13 @@ class PackedCodeIndex:
                     recall_target=self.recall_target,
                     merge_k=merge_k,
                 )
-            elif self.recall_target is None and pallas_ok and (
-                unpacked_dev is not None or perm_dev is not None or bitplane_dev is not None
-            ):
-                # Exact: fused device query prep + Pallas kernel over the ±1
-                # int8 layout (or the bitplane twin beyond the int8 budget),
-                # one upload + one dispatch per partition
-                from iscc_search_tpu.ops.pallas_scan import (
-                    pallas_blockmax_topk_packedq,
-                    penalty_mode,
-                )
-
-                # Phase-1 preference: bitplane twin first (32 B/row HBM reads;
-                # +57% QPS at Q=64 vs the perm twin's 256 B/row, tie at Q=512
-                # — EXP_BITPLANE_10M.json), else perm/plain int8. Phase 3
-                # rescores from the plain int8 twin when present (Pallas
-                # gather), else the resident packed view.
-                use_bt = bitplane_dev is not None
-                has_int8 = (unpacked_dev is not None or perm_dev is not None) and not use_bt
-                pmode = penalty_mode(
-                    unpacked=has_int8,
-                    permuted=perm_dev is not None and not use_bt,
-                    bitplane=use_bt,
-                )
-                scores, idx = pallas_blockmax_topk_packedq(
-                    q_codes_dev,
-                    q_lanes_dev,
-                    packed_dev,
-                    valid_dev,
-                    k,
-                    nbits,
-                    chunk_size=max(chunk, _PALLAS_MIN_CHUNK),
-                    db_unpacked=unpacked_dev,
-                    unpacked=has_int8,
-                    db_perm=None if use_bt else perm_dev,
-                    db_bitplane=bitplane_dev,
-                    db_penalty=part.penalty_for(valid_dev, pmode),
-                    db_packed_view=None if unpacked_dev is not None else view_dev,
-                    interpret=self._pallas_interpret(),
-                )
-            elif self.recall_target is None:
-                # Exact: two-phase block-max selection (no per-chunk sort)
-                from iscc_search_tpu.ops.pm1_scan import pm1_blockmax_topk_packedq
-
-                scores, idx = pm1_blockmax_topk_packedq(
-                    q_codes_dev,
-                    q_lanes_dev,
-                    packed_dev,
-                    valid_dev,
-                    k,
-                    nbits,
-                    chunk_size=chunk,
-                )
-            else:
-                from iscc_search_tpu.ops.pm1_scan import pm1_topk_packedq
-
-                scores, idx = pm1_topk_packedq(
-                    q_codes_dev,
-                    q_lanes_dev,
-                    packed_dev,
-                    valid_dev,
-                    k,
-                    nbits,
-                    chunk_size=chunk,
-                    recall_target=self.recall_target,
-                )
             pending.append((row_map, scores, idx))
+        return self._collect_results(pending, nq, count, keys_snapshot, return_rows)
 
+    def _collect_results(self, pending, nq, count, keys_snapshot, return_rows):
+        # type: (list, int, int, np.ndarray, bool) -> list[tuple]
+        """Read back every partition's (scores, idx), map device rows to
+        global rows, and merge the per-query candidates on the host."""
         # Start every device->host copy before blocking on any of them: the
         # transfers overlap each other and the tail of the device work, so the
         # whole collect pays ONE link round-trip instead of 2 x partitions
@@ -1220,8 +1310,12 @@ class PackedCodeIndex:
 
         n_shards = _mesh_size(self.mesh) if self.mesh is not None else 1
         n = len(row_map)
-        per_shard = max(_MIN_DEVICE_ROWS, _pow2ceil(-(-n // n_shards)))
-        cap = per_shard * n_shards
+        if n_shards > 1:
+            # Mesh partitions stay pow2 per shard (equal shard_map blocks).
+            per_shard = max(_MIN_DEVICE_ROWS, _pow2ceil(-(-n // n_shards)))
+            cap = per_shard * n_shards
+        else:
+            cap = _cap_rows(n)
         packed = np.zeros((cap, lanes), np.uint32)
         packed[:n] = self._codes[row_map][:, :lanes]
         valid = np.zeros((cap,), bool)

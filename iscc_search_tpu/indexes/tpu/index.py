@@ -601,14 +601,31 @@ class TpuIndex:
                     # type: (bytes, str) -> int
                     return sp_ops.count_doc_freq(self.store, _db, sp_key)
 
-                raw_matches = sp_index.search_raw(
-                    simprints=query_sp_bytes,
-                    limit=limit * 2,
-                    threshold=threshold,
-                    detailed=True,
-                    doc_freq_fn=doc_freq_fn,
-                    total_assets=total_assets,
-                )
+                sweep_fn = self._sp_sweep_fn(sp_type) if self._opts.search_batching else None
+                try:
+                    raw_matches = sp_index.search_raw(
+                        simprints=query_sp_bytes,
+                        limit=limit * 2,
+                        threshold=threshold,
+                        detailed=True,
+                        doc_freq_fn=doc_freq_fn,
+                        total_assets=total_assets,
+                        sweep_fn=sweep_fn,
+                    )
+                except RuntimeError:
+                    # Batcher closed by a concurrent rebuild: fall back to an
+                    # unbatched sweep on the current engine.
+                    sp_index = self._simprint_indexes.get(sp_type)
+                    if sp_index is None:  # pragma: no cover - rebuild never drops types
+                        continue
+                    raw_matches = sp_index.search_raw(
+                        simprints=query_sp_bytes,
+                        limit=limit * 2,
+                        threshold=threshold,
+                        detailed=True,
+                        doc_freq_fn=doc_freq_fn,
+                        total_assets=total_assets,
+                    )
 
             for raw in raw_matches:
                 slot = asset_type_results.setdefault(raw.iscc_id_body, {})
@@ -628,6 +645,35 @@ class TpuIndex:
         multi = multi[:limit]
 
         return [self._convert_simprint_match(m) for m in multi]
+
+    def _sp_sweep_fn(self, sp_type):
+        # type: (str) -> ...
+        """Cross-request batched device sweep for one simprint type, or None.
+
+        Concurrent ``search_assets`` calls with simprints fuse their chunk
+        sweeps exactly like unit searches do (same SearchBatcher, in
+        return_rows mode); one query asset per device sweep measured ~10x
+        below the fused-batch throughput at BASELINE config-4 scale."""
+        key = "sp:" + sp_type
+        batcher = self._batchers.get(key)
+        if batcher is None:
+            # Same locked check-then-create discipline as the unit batchers:
+            # re-fetch the LIVE engine inside the lock so a rebuild swap can
+            # never leave a batcher bound to a reset index.
+            with self._batcher_lock:
+                batcher = self._batchers.get(key)
+                if batcher is None:
+                    sp_index = self._simprint_indexes.get(sp_type)
+                    if sp_index is None:  # pragma: no cover - caller checked
+                        return None
+                    batcher = SearchBatcher(
+                        sp_index._index,
+                        max_batch=max(self._opts.query_batch_max, SimprintEngine.max_sweep_queries),
+                        window_ms=self._opts.search_batching_window_ms,
+                        return_rows=True,
+                    )
+                    self._batchers[key] = batcher
+        return batcher.search
 
     def _convert_simprint_match(self, raw_match):
         # type: (sp_ops.SimprintMatchMulti) -> IsccChunkMatch
@@ -845,8 +891,16 @@ class TpuIndex:
             total += len(keys)
         sp_index.save()
 
-        old = self._simprint_indexes.get(sp_type)
-        self._simprint_indexes[sp_type] = sp_index  # atomic: no missing-type window
+        # Same atomic swap discipline as the NPHD rebuild: close the sweep
+        # batcher under the creation lock so no new batcher can bind to the
+        # outgoing engine (in-flight callers fall back unbatched onto the
+        # already-installed new engine).
+        with self._batcher_lock:
+            old_batcher = self._batchers.pop("sp:" + sp_type, None)
+            if old_batcher is not None:
+                old_batcher.close()
+            old = self._simprint_indexes.get(sp_type)
+            self._simprint_indexes[sp_type] = sp_index  # atomic: no missing-type window
         if old is not None:
             old.reset()
         if sp_dir.exists():
