@@ -93,22 +93,32 @@ def main():
         build_s = time.perf_counter() - t0
         results["build_rate_codes_per_s"] = round(n / build_s)
 
-        # Query batch spread across the database (hits every length class).
+        # Query batches spread across the database (hit every length class).
+        # Sweep Q in {n_q, 512}: the fused multi-partition program makes the
+        # whole variable-length search one dispatch, so both the small-batch
+        # (dispatch-bound) and large-batch (MXU-bound) regimes are measured.
+        results["tunnel_floor_ms"] = round(floor_s * 1e3, 1)
+        results["q_sweep"] = {}
+        res = None
+        for q_n in sorted({n_q, 512}):
+            qsel = [bodies[i] for i in range(0, n, n // q_n)][:q_n]
+            idx.search(qsel, k)  # warm-up/compile (all partitions, one program)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = idx.search(qsel, k)
+                best = min(best, time.perf_counter() - t0)
+            assert all(r[1][0] >= 0.999 for r in res), "self-match failed"
+            results["q_sweep"][f"q{q_n}"] = dict(
+                engine_search_warm_ms=round(best * 1e3, 1),
+                engine_qps_warm=round(q_n / best),
+                tunnel_corrected_ms=round(max(best - floor_s, 1e-4) * 1e3, 1),
+                tunnel_corrected_qps=round(q_n / max(best - floor_s, 1e-4)),
+            )
+            if q_n == n_q:
+                results.update(results["q_sweep"][f"q{q_n}"])
         qsel = [bodies[i] for i in range(0, n, n // n_q)][:n_q]
-        idx.search(qsel, k)  # warm-up/compile (one partition per length)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = idx.search(qsel, k)
-            best = min(best, time.perf_counter() - t0)
-        assert all(r[1][0] >= 0.999 for r in res), "self-match failed"
-        results.update(
-            engine_search_warm_ms=round(best * 1e3, 1),
-            engine_qps_warm=round(n_q / best),
-            tunnel_floor_ms=round(floor_s * 1e3, 1),
-            tunnel_corrected_ms=round(max(best - floor_s, 1e-4) * 1e3, 1),
-            tunnel_corrected_qps=round(n_q / max(best - floor_s, 1e-4)),
-        )
+        res = idx.search(qsel, k)
 
         # Recall verification: engine top-10 SCORES must match an independent
         # numpy brute force over the FULL database (exact scan => recall 1.0).
