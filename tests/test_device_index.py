@@ -450,3 +450,55 @@ def test_body_at_rows_and_stale_fallback(tmp_path, rng):
     idx.reset()
     assert idx.body_at(int(rows[0])) is None
     idx.close()
+
+
+def test_body_at_generation_guard(tmp_path, rng):
+    """A compact() between search(return_rows=True) and body_at renumbers the
+    row space: with the captured generation, body_at returns None (safe
+    fallback) instead of silently reading a DIFFERENT key's body."""
+    idx = DeviceHammingIndex(tmp_path / "h", ndim=128)
+    keys = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(50)]
+    vecs = [rand_body(rng, 16) for _ in range(50)]
+    idx.add(keys, vecs)
+    gen = idx.row_generation
+    ((kk, ss, rows),) = idx.search([vecs[25]], 1, return_rows=True)
+    row = int(rows[0])
+    assert idx.body_at(row, gen) == vecs[25]  # matching gen: real read
+    # Tombstone earlier rows, then compact: live rows are renumbered and the
+    # captured row id (25) now names a different key (old row 45) on the
+    # post-compact 30-row layout — in range, so nothing but the generation
+    # check can catch the mismatch.
+    idx.remove(keys[:20])
+    idx.compact()
+    assert idx.row_generation != gen
+    assert idx.body_at(row, gen) is None  # stale gen: guarded
+    stale_unguarded = idx.body_at(row)  # legacy call: in-range row reads SOME body
+    assert stale_unguarded is not None and stale_unguarded != vecs[25]
+    # Fresh capture against the compacted space works again.
+    gen2 = idx.row_generation
+    ((kk2, ss2, rows2),) = idx.search([vecs[25]], 1, return_rows=True)
+    assert idx.body_at(int(rows2[0]), gen2) == vecs[25]
+    # reset() and reload both renumber: generation must move.
+    idx.save(wait=True)
+    idx.reset()
+    gen3 = idx.row_generation
+    assert gen3 != gen2
+    idx.close()
+    idx2 = DeviceHammingIndex(tmp_path / "h", ndim=128)
+    assert idx2.row_generation not in (gen, gen2, gen3)
+    idx2.close()
+
+
+def test_add_packed_nlanes_exceeding_packed_width_rejected(tmp_path, rng):
+    """nlanes may not claim more lanes than the packed matrix carries — the
+    zero-filled tail would otherwise be scored as real code bits."""
+    idx = DeviceHammingIndex(tmp_path / "h", ndim=256)
+    keys = rng.integers(0, 256, (2, 16), dtype=np.uint8)
+    packed = rng.integers(0, 2**32, (2, 4), dtype=np.uint32)  # 128-bit rows
+    with pytest.raises(ValueError):  # 8 lanes claimed, 4 provided (<= max_lanes)
+        idx.add_packed(keys, packed, 8)
+    with pytest.raises(ValueError):  # per-row variant
+        idx.add_packed(keys, packed, np.array([4, 5], np.int32))
+    idx.add_packed(keys, packed, 4)  # exactly the provided width is fine
+    assert len(idx) == 2
+    idx.close()

@@ -55,6 +55,24 @@ def test_dup_putmulti(store):
     assert len(store.get_dups("sp", b"\x02")) == 3
 
 
+def test_dup_putmulti_arrays(store):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 256, (100, 16), dtype=np.uint8)
+    vals = rng.integers(0, 256, (100, 16), dtype=np.uint8)
+    assert store.dup_putmulti_arrays("sp", keys, vals) == 100
+    assert store.dup_putmulti_arrays("sp", keys, vals) == 0  # all duplicates
+    assert store.entries("sp") == 100
+    # Bit-exact with the pair-list path's wire format
+    assert store.get_dups("sp", keys[7].tobytes()) == [vals[7].tobytes()]
+    assert store.dup_putmulti_arrays("sp", keys[:0], vals[:0]) == 0  # n == 0
+    with pytest.raises(ValueError):  # ragged n
+        store.dup_putmulti_arrays("sp", keys, vals[:50])
+    with pytest.raises(ValueError):  # non-2d
+        store.dup_putmulti_arrays("sp", keys[0], vals[0])
+
+
 def test_prefix_scan(store):
     store.dup_put("units", b"\x01\x02\x03\x04", b"a")
     store.dup_put("units", b"\x01\x02\x03\x04\x05\x06", b"b")
