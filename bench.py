@@ -161,16 +161,37 @@ def main():
         baseline_cmp = None
     if baseline_cmp is not None:
         baseline_cmp.setdefault("this_engine", {})["qps_one_chip"] = tpu_qps
+        # Regenerate the native-HNSW extrapolation from the MEASURED
+        # eval-cost artifact (benchmarks/hnsw_evalbench.py writes it), so the
+        # two committed files can never quote different baselines — the
+        # pre-measurement 50-150 ns/eval assumption once left a stale 5,751
+        # QPS bound here while HNSW_BASELINE.json measured 1,738-1,751.
+        hnsw_path = os.path.join(os.path.dirname(__file__) or ".", "benchmarks", "HNSW_BASELINE.json")
+        try:
+            with open(hnsw_path) as fh:
+                est = json.load(fh)["native_hnsw_estimate_at_10m"]
+        except (OSError, ValueError, KeyError):
+            est = None
+        if est is not None:
+            baseline_cmp["native_hnsw_extrapolation"] = {
+                "upper_bound_single_core_qps": max(est["single_core_qps_range"]),
+                "single_core_qps_range": est["single_core_qps_range"],
+                "measured_ns_per_eval": est["measured_ns_per_eval"],
+                "evals_per_query_at_10m": est["evals_per_query_at_10m"],
+                "model": est["model"],
+                "bias": est["bias"],
+                "source": "benchmarks/HNSW_BASELINE.json (measured on this host)",
+            }
         # Keep the hand-written conclusion's embedded numbers in sync with
         # the refreshed measurement (a stale conclusion quoting the previous
         # QPS would contradict qps_one_chip in the same file).
         upper = baseline_cmp.get("native_hnsw_extrapolation", {}).get("upper_bound_single_core_qps")
         if upper:
             baseline_cmp["conclusion"] = (
-                f"{tpu_qps / 1000:.1f}K exact QPS at recall 1.0 vs an estimated <={upper / 1000:.1f}K "
-                f"single-core native HNSW upper bound: >={tpu_qps / upper:.0f}x vs the most favorable "
-                f"estimate, with recall 1.0 vs ~0.9 and near-zero build cost; multi-core HNSW scales "
-                f"with cores as this engine scales with chips"
+                f"{tpu_qps / 1000:.1f}K exact QPS at recall 1.0 vs a measured <={upper / 1000:.1f}K "
+                f"single-core native HNSW upper bound: ~{tpu_qps / upper:.0f}x, with recall 1.0 vs "
+                f"~0.9 and near-zero build cost; multi-core HNSW scales with cores as this engine "
+                f"scales with chips"
             )
         details["baseline_comparison"] = baseline_cmp
     with open(details_path, "w") as fh:
