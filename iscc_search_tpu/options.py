@@ -68,6 +68,14 @@ class SearchOptions(BaseModel):
         description="ISCC_SEARCH_HTTP_QUEUE_DEADLINE_MS - a request queued longer than this is shed "
         "with 503 instead of served (bounds at-overload latency to ~deadline; 0 disables)",
     )
+    scaleout_breaker_ms: float = Field(
+        50.0,
+        ge=0.0,
+        description="ISCC_SEARCH_SCALEOUT_BREAKER_MS - after the engine rejects a search as "
+        "overloaded, scale-out workers fail searches fast locally (and shed new requests at "
+        "admission, before parsing) for this window instead of paying a doomed RPC round trip "
+        "per request; refreshed by every fresh rejection (0 disables)",
+    )
 
     # Segment sizes (MB) — bounded crash-loss windows, parity with shard_size_*
     shard_size_units: int = Field(512, ge=1, description="ISCC_SEARCH_SHARD_SIZE_UNITS - segment seal size MB")

@@ -56,9 +56,14 @@ class PooledHTTPServer:
     """Thread-pool keep-alive HTTP/1.1 server for synchronous WSGI apps."""
 
     def __init__(self, host, port, app, threads=16, backlog=512, sock=None, idle_timeout=120.0,
-                 request_timeout=30.0, max_pending=64, queue_deadline=0.5):
-        # type: (str, int, ..., int, int, socket.socket | None, float, float, int, float) -> None
+                 request_timeout=30.0, max_pending=64, queue_deadline=0.5, overload_probe=None):
+        # type: (str, int, ..., int, int, socket.socket | None, float, float, int, float, ...) -> None
         self.app = app
+        # Optional zero-arg callable consulted at admission: True sheds the
+        # request BEFORE any parse/app work (scale-out workers pass the
+        # engine-RPC overload breaker, so requests the engine would reject
+        # anyway never cost a parse + RPC round trip).
+        self.overload_probe = overload_probe
         self.threads = threads
         self.idle_timeout = idle_timeout
         # Whole-request read budget: per-recv timeouts alone let a trickling
@@ -250,6 +255,10 @@ class PooledHTTPServer:
         The 503 write happens on the park/accept thread, so it must never
         block: a single non-blocking send (the ~120-byte response fits any
         healthy socket buffer; a peer that cannot take it is closed)."""
+        if self.overload_probe is not None and self.overload_probe():
+            self.shed_count += 1
+            self._shed(conn, blocking=False)
+            return
         if self.max_pending:
             with self._pending_lock:
                 if self._pending >= self.max_pending:
@@ -281,12 +290,23 @@ class PooledHTTPServer:
                 conn.sock.shutdown(socket.SHUT_WR)
                 # Drain the UNREAD request bytes: closing with data in the
                 # receive buffer makes the kernel RST the connection, which
-                # discards the 503 before the client reads it. Bounded drain
-                # (graceful-close pattern), then close.
-                conn.sock.settimeout(0.5)
-                for _ in range(64):
-                    if not conn.sock.recv(65536):
-                        break
+                # can discard the 503 before the client reads it. Drain what
+                # has ARRIVED without blocking, then wait one short recv for
+                # the peer's FIN. The old 64 x 0.5s-timeout drain could pin a
+                # pool worker for seconds PER SHED — under deep overload the
+                # whole pool sat in drain waits (the 1600-QPS open-loop step's
+                # 2.9 s p90 was drain stalls, not service time).
+                conn.sock.setblocking(False)
+                try:
+                    while conn.sock.recv(65536):
+                        pass
+                except (BlockingIOError, OSError):
+                    pass
+                conn.sock.settimeout(0.05)
+                try:
+                    conn.sock.recv(65536)
+                except (OSError, BlockingIOError):
+                    pass
             else:
                 # Park/accept thread: one non-blocking send + drain; a peer
                 # that can't take ~170 bytes is closed (possibly RST).

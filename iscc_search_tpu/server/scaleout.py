@@ -228,12 +228,34 @@ class EngineRPCIndex:
     One connection per calling thread (thread-local), created lazily and
     reconnected on error — the pooled HTTP server runs a fixed thread pool,
     so the connection count is bounded by worker threads.
+
+    Searches carry a worker-side OVERLOAD BREAKER: when the engine rejects a
+    search (OverloadedError — its in-flight bound is full), subsequent
+    searches for ``breaker_s`` fail fast locally instead of paying the
+    pickle + socket round trip only to be rejected again. Under deep
+    overload that round trip is exactly where goodput went: the measured
+    1600-QPS open-loop step spent the shared core rejecting requests one
+    RPC at a time (208.9 achieved vs 397.7 at saturation). The window is
+    refreshed by every fresh engine rejection, so the breaker clears within
+    ``breaker_s`` of the engine having capacity again. Mutations and admin
+    calls never break — they are rare and must not be dropped.
     """
 
-    def __init__(self, socket_path):
-        # type: (str) -> None
+    def __init__(self, socket_path, breaker_s=0.05):
+        # type: (str, float) -> None
         self.socket_path = socket_path
+        self.breaker_s = breaker_s
+        self._overloaded_until = 0.0  # monotonic; benign data race (float)
         self._local = threading.local()
+
+    @property
+    def overloaded(self):
+        # type: () -> bool
+        """True while the overload breaker window is active (see class doc).
+
+        Cheap enough for the HTTP admission path: workers shed BEFORE
+        parsing a request the engine would reject anyway."""
+        return time.monotonic() < self._overloaded_until
 
     def _conn(self):
         # type: () -> socket.socket
@@ -314,8 +336,15 @@ class EngineRPCIndex:
         return self._roundtrip(("call", "get_asset", (index_name, iscc_id)))
 
     def search_assets(self, index_name, query, limit=100):
+        if self.breaker_s and time.monotonic() < self._overloaded_until:
+            raise OverloadedError("engine search capacity exhausted (breaker)")
         qdict = query.model_dump(exclude_none=True) if hasattr(query, "model_dump") else dict(query)
-        return _DumpedResult(self._roundtrip(("search_raw", index_name, qdict, limit)))
+        try:
+            return _DumpedResult(self._roundtrip(("search_raw", index_name, qdict, limit)))
+        except OverloadedError:
+            if self.breaker_s:
+                self._overloaded_until = time.monotonic() + self.breaker_s
+            raise
 
     def close(self):
         # Worker-local: never forwards — the engine owns index lifetime.
@@ -360,7 +389,7 @@ def worker_main(argv=None):
     cfg = json.loads(os.environ["ISCC_SCALEOUT_CONFIG"])
     opts = SearchOptions(**cfg["opts"])
     configure_logging(level=opts.log_level)
-    rpc = EngineRPCIndex(cfg["socket_path"])
+    rpc = EngineRPCIndex(cfg["socket_path"], breaker_s=opts.scaleout_breaker_ms / 1000.0)
     if not rpc.ping(timeout=30.0):
         raise SystemExit("engine IPC not reachable")
     app = create_app(index=rpc, opts=opts)
@@ -373,6 +402,9 @@ def worker_main(argv=None):
         sock=sock,
         max_pending=opts.http_max_pending,
         queue_deadline=opts.http_queue_deadline_ms / 1000.0,
+        # Admission-time shed while the engine breaker is active: a request
+        # the engine would reject must not cost a parse + RPC round trip.
+        overload_probe=(lambda: rpc.overloaded) if opts.scaleout_breaker_ms else None,
     )
 
     def _term(_signum, _frame):  # pragma: no cover - signal timing

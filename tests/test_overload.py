@@ -222,6 +222,92 @@ def test_rpc_client_raises_overloaded(tmp_path):
         ipc.close()
 
 
+def test_rpc_breaker_fails_fast_after_rejection(tmp_path):
+    """After one engine rejection the breaker window makes searches fail
+    locally (no pickle + socket round trip per doomed request); the window
+    expires and traffic returns to the wire."""
+    from iscc_search_tpu.schema import IsccQuery
+    from iscc_search_tpu.server.scaleout import EngineIPCServer, EngineRPCIndex
+
+    class DummyIndex:
+        def search_assets(self, name, query, limit):  # pragma: no cover
+            raise AssertionError("should have been shed")
+
+    path = str(tmp_path / "e.sock")
+    ipc = EngineIPCServer(DummyIndex(), path, max_inflight=0)
+    ipc.start()
+    try:
+        rpc = EngineRPCIndex(path, breaker_s=0.2)
+        q = IsccQuery(units=["ISCC:GAAQAAICAMCAKBQH"])
+        with pytest.raises(OverloadedError):  # wire rejection arms the breaker
+            rpc.search_assets("idx", q, 10)
+        assert rpc.overloaded
+        rpc._roundtrip = lambda frame: pytest.fail("paid a round trip inside the breaker window")
+        with pytest.raises(OverloadedError):  # local fast-fail, no wire
+            rpc.search_assets("idx", q, 10)
+        time.sleep(0.25)
+        assert not rpc.overloaded
+        sentinel = RuntimeError("reached the wire again")
+        rpc._roundtrip = lambda frame: (_ for _ in ()).throw(sentinel)
+        with pytest.raises(RuntimeError, match="reached the wire again"):
+            rpc.search_assets("idx", q, 10)
+        rpc.close()
+    finally:
+        ipc.close()
+
+
+def test_rpc_breaker_disabled(tmp_path):
+    """breaker_s=0 keeps the pre-breaker behavior: every search pays the
+    round trip and ``overloaded`` never reports True."""
+    from iscc_search_tpu.schema import IsccQuery
+    from iscc_search_tpu.server.scaleout import EngineIPCServer, EngineRPCIndex
+
+    class DummyIndex:
+        def search_assets(self, name, query, limit):  # pragma: no cover
+            raise AssertionError("should have been shed")
+
+    path = str(tmp_path / "e.sock")
+    ipc = EngineIPCServer(DummyIndex(), path, max_inflight=0)
+    ipc.start()
+    try:
+        rpc = EngineRPCIndex(path, breaker_s=0)
+        q = IsccQuery(units=["ISCC:GAAQAAICAMCAKBQH"])
+        for _ in range(2):  # both calls reach the wire
+            with pytest.raises(OverloadedError):
+                rpc.search_assets("idx", q, 10)
+            assert not rpc.overloaded
+        rpc.close()
+    finally:
+        ipc.close()
+
+
+def test_admission_probe_sheds_before_parse():
+    """An active overload probe sheds at admission: 503 + Retry-After with
+    the app (and therefore parse/RPC work) never invoked."""
+    calls = []
+
+    def app(environ, start_response):
+        calls.append(environ["PATH_INFO"])
+        start_response("200 OK", [("Content-Type", "application/json")])
+        return [b'{"ok": true}']
+
+    flag = [True]
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2, overload_probe=lambda: flag[0])
+    _serve(srv)
+    try:
+        status, raw = _get(srv.server_port)
+        assert status == 503, raw
+        assert b"Retry-After: 1" in raw
+        assert calls == []  # shed before any app/parse work
+        assert srv.shed_count == 1
+        flag[0] = False
+        status, _ = _get(srv.server_port)
+        assert status == 200
+        assert calls == ["/"]
+    finally:
+        srv.server_close()
+
+
 class TestCoreGuard:
     def test_shrinks_workers_to_cores_minus_one(self, monkeypatch):
         from iscc_search_tpu.options import SearchOptions
