@@ -21,8 +21,11 @@ Knobs: ISCC_OL_ASSETS (200_000), ISCC_OL_SECONDS (12 per step),
        ISCC_OL_RATES (csv, default "100,200,400,800,1600,3200"),
        ISCC_OL_TOPOLOGY (wsgiref | pooled | scaleout; default pooled),
        ISCC_OL_WORKERS (scaleout worker processes, default 4),
-       ISCC_OL_CLIENT_PROCS (default 4)
-Writes benchmarks/LATENCY_OPENLOOP.json.
+       ISCC_OL_CLIENT_PROCS (default 4),
+       ISCC_OL_BULK (1 = flagship-scale corpus via the bulk primitives;
+       pair with ISCC_OL_ASSETS=10485760 for the headline 10.5M index),
+       ISCC_OL_SUFFIX (artifact name override, e.g. "_10M")
+Writes benchmarks/LATENCY_OPENLOOP<suffix>.json.
 """
 
 import json
@@ -51,6 +54,10 @@ def build_index(n_assets, tmp_dir=None):
     index = get_index(opts.index_uri)
     index.create_index(IsccIndex(name="ol"))
 
+    if os.environ.get("ISCC_OL_BULK") == "1":
+        _bulk_fill(index, n_assets)
+        return index, opts, None
+
     def unit(mt, body):
         header = ic.encode_header(mt, 0, ic.VS.V0, ic.encode_length(mt, len(body) * 8))
         return "ISCC:" + ic.encode_base32(header + body)
@@ -68,6 +75,57 @@ def build_index(n_assets, tmp_dir=None):
     if batch:
         index.add_assets("ol", batch)
     return index, opts, bodies
+
+
+def _bulk_fill(manager, n_assets, unit_type="DATA_NONE_V0"):
+    """Flagship-scale corpus (ISCC_OL_BULK=1) through the product's own bulk
+    primitives: store putmulti / dup_putmulti_arrays for the truth rows and
+    the vectorized device add_packed the rebuild path uses — the same
+    structures add_assets produces, at memcpy-bound rates (the per-asset
+    add_assets path would take ~20 min for the 10.5M headline corpus).
+
+    Bodies are regenerated per slice with the SAME deterministic stream the
+    query builder uses (one rng seed, 32 bytes/asset), so queries remain db
+    members without holding 10.5M bodies in this process."""
+    import struct as _struct
+    import json as _json
+
+    from iscc_search_tpu import codec as ic
+    from iscc_search_tpu.models import IsccID
+
+    idx = manager._get_or_load_index("ol")
+    # Persist the realm the way _init_metadata would have on first add.
+    if idx._realm_id is None:
+        idx._realm_id = 0
+        idx.store.put("meta", b"realm_id", _struct.pack(">I", 0))
+    nphd = idx._new_nphd_index(unit_type)
+    rng = np.random.default_rng(0)
+    slice_n = 262_144
+    data_hdr = ic.encode_header(ic.MT.DATA, 0, ic.VS.V0, ic.encode_length(ic.MT.DATA, 256))
+    inst_hdr = ic.encode_header(ic.MT.INSTANCE, 0, ic.VS.V0, ic.encode_length(ic.MT.INSTANCE, 64))
+    for a0 in range(0, n_assets, slice_n):
+        a1 = min(a0 + slice_n, n_assets)
+        bodies = rng.integers(0, 256, (a1 - a0, 32), dtype=np.uint8)
+        keys_int = []
+        asset_pairs = []
+        for i in range(a0, a1):
+            b = bodies[i - a0].tobytes()
+            iscc_id = ic.gen_iscc_id_v1(timestamp_us=i + 1, server_id=i % 4096, realm_id=0)["iscc"]
+            key = int(IsccID(iscc_id))
+            keys_int.append(key)
+            units = ["ISCC:" + ic.encode_base32(data_hdr + b), "ISCC:" + ic.encode_base32(inst_hdr + b[:8])]
+            asset_pairs.append(
+                (key.to_bytes(8, "big"), _json.dumps({"iscc_id": iscc_id, "units": units}).encode())
+            )
+        idx.store.putmulti("assets", asset_pairs)
+        key_arr = np.array(keys_int, dtype=">u8").view(np.uint8).reshape(-1, 8)
+        idx.store.dup_putmulti_arrays("instance", bodies[:, :8], key_arr)
+        packed = bodies.reshape(-1, 8, 4).view(">u4")[..., 0].astype(np.uint32)
+        nphd.add_packed(key_arr, packed, 8)
+        print(f"bulk build: {a1}/{n_assets}", flush=True)
+    idx.store.flush()
+    idx._nphd_indexes[unit_type] = nphd
+    idx._set_count(b"nphd_count:", unit_type, nphd.size)
 
 
 # --------------------------------------------------------------- server child
@@ -306,13 +364,27 @@ def main():
             header = ic.encode_header(mt, 0, ic.VS.V0, ic.encode_length(mt, len(body) * 8))
             return "ISCC:" + ic.encode_base32(header + body)
 
-        # Same generator seed as build_index: queries are db members
-        rng0 = np.random.default_rng(0)
-        bodies = [rng0.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(n_assets)]
+        # Same generator seed AND draw shape as the build: queries are db
+        # members. (Draw shape matters: the bulk path consumes the stream in
+        # 262,144-row blocks; per-asset draws would produce a different
+        # sequence.)
         rng = np.random.default_rng(1)
+        sel = sorted(int(i) for i in rng.integers(0, n_assets, 512))
+        rng0 = np.random.default_rng(0)
+        sampled = {}
+        if os.environ.get("ISCC_OL_BULK") == "1":
+            slice_n = 262_144
+            for a0 in range(0, n_assets, slice_n):
+                blk = rng0.integers(0, 256, (min(slice_n, n_assets - a0), 32), dtype=np.uint8)
+                for s in sel:
+                    if a0 <= s < a0 + len(blk):
+                        sampled[s] = blk[s - a0].tobytes()
+        else:
+            bodies = [rng0.integers(0, 256, 32, dtype=np.uint8).tobytes() for _ in range(n_assets)]
+            sampled = {s: bodies[s] for s in sel}
         queries = []
-        for i in rng.integers(0, len(bodies), 512):
-            q = {"units": [unit(3, bodies[int(i)])]}  # MT.DATA = 3; limit rides
+        for i in sel:
+            q = {"units": [unit(3, sampled[i])]}  # MT.DATA = 3; limit rides
             # the query string (a body "limit" is not part of IsccQuery and
             # was silently ignored — earlier sweeps actually served limit=100)
             queries.append(json.dumps(q))
@@ -400,6 +472,7 @@ def main():
             ),
             "assets": n_assets,
             "topology": TOPOLOGY,
+            "bulk_build": os.environ.get("ISCC_OL_BULK") == "1",
             "step_seconds": seconds,
             "overload_policy": {  # what the spawned server actually runs with
                 "http_max_pending": int(os.environ.get("ISCC_SEARCH_HTTP_MAX_PENDING", 64)),
@@ -424,7 +497,9 @@ def main():
                 ),
             }
         print(json.dumps(out, indent=1))
-        suffix = {"wsgiref": "", "pooled": "_POOLED", "scaleout": "_SCALEOUT"}[TOPOLOGY]
+        suffix = os.environ.get(
+            "ISCC_OL_SUFFIX", {"wsgiref": "", "pooled": "_POOLED", "scaleout": "_SCALEOUT"}[TOPOLOGY]
+        )
         with open(f"benchmarks/LATENCY_OPENLOOP{suffix}.json", "w") as f:
             json.dump(out, f, indent=1)
         os.unlink(query_file)
