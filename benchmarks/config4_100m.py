@@ -190,6 +190,21 @@ def main():
 
         # ---- 2. engine batched query assets (search_raw_many), +/- live IDF ----
         q = chunks_per
+        q10, q100 = sweep.get("q10"), sweep.get("q100")
+        if q10 and q100:
+            # Measured sweep-cost decomposition: fixed dispatch + per-query.
+            per_q = (q100["search_ms"] - q10["search_ms"]) / 90.0
+            fixed = q10["search_ms"] - 10 * per_q
+            results["sweep_cost_model_ms"] = {"fixed": round(fixed, 1), "per_chunk_query": round(per_q, 2)}
+            results["batch_scaling_note"] = (
+                "batch gains are bounded by asset width: at the measured "
+                f"~{fixed:.0f} ms fixed + ~{per_q:.2f} ms/chunk-query sweep cost, a "
+                "100-chunk query asset is mostly per-query work, so fusing "
+                "assets amortizes only the fixed slice. Fusion pays off for "
+                "NARROW assets (batch_sweep_q10: whole batches fit one "
+                "sweep) - the serving-concurrency shape the cross-request "
+                "batcher exists for."
+            )
         for tag, dfn in (("batch_sweep", None), ("batch_sweep_idf", doc_freq_fn)):
             out = {}
             for b in batches:
@@ -213,6 +228,32 @@ def main():
                 }
                 print(f"{tag} b={b}: {out[f'b{b}']}", flush=True)
             results[tag] = out
+
+        # ---- 2b. NARROW query assets (10 chunks each): the fusion-win
+        # regime — whole batches fit a single 512-query sweep, so the fixed
+        # dispatch cost amortizes across assets instead of chunk count ----
+        qn = 10
+        out = {}
+        for b in batches:
+            qsets = [query_chunks(t, qn) for t in range(b)]
+            sp_eng.search_raw_many(qsets, limit=limit, threshold=threshold, total_assets=n_assets)
+            t_scan = []
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                many = sp_eng.search_raw_many(qsets, limit=limit, threshold=threshold, total_assets=n_assets)
+                t_scan.append(time.perf_counter() - t0)
+            best = min(t_scan)
+            for t in range(b):
+                expect_top1(many[t], t)
+            out[f"b{b}"] = {
+                "query_assets": b,
+                "chunks_per_query": qn,
+                "batch_ms": round(best * 1e3, 1),
+                "query_assets_per_s": round(b / best, 1),
+                "chunk_queries_per_s": round(b * qn / best),
+            }
+            print(f"batch_sweep_q10 b={b}: {out[f'b{b}']}", flush=True)
+        results["batch_sweep_q10"] = out
 
         # ---- 3. product path: TpuIndex.search_assets (live IDF + enrichment) ----
         def product_query(t):

@@ -286,11 +286,25 @@ def client_main(port, rate, seconds, nthreads, out_file, query_file):
         json.dump({"latencies": latencies, "errors": errors[0], "sheds": sheds[0], "wall": wall}, f)
 
 
+def _client_env():
+    # type: () -> dict
+    """Load-generator env: pure-host python. Dev hosts attach the TPU by
+    injecting a sitecustomize via PYTHONPATH; a client process dialing the
+    device tunnel would contend with (or wedge behind) the server that owns
+    the chip, so strip it and pin the CPU backend."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon_site" not in p
+    )
+    return env
+
+
 def run_step(port, query_file, rate, seconds, n_procs):
     # type: (int, str, float, float, int) -> dict
     """One offered-load step across n_procs client subprocesses."""
     outs = []
     procs = []
+    env = _client_env()
     for i in range(n_procs):
         out = tempfile.mktemp(prefix=f"ol_out_{i}_")
         outs.append(out)
@@ -306,7 +320,8 @@ def run_step(port, query_file, rate, seconds, n_procs):
                     "64",
                     out,
                     query_file,
-                ]
+                ],
+                env=env,
             )
         )
     for p in procs:

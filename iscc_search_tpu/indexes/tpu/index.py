@@ -37,6 +37,8 @@ import struct
 import threading
 import time
 from pathlib import Path
+
+import numpy as np
 from typing import TYPE_CHECKING
 
 from iscc_search_tpu import codec as ic
@@ -885,10 +887,32 @@ class TpuIndex:
             shutil.rmtree(build_dir)
         ndim = self._detect_sp_ndim(sp_type)
         sp_index = self._new_simprint_index(sp_type, ndim, path=build_dir)
-        total = 0
+        # Vectorized bulk rebuild: collect the forward rows as arrays, dedup
+        # composite keys keep-FIRST in iteration order (the rule the
+        # streamed add_raw rebuild applied; duplicate chunk pointers — one
+        # asset submitting two simprints for the same offset+size — have no
+        # stored wire order in the sp_bytes-sorted forward db, so "first
+        # seen" is the only stable choice), then bulk-append. The per-item
+        # add() upsert measured ~28K rows/s — an hour at the 100M-chunk
+        # BASELINE config-4 scale; this path is memcpy-bound. Peak host
+        # memory is corpus-sized (keys 16B + vectors ndim/8 B per row), the
+        # same order as the engine's own host arrays.
+        key_parts, vec_parts = [], []
         for keys, vectors in sp_ops.iter_simprint_vectors(self.store, _sp_db(sp_type)):
-            sp_index.add_raw(keys, vectors)
-            total += len(keys)
+            key_parts.append(np.frombuffer(b"".join(keys), np.uint8).reshape(len(keys), -1))
+            vec_parts.append(np.frombuffer(b"".join(vectors), np.uint8).reshape(len(vectors), -1))
+        all_keys = np.concatenate(key_parts)
+        all_vecs = np.concatenate(vec_parts)
+        view = np.ascontiguousarray(all_keys).view(f"V{all_keys.shape[1]}").ravel()
+        _, first_seen = np.unique(view, return_index=True)
+        if len(first_seen) != len(view):
+            keep = np.sort(first_seen)
+            all_keys, all_vecs = all_keys[keep], all_vecs[keep]
+        total = len(all_keys)
+        chunk = 4_194_304  # bound per-append temporaries
+        for lo in range(0, total, chunk):
+            sp_index.add_packed(all_keys[lo : lo + chunk], all_vecs[lo : lo + chunk])
+        del key_parts, vec_parts, all_keys, all_vecs
         sp_index.save()
 
         # Same atomic swap discipline as the NPHD rebuild: close the sweep

@@ -298,6 +298,63 @@ def test_rebuild_from_store(tmp_path, rng):
     i2.close()
 
 
+def test_rebuild_simprints_many_with_dup_pointer(tmp_path, rng):
+    """The vectorized bulk rebuild reproduces a multi-asset simprint index
+    exactly — including the degenerate duplicate chunk pointer (one asset
+    submitting two simprints for the same offset+size), which dedups
+    keep-first in forward-db iteration order like the streamed rebuild did."""
+    import shutil
+
+    path = tmp_path / "idx"
+    i1 = TpuIndex(path)
+    rnd = np.random.default_rng(23)
+    sps = [rnd.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(40)]
+    entries = []
+    for a in range(10):
+        chunk_sps = [
+            {"simprint": ic.encode_base64(sps[a * 4 + c]), "offset": c * 10, "size": 10} for c in range(4)
+        ]
+        units = [make_unit(ic.MT.DATA, 0, 64, rng=rng), make_unit(ic.MT.INSTANCE, 0, 64, rng=rng)]
+        entries.append(entry(a + 1, units, simprints={"CONTENT_TEXT_V0": chunk_sps}))
+    # Degenerate: asset 11 claims TWO different simprints at the same
+    # offset+size (same composite key, two forward rows).
+    dup_a, dup_b = (rnd.integers(0, 256, 16, dtype=np.uint8).tobytes() for _ in range(2))
+    entries.append(
+        entry(
+            11,
+            [make_unit(ic.MT.DATA, 0, 64, rng=rng), make_unit(ic.MT.INSTANCE, 0, 64, rng=rng)],
+            simprints={
+                "CONTENT_TEXT_V0": [
+                    {"simprint": ic.encode_base64(dup_a), "offset": 0, "size": 10},
+                    {"simprint": ic.encode_base64(dup_b), "offset": 0, "size": 10},
+                ]
+            },
+        )
+    )
+    i1.add_assets(entries)
+    live_size = i1._simprint_indexes["CONTENT_TEXT_V0"].size
+    live = i1.search_assets(IsccQuery(simprints={"CONTENT_TEXT_V0": [ic.encode_base64(sps[9])]}), limit=5)
+    i1.close()
+
+    shutil.rmtree(path / "SIMPRINT_CONTENT_TEXT_V0")
+    i2 = TpuIndex(path)
+    assert i2.rebuild([], ["CONTENT_TEXT_V0"]) == {"unit_types": [], "simprint_types": ["CONTENT_TEXT_V0"]}
+    rebuilt = i2._simprint_indexes["CONTENT_TEXT_V0"]
+    # Both forward rows exist in the store; the engine holds ONE row for the
+    # duplicate pointer (41 live rows), before and after rebuild.
+    assert rebuilt.size == live_size == 41
+    res = i2.search_assets(IsccQuery(simprints={"CONTENT_TEXT_V0": [ic.encode_base64(sps[9])]}), limit=5)
+    assert [m.iscc_id for m in res.chunk_matches] == [m.iscc_id for m in live.chunk_matches]
+    assert res.chunk_matches[0].score == pytest.approx(live.chunk_matches[0].score)
+    # The sp_bytes-sorted-first simprint is the one the rebuilt engine serves.
+    first_sorted = min(dup_a, dup_b)
+    res_dup = i2.search_assets(
+        IsccQuery(simprints={"CONTENT_TEXT_V0": [ic.encode_base64(first_sorted)]}), limit=5
+    )
+    assert res_dup.chunk_matches and res_dup.chunk_matches[0].score == pytest.approx(1.0)
+    i2.close()
+
+
 def test_metadata_enrichment_in_matches(idx, rng):
     units = [make_unit(ic.MT.DATA, 0, 64, rng=rng), make_unit(ic.MT.INSTANCE, 0, 64, rng=rng)]
     e = entry(1, units, metadata={"name": "My Asset", "source": "https://example.com/a.txt"})
