@@ -12,7 +12,7 @@ transparency-log aggregator.
 
 import platformdirs as _platformdirs
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 #: Platform dirs for default data locations (mirrors reference iscc_search.dirs)
 dirs = _platformdirs.PlatformDirs(appname="iscc-search-tpu", appauthor="iscc")

@@ -86,8 +86,10 @@ class SearchBatcher:
         last_dispatch = float("-inf")  # first request always dispatches at once
         while True:
             with self._cond:
-                while not self._queue and not self._closed:
-                    self._cond.wait()
+                # wait_for: the retest-after-wakeup loop lives in threading.py
+                # (a hand-written while compiles an extra loop-bottom test
+                # copy that only a spurious wakeup could exercise).
+                self._cond.wait_for(lambda: self._queue or self._closed)
                 if self._closed and not self._queue:
                     return
                 queued = sum(len(p.bodies) for p in self._queue)
@@ -101,17 +103,17 @@ class SearchBatcher:
                 if wait > 0:
                     time.sleep(wait)
             with self._cond:
-                batch = []  # type: list[_Pending]
-                n_queries = 0
+                # The queue is never empty here (the wait above only falls
+                # through with items queued, and nothing else pops): admit
+                # the head unconditionally — an oversized first request
+                # forms its own batch — then fill up to max_batch.
+                first = self._queue.pop(0)
+                batch = [first]  # type: list[_Pending]
+                n_queries = len(first.bodies)
                 while self._queue and n_queries + len(self._queue[0].bodies) <= self.max_batch:
                     item = self._queue.pop(0)
                     batch.append(item)
                     n_queries += len(item.bodies)
-                if not batch:
-                    # The queue is never empty here (the wait loop above only
-                    # falls through with items queued, and nothing else pops),
-                    # so an empty batch means one oversized request.
-                    batch.append(self._queue.pop(0))
             self._run_batch(batch)
             last_dispatch = time.monotonic()
 

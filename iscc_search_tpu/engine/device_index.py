@@ -965,11 +965,12 @@ class PackedCodeIndex:
         # transfers overlap each other and the tail of the device work, so the
         # whole collect pays ONE link round-trip instead of 2 x partitions
         # serial ones (dominant when the device link has fixed latency).
+        # Every pending entry comes out of a jitted program (_fused_scan_fn or
+        # the sharded mesh ops), so these are always jax Arrays and the async
+        # copy API is part of their contract — no hasattr guard needed.
         for _, scores_dev, idx_dev in pending:
-            for arr in (scores_dev, idx_dev):
-                copy_async = getattr(arr, "copy_to_host_async", None)
-                if copy_async is not None:
-                    copy_async()
+            scores_dev.copy_to_host_async()
+            idx_dev.copy_to_host_async()
 
         cand_scores = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
         cand_rows = [[] for _ in range(nq)]  # type: list[list[np.ndarray]]
@@ -1125,15 +1126,16 @@ class PackedCodeIndex:
                 self._save_queue = snapshot
             self._save_cv.notify_all()
             if wait:
-                while self._save_queue is not None or self._save_inflight:
-                    self._save_cv.wait()
+                # wait_for keeps the retest-after-wakeup loop in threading.py
+                # (a hand-written while compiles an extra loop-bottom test
+                # copy that only a spurious wakeup could exercise).
+                self._save_cv.wait_for(lambda: self._save_queue is None and not self._save_inflight)
 
     def _save_worker(self):
         # type: () -> None
         while True:
             with self._save_cv:
-                while self._save_queue is None and not self._save_stop:
-                    self._save_cv.wait()
+                self._save_cv.wait_for(lambda: self._save_queue is not None or self._save_stop)
                 if self._save_queue is None:
                     return
                 snapshot = self._save_queue
@@ -1214,8 +1216,7 @@ class PackedCodeIndex:
         # type: () -> None
         """Block until every queued/in-flight background save is on disk."""
         with self._save_cv:
-            while self._save_queue is not None or self._save_inflight:
-                self._save_cv.wait()
+            self._save_cv.wait_for(lambda: self._save_queue is None and not self._save_inflight)
 
     def close(self):
         # type: () -> None
@@ -1293,9 +1294,12 @@ class PackedCodeIndex:
 
         rows = self._rows
         try:
-            if self._partitions is None or self.mesh is not None or rows < self._synced_rows:
-                # Full (re)build: first sync, mesh placement (sharded arrays are
-                # rebuilt whole), or a compaction/reset shrank the row space.
+            # Full (re)build on first sync or mesh placement (sharded arrays
+            # are rebuilt whole). Row-space SHRINKS need no clause of their
+            # own: every shrinking path (_compact_locked, _load, reset) nulls
+            # _partitions, so a live partitions dict implies rows only grew
+            # since _synced_rows (appends are the sole other mutation).
+            if self._partitions is None or self.mesh is not None:
                 self._partitions = {}
                 nlanes = self._nlanes[:rows]
                 for lanes in np.unique(nlanes):
@@ -1388,9 +1392,13 @@ class PackedCodeIndex:
                 and cap >= _PALLAS_MIN_CHUNK
                 and layout_bytes <= _unpacked_budget_bytes()
             ):
-                from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed, build_unpacked_db
+                # Single-device caps are _cap_rows outputs: pow2 >= 8192 or a
+                # 65536 multiple — always divisible by PERM_GROUP (4096), so
+                # the permute/bitplane group constraint holds by construction
+                # here (the mesh path sizes per-shard blocks separately).
+                from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed, build_unpacked_db
 
-                if lanes in (4, 8) and cap % PERM_GROUP == 0:
+                if lanes in (4, 8):
                     # 128/256-bit partitions: bitplane twin (2x packed bytes)
                     # for phase 1 + plain int8 twin for the Pallas gather
                     # phase 3. Replaces perm+plain: the bitplane phase 1
@@ -1409,11 +1417,9 @@ class PackedCodeIndex:
                     # phase 3 falls back to packed takes + XLA unpack, which
                     # beats forfeiting the tree epilogue (in-kernel packed
                     # unpack was measured 9x slower; see exp_packed_gather.py).
-                    perm_ok = cap % PERM_GROUP == 0
-                    if 2 * layout_bytes <= _unpacked_budget_bytes() or not perm_ok:
+                    if 2 * layout_bytes <= _unpacked_budget_bytes():
                         unpacked_dev = build_unpacked_db(packed_dev, lanes * 32)
-                    if perm_ok:
-                        perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
+                    perm_dev = build_unpacked_db(packed_dev, lanes * 32, permute=True)
             elif self._use_pallas() and cap >= _PALLAS_MIN_CHUNK and lanes in (4, 8):
                 # Beyond the int8 budget (100M-class partitions): the
                 # bit-transposed packed twin costs only 2x the packed bytes
@@ -1422,20 +1428,20 @@ class PackedCodeIndex:
                 # (2.0x, exact-verified; benchmarks/exp_packed_perm.py).
                 # lanes=4 (128-bit SIMPRINT partitions) uses the same layout
                 # at (rows*lanes//128, 128) — the config-4 100M-chunk path.
-                from iscc_search_tpu.ops.pallas_scan import PERM_GROUP, bit_transpose_packed
+                from iscc_search_tpu.ops.pallas_scan import bit_transpose_packed
 
-                if cap % PERM_GROUP == 0:
-                    # Resident packed view (same bytes, (cap*lanes//128, 128)
-                    # shape): phase 3 gathers 8 contiguous view rows per
-                    # candidate block — 2.5x faster than per-row packed takes.
-                    # One extra packed-sized layout: the tier's HBM budget is
-                    # 3x packed (~9.6 GB at 100M x 256-bit on a 16 GB chip).
-                    # Build the view BEFORE the bitplane twin: the reverse
-                    # order measured a runtime OOM at 100M (the view step's
-                    # donated buffer could not reuse freed space next to an
-                    # already-resident bitplane twin).
-                    view_dev = _to_view(packed_dev)
-                    bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
+                # Resident packed view (same bytes, (cap*lanes//128, 128)
+                # shape): phase 3 gathers 8 contiguous view rows per
+                # candidate block — 2.5x faster than per-row packed takes.
+                # One extra packed-sized layout: the tier's HBM budget is
+                # 3x packed (~9.6 GB at 100M x 256-bit on a 16 GB chip).
+                # Build the view BEFORE the bitplane twin: the reverse
+                # order measured a runtime OOM at 100M (the view step's
+                # donated buffer could not reuse freed space next to an
+                # already-resident bitplane twin). cap % PERM_GROUP holds by
+                # construction (_cap_rows, see the int8-tier branch above).
+                view_dev = _to_view(packed_dev)
+                bitplane_dev = jax.jit(bit_transpose_packed)(packed_dev)
             return _Partition(
                 packed_dev, valid_dev, unpacked_dev, full_map, cap, n,
                 perm_dev=perm_dev, bitplane_dev=bitplane_dev, view_dev=view_dev,

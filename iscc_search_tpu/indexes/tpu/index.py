@@ -1156,9 +1156,11 @@ class TpuIndex:
                         f"NPHD index directory missing for '{unit_type}' - run an explicit rebuild."
                     )
                     continue
+                # Never None: _tracked_types enumerates these very count keys,
+                # so every unit_type reaching here has one by construction.
                 expected = self._get_count(b"nphd_count:", unit_type)
                 actual = nphd_index.size
-                if expected is not None and expected != actual:
+                if expected != actual:
                     logger.warning(
                         f"NPHD index '{unit_type}' out of sync: expected {expected} vectors, found {actual}. "
                         f"Skipping auto-rebuild. Run 'iscc-search-tpu index rebuild --unit-type {unit_type}' "

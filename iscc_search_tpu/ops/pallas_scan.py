@@ -471,6 +471,27 @@ def make_blockmax_penalty(db_valid, mode):
     raise ValueError(f"unknown penalty mode {mode!r}")
 
 
+def _validate_blockmax(n, chunk_size, interpret, unpacked, permuted, packed_perm, bitplane, nbits):
+    # type: (int, int, bool, bool, bool, bool, bool, int) -> None
+    """Argument-combination contract for pallas_blockmax, factored out so
+    every arm — including the TPU-only (interpret=False) Mosaic constraint —
+    is testable without lowering a kernel."""
+    if n % chunk_size or chunk_size % BLOCK:
+        raise ValueError("db rows must divide by chunk_size, chunk_size by 128")
+    if not interpret and chunk_size < BLOCK * 128 and chunk_size != n:
+        # Mosaic requires the (Q, chunk/128) output block's lane dim to be a
+        # multiple of 128 (or the whole array): chunk_size >= 16384.
+        raise ValueError(f"chunk_size must be >= {BLOCK * 128} on TPU (got {chunk_size})")
+    if permuted and (not unpacked or chunk_size % PERM_GROUP):
+        raise ValueError("permuted scan needs the unpacked layout and chunk_size % 4096 == 0")
+    # Below here `permuted` implies `unpacked` (the check above), so testing
+    # `unpacked` alone already excludes every permuted combination.
+    if packed_perm and (unpacked or chunk_size % PERM_GROUP or 128 % (nbits // 32)):
+        raise ValueError("packed_perm needs the packed layout, chunk_size % 4096 == 0, lanes | 128")
+    if bitplane and (unpacked or packed_perm or chunk_size % PERM_GROUP or nbits not in (128, 256)):
+        raise ValueError("bitplane needs a 128/256-bit packed layout and chunk_size % 4096 == 0")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -520,18 +541,7 @@ def pallas_blockmax(
     # (rows * lanes // 128, 128) u32 view (see bit_transpose_packed).
     n = db.shape[0] * 4096 // nbits if bitplane else db.shape[0]
     q = q_pm1.shape[0]
-    if n % chunk_size or chunk_size % BLOCK:
-        raise ValueError("db rows must divide by chunk_size, chunk_size by 128")
-    if not interpret and chunk_size < BLOCK * 128 and chunk_size != n:
-        # Mosaic requires the (Q, chunk/128) output block's lane dim to be a
-        # multiple of 128 (or the whole array): chunk_size >= 16384.
-        raise ValueError(f"chunk_size must be >= {BLOCK * 128} on TPU (got {chunk_size})")
-    if permuted and (not unpacked or chunk_size % PERM_GROUP):
-        raise ValueError("permuted scan needs the unpacked layout and chunk_size % 4096 == 0")
-    if packed_perm and (unpacked or permuted or chunk_size % PERM_GROUP or 128 % (nbits // 32)):
-        raise ValueError("packed_perm needs the packed layout, chunk_size % 4096 == 0, lanes | 128")
-    if bitplane and (unpacked or permuted or packed_perm or chunk_size % PERM_GROUP or nbits not in (128, 256)):
-        raise ValueError("bitplane needs a 128/256-bit packed layout and chunk_size % 4096 == 0")
+    _validate_blockmax(n, chunk_size, interpret, unpacked, permuted, packed_perm, bitplane, nbits)
     nch = n // chunk_size
 
     # Validity as an additive penalty row in the DOT domain (broadcasts over

@@ -56,9 +56,14 @@ class PooledHTTPServer:
     """Thread-pool keep-alive HTTP/1.1 server for synchronous WSGI apps."""
 
     def __init__(self, host, port, app, threads=16, backlog=512, sock=None, idle_timeout=120.0,
-                 request_timeout=30.0, max_pending=64, queue_deadline=0.5, overload_probe=None):
-        # type: (str, int, ..., int, int, socket.socket | None, float, float, int, float, ...) -> None
+                 request_timeout=30.0, max_pending=64, queue_deadline=0.5, overload_probe=None,
+                 sweep_interval=5.0):
+        # type: (str, int, ..., int, int, socket.socket | None, float, float, int, float, ..., float) -> None
         self.app = app
+        # How often the park loop reaps idle keep-alive connections; a
+        # constructor knob so tests can drive both sweep outcomes without
+        # real multi-second waits.
+        self.sweep_interval = sweep_interval
         # Optional zero-arg callable consulted at admission: True sheds the
         # request BEFORE any parse/app work (scale-out workers pass the
         # engine-RPC overload breaker, so requests the engine would reject
@@ -155,7 +160,13 @@ class PooledHTTPServer:
     def _accept_loop(self):
         # type: () -> None
         self._sock.settimeout(0.5)
-        while not self._shutdown.is_set():
+        # `while True` + explicit check: a while-condition would be compiled
+        # as entry + loop-bottom test copies, and the bottom copy's
+        # "shutdown observed exactly between accept-return and re-check"
+        # outcome is pure thread timing; the single `if` is deterministic.
+        while True:
+            if self._shutdown.is_set():
+                return
             try:
                 sock, addr = self._sock.accept()
             except socket.timeout:
@@ -221,7 +232,7 @@ class PooledHTTPServer:
             # Reap idle keep-alive connections: each parked socket holds an
             # fd; without a sweep, idle clients accumulate until EMFILE.
             now = time.monotonic()
-            if now - last_sweep >= 5.0:
+            if now - last_sweep >= self.sweep_interval:
                 last_sweep = now
                 stale = []
                 with self._parked_lock:

@@ -137,7 +137,12 @@ class EngineIPCServer:
 
     def _accept_loop(self):
         # type: () -> None
-        while not self._stop.is_set():
+        # `while True` + explicit check (not a while-condition): the compiled
+        # loop-bottom test copy's "stop observed between accept-return and
+        # re-check" outcome is pure thread timing (see pooled._accept_loop).
+        while True:
+            if self._stop.is_set():
+                return
             try:
                 conn, _ = self._sock.accept()
             except socket.timeout:

@@ -637,8 +637,10 @@ class HostStore:
                 return
             self._closed = True
             h, self._h = self._h, None  # new calls fail from here on
-            while self._inflight:
-                self._state_cond.wait()
+            # wait_for: the retest-after-wakeup loop lives in threading.py
+            # (a hand-written while would add a loop-bottom test copy whose
+            # "woken while still in flight" arm needs a spurious wakeup).
+            self._state_cond.wait_for(lambda: not self._inflight)
         self._lib.ts_close(h)
 
     def __del__(self):  # pragma: no cover

@@ -188,11 +188,29 @@ def _omit_patterns():
         return []
 
 
+def _justified_arms():
+    # type: () -> dict[str, str]
+    """[tool.pycov.justified] — residual branch arms that are accepted as
+    untestable, each with its reason, keyed "<rel-path>:<line>". The gate
+    FAILS on any missing branch arm that is not justified here, and on any
+    stale justification (the arm became covered or the line moved): the
+    justification table must describe exactly the measured residue, so
+    COVERAGE.json itself carries the evidence."""
+    try:
+        import tomllib
+
+        cfg = tomllib.loads((PKG_ROOT.parent / "pyproject.toml").read_text())
+        return dict(cfg.get("tool", {}).get("pycov", {}).get("justified", {}))
+    except Exception:  # pragma: no cover
+        return {}
+
+
 def report(out_path="COVERAGE.json"):
     # type: (str) -> dict
     import fnmatch
 
     omit = _omit_patterns()
+    justified = _justified_arms()
     files = {}
     total_exec = total_hit = 0
     total_br = total_br_hit = 0
@@ -220,6 +238,7 @@ def report(out_path="COVERAGE.json"):
             br_hit += min(len(seen), 2)
             if len(seen) < 2:
                 missing_branches.append(line)
+        miss_br = sorted(set(missing_branches))
         files[rel] = {
             "lines": len(executable),
             "covered": len(hit),
@@ -228,12 +247,17 @@ def report(out_path="COVERAGE.json"):
             "branches": br_total,
             "branches_covered": br_hit,
             "branch_pct": round(100 * br_hit / br_total, 1) if br_total else 100.0,
-            "missing_branches": sorted(set(missing_branches)),
+            "missing_branches": miss_br,
+            # Residual arms carry their acceptance reason IN the artifact
+            # ([tool.pycov.justified]); anything without one fails the gate.
+            "justified_branches": {str(ln): justified[f"{rel}:{ln}"] for ln in miss_br if f"{rel}:{ln}" in justified},
+            "unjustified_branches": [ln for ln in miss_br if f"{rel}:{ln}" not in justified],
         }
         total_exec += len(executable)
         total_hit += len(hit)
         total_br += br_total
         total_br_hit += br_hit
+    all_missing = {f"{rel}:{ln}" for rel, info in files.items() for ln in info["missing_branches"]}
     summary = {
         "total_lines": total_exec,
         "covered_lines": total_hit,
@@ -241,6 +265,8 @@ def report(out_path="COVERAGE.json"):
         "total_branches": total_br,
         "covered_branches": total_br_hit,
         "branch_pct": round(100 * total_br_hit / max(total_br, 1), 2),
+        "unjustified_branch_arms": sorted(all_missing - set(justified)),
+        "stale_justifications": sorted(set(justified) - all_missing),
         "files": files,
     }
     Path(out_path).write_text(json.dumps(summary, indent=1))
@@ -308,6 +334,14 @@ def main():
         failed = True
     if summary["branch_pct"] < branch_min:
         print(f"FAIL: branch coverage {summary['branch_pct']}% is below the {branch_min}% gate")
+        failed = True
+    # Residual-arm discipline: every missing branch arm must carry a reason
+    # in [tool.pycov.justified], and no justification may outlive its arm.
+    if summary["unjustified_branch_arms"]:
+        print(f"FAIL: missing branch arms without a justification: {summary['unjustified_branch_arms']}")
+        failed = True
+    if summary["stale_justifications"]:
+        print(f"FAIL: stale justifications (arm covered or moved): {summary['stale_justifications']}")
         failed = True
     if failed:
         return 2

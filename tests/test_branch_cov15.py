@@ -310,10 +310,16 @@ def test_twins_beyond_budget_packed_bitplane_tier(tmp_path, rng):
     idx.close()
 
 
-def test_full_rebuild_when_synced_rows_shrink(tmp_path, rng):
+def test_full_rebuild_after_compaction_shrinks_rows(tmp_path, rng):
+    """Row-space shrinks reach the device via _partitions=None (every
+    shrinking path nulls it — _sync_device needs no rows<synced clause)."""
     idx = _filled(tmp_path, rng, 32, 16384, budget="1000")
     idx._sync_device()
-    idx._synced_rows = idx._rows + 10  # as after a compaction shrank rows
+    keys = np.zeros((4, idx.key_bytes), np.uint8)
+    keys[:, :8] = np.frombuffer(np.arange(4, dtype=">u8").tobytes(), np.uint8).reshape(4, 8)
+    idx.remove([keys[i].tobytes() for i in range(4)])
+    idx.compact()
+    assert idx._partitions is None  # the shrink path's contract
     parts = idx._sync_device()
-    assert parts[8].count == idx._rows
+    assert parts[8].count == idx._rows == 16384 - 4
     idx.close()

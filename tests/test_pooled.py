@@ -405,19 +405,34 @@ def test_trickling_request_hits_whole_request_deadline():
 def test_idle_parked_connection_reaped():
     opts = SearchOptions(index_uri="memory://")
     app = create_app(index=MemoryIndex(), opts=opts)
-    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2, idle_timeout=0.5)
+    srv = PooledHTTPServer("127.0.0.1", 0, app, threads=2, idle_timeout=3.0, sweep_interval=0.2)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
-    s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+
+    def parked_conn():
+        s = socket.create_connection(("127.0.0.1", srv.server_port), timeout=5)
+        s.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        buf = b""
+        while b'"ok"' not in buf:
+            buf += s.recv(65536)
+        return s
+
+    s = parked_conn()
+    # Parked now; the sweep tick reaps s after idle_timeout
+    s.settimeout(10)
+    assert s.recv(65536) == b""  # server closes the stale conn -> EOF
+    s.close()
+    # A YOUNG parked connection rides out a sweep un-reaped and still serves
+    fresh = parked_conn()
+    time.sleep(1.2)  # > one epoll cycle: at least one sweep saw it young
+    fresh.settimeout(10)
+    fresh.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
     buf = b""
     while b'"ok"' not in buf:
-        buf += s.recv(65536)
-    # Parked now; the 5s sweep tick should reap it after idle_timeout
-    s.settimeout(10)
-    data = s.recv(65536)  # server closes -> EOF
-    assert data == b""
-    s.close()
+        data = fresh.recv(65536)
+        assert data, "young parked connection was reaped"
+        buf += data
+    fresh.close()
     srv.server_close()
     t.join(5)
 
