@@ -164,7 +164,14 @@ def test_simprint_search_stable_under_updates_and_rebuilds(tmp_path):
     stop = threading.Event()
     rng_local = random.Random(5)
     lock = threading.Lock()
-    live = {}  # iscc_id -> current simprint list
+    # iscc_id -> current simprint list, or None while a replacement
+    # add_assets is in flight. The in-flight marker must be set BEFORE the
+    # add: `live` is only updated after add_assets returns, so without it a
+    # searcher that misses (replacement mid-flight) would re-check against a
+    # stale entry that still matches its first read and flag a false
+    # "missing" whenever the add outlives the settle sleep (seen under
+    # full-suite contention on a 1-core host).
+    live = {}
 
     def writer():
         n = 0
@@ -173,6 +180,7 @@ def test_simprint_search_stable_under_updates_and_rebuilds(tmp_path):
                 if live and rng_local.random() < 0.5:
                     with lock:
                         iscc_id = rng_local.choice(list(live))
+                        live[iscc_id] = None  # replacement in flight
                 else:
                     n += 1
                     iscc_id = make_iscc_id(n)
@@ -203,9 +211,10 @@ def test_simprint_search_stable_under_updates_and_rebuilds(tmp_path):
         try:
             while not stop.is_set():
                 with lock:
-                    if not live:
+                    settled = [(k, v) for k, v in live.items() if v is not None]
+                    if not settled:
                         continue
-                    iscc_id, sps = rng_local.choice(list(live.items()))
+                    iscc_id, sps = rng_local.choice(settled)
                 q = IsccQuery.model_construct(simprints={"text": [sps[0]]})
                 res = idx.search_assets(q, limit=5)
                 if iscc_id not in [m.iscc_id for m in res.chunk_matches]:
